@@ -1,0 +1,70 @@
+"""Benchmark harness — one JSON line with per-query wall times.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is fully
+materialized via the noop sink (no driver collect cost, no result-size
+bias). Prints exactly one JSON line:
+{"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mobilitydatalakebenchmark_spark.plans import load_registry
+from mobilitydatalakebenchmark_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_pricing_summary",
+    "j4_snowflake_revenue",
+    "a4_zonemap_minmax",
+    "a1_entity_sequences",
+    "w1_tumbling_hour",
+    "w3_asof_lookup",
+    "w5_sessionize",
+    "topk_per_group",
+    "running_totals",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_candidates",
+    "knn_bruteforce_cosine",
+    "vec_neardup_pairs",
+    "text_stats",
+    "text_token_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_registry()
+    spark = get_spark("bench")
+    # warm the JVM + file listing so per-query numbers measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.time()
+        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

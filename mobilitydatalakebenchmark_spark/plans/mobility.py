@@ -1,0 +1,163 @@
+"""Mobility-store pipeline analogues on the driver tables (SURVEY.md §2.2).
+
+The GeoJSON pipelines themselves are exercised end-to-end by tests/ on a
+synthesized snapshot stream (the driver tables have no nested GeoJSON). The
+encode/decode operators they are built from are gate-checked here on the
+star schema so the DuckDB oracle covers them: fixed-point (P11), pairing
+(P12), WKT (P15), velocity dimension build (A9+P14+F4 composition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.codecs import decode_fixed_point, encode_fixed_point
+from . import register
+from .relational import t
+
+
+@register(
+    "p11_fixed_point_roundtrip",
+    oracle="""
+WITH zone AS (
+  SELECT l_orderkey, min(l_extendedprice) AS min_price
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       cast(round((l.l_extendedprice - z.min_price) * 100000000) AS BIGINT) AS encoded,
+       round(cast(round((l.l_extendedprice - z.min_price) * 100000000) AS BIGINT)
+             / 100000000.0 + z.min_price, 4) AS decoded
+FROM lineitem l JOIN zone z ON l.l_orderkey = z.l_orderkey
+WHERE l.l_orderkey <= 100
+ORDER BY l.l_orderkey, l.l_linenumber
+""",
+    doc="P11+A4: fixed-point scaling against the per-document zone-map min "
+    "(postgresql_velocity_split.py:121-122, inverse :176-179)",
+    tags=("codec",),
+)
+def p11_fixed_point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    zone = li.groupBy("l_orderkey").agg(F.min("l_extendedprice").alias("min_price"))
+    j = li.filter(F.col("l_orderkey") <= 100).join(F.broadcast(zone), "l_orderkey")
+    encoded = encode_fixed_point(F.col("l_extendedprice"), F.col("min_price"))
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        encoded.alias("encoded"),
+        F.round(decode_fixed_point(encoded, F.col("min_price")), 4).alias("decoded"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "p12_cantor_pairing",
+    oracle="""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber,
+         cast(round((l_discount + 1) * 100) AS BIGINT) AS a,
+         cast(round((l_tax + 1) * 100) AS BIGINT)      AS b
+  FROM lineitem WHERE l_orderkey <= 200
+)
+SELECT l_orderkey, l_linenumber,
+       ((a + b) * (a + b + 1)) // 2 + b AS cantor_z
+FROM s ORDER BY l_orderkey, l_linenumber
+""",
+    doc="P12: Cantor pairing (apache_parquet_cantor.py:18-30) at bigint-safe "
+    "precision for the oracle; full Decimal(38) precision is property-tested "
+    "in tests/test_codecs.py",
+    tags=("codec",),
+)
+def p12_cantor_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    a = F.round((F.col("l_discount") + 1) * 100).cast("long")
+    b = F.round((F.col("l_tax") + 1) * 100).cast("long")
+    s = a + b
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(s * (s + 1) / 2) + b).alias("cantor_z"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "p15_wkt_points",
+    oracle="""
+SELECT event_id,
+       printf('POINT(%.4f %.4f)', value / 100.0, cast(user_id AS DOUBLE)) AS wkt
+FROM events WHERE event_id < 50 ORDER BY event_id
+""",
+    doc="P15: WKT point text construction (mobility_db_batch.py:87-89)",
+    tags=("codec",),
+)
+def p15_wkt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 50)
+    return ev.select(
+        "event_id",
+        F.format_string(
+            "POINT(%.4f %.4f)",
+            F.col("value") / 100.0,
+            F.col("user_id").cast("double"),
+        ).alias("wkt"),
+    ).orderBy("event_id")
+
+
+@register(
+    "velocity_dim_build",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT substr(md5(cast(user_id AS VARCHAR) || '|' || event_type), 1, 8) AS dim_hash,
+       user_id, event_type, event_id AS first_event
+FROM firsts WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    doc="velocity dimension build = first-seen dedup (A9/F5) + hash-consed "
+    "key (P14), the write path of postgresql_velocity.py:64-115",
+    tags=("pipeline",),
+)
+def velocity_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.md5(
+                F.concat_ws("|", F.col("user_id").cast("string"), F.col("event_type"))
+            )
+            .substr(1, 8)
+            .alias("dim_hash"),
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "f6_temporal_containment",
+    oracle="""
+SELECT user_id, count(*) AS n_contained
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-06 00:00:00'
+GROUP BY user_id ORDER BY user_id
+""",
+    doc="F6: temporal containment — instants within a range "
+    "(mobility_db.py:111 '@>' analog)",
+    tags=("filter", "time"),
+)
+def f6_temporal_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            F.col("ts").between("2024-01-03 00:00:00", "2024-01-06 00:00:00")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_contained"))
+        .orderBy("user_id")
+    )

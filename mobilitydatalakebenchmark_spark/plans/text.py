@@ -1,0 +1,330 @@
+"""Text-analysis & deduplication gate queries over the documents table
+(BASELINE.json north star: LLM-data-pipeline operators as first-class).
+
+Operators: token counting, quality scoring, language distribution, exact
+dedup (hash-groupBy), n-gram Jaccard near-dup, MinHash signatures + LSH
+banding, document fingerprinting. All are pure column expressions (no
+Python UDFs) so they scale JVM-side; the DuckDB twins prove semantics.
+
+Scale posture: token pipelines are per-row transforms (no shuffle); dedup
+group-bys shuffle on a hash key (uniformly distributed by construction);
+the LSH band join replaces the O(n²) pair scan with a bucketed equi-join —
+the only strategy that survives 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import register
+from .relational import t
+
+# token split: documents.text is space-separated lowercase words
+_SPLIT = " "
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, _SPLIT)
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       length(text) AS chars,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       round((length(text) - length(replace(text, ' ', '')) + 1.0)
+             / greatest(len(list_distinct(string_split(text, ' '))), 1), 4)
+           AS repetition_ratio
+FROM documents ORDER BY doc_id
+""",
+    doc="token counting + repetition quality signal (whitespace tokenizer)",
+    tags=("text",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).alias("n_tokens")
+    n_distinct = F.size(F.array_distinct(tokens(F.col("text"))))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("chars"),
+        n_tokens,
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(
+            (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1.0)
+            / F.greatest(n_distinct, F.lit(1)),
+            4,
+        ).alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_lang_distribution",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+    doc="language/source profile of the corpus (language-ID aggregation target)",
+    tags=("text",),
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+SELECT text_hash, count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, md5(text) AS text_hash FROM documents)
+GROUP BY text_hash HAVING count(*) > 1
+ORDER BY text_hash
+""",
+    doc="exact dedup: hash-groupBy on md5(text); keeper = min doc_id "
+    "(first-seen semantics, same as reference A9)",
+    tags=("text", "dedup"),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("text_hash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.tok, b.tok)) AS n_common,
+         len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok)) AS n_union
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_a, doc_b, n_common,
+       round(cast(n_common AS DOUBLE) / n_union, 4) AS jaccard
+FROM pairs WHERE cast(n_common AS DOUBLE) / n_union > 0.3
+ORDER BY doc_a
+""",
+    doc="token-set Jaccard similarity on adjacent doc pairs (near-dup "
+    "candidate scoring); full-corpus pairing goes through MinHash-LSH below",
+    tags=("text", "dedup"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    n_union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - n_common
+    jac = n_common.cast("double") / n_union
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_common.alias("n_common"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0.3)
+        .orderBy("doc_a")
+    )
+
+
+# MinHash: k independent permutations approximated by md5(seed || token);
+# the per-doc signature element is the minimum hex digest. Band hash =
+# md5(concat of band's signature elements). Identical construction on both
+# engines — md5 is bit-stable everywhere.
+_MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+
+
+def _minhash_sig(tok: Column, seed: str) -> Column:
+    return F.array_min(F.transform(tok, lambda x: F.substring(F.md5(F.concat(F.lit(seed), x)), 1, 16)))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       {", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min') AS mh_{i}" for i, s in enumerate(_MINHASH_SEEDS))},
+       md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
+       md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[2:])})) AS band_1
+FROM toks ORDER BY doc_id
+""",
+    doc="MinHash signature (4 hashes) + 2 LSH band keys per document "
+    "(shingle->minhash->band; bucket-join finds candidates at any scale)",
+    tags=("text", "dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
+    )
+    sigs = [_minhash_sig(F.col("tok"), s).alias(f"mh_{i}") for i, s in enumerate(_MINHASH_SEEDS)]
+    d = d.select("doc_id", *sigs)
+    return d.select(
+        "doc_id",
+        *[F.col(f"mh_{i}") for i in range(len(_MINHASH_SEEDS))],
+        F.md5(F.concat("mh_0", "mh_1")).alias("band_0"),
+        F.md5(F.concat("mh_2", "mh_3")).alias("band_1"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+), sig AS (
+  SELECT doc_id,
+         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
+         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[2:])})) AS band_1
+  FROM toks
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, band_1 AS band_hash FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+""",
+    doc="LSH candidate pairs: explode band keys, self-equi-join on "
+    "(band_idx, band_hash) — linear in corpus size, no O(n²) pair scan",
+    tags=("text", "dedup", "minhash"),
+)
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
+    )
+    # materialize each signature element once, then derive band keys from
+    # the columns (chained selects -> Catalyst reuses the projections
+    # instead of recomputing 4 md5 passes per band)
+    sig = d.select(
+        "doc_id",
+        *[
+            _minhash_sig(F.col("tok"), s).alias(f"mh_{i}")
+            for i, s in enumerate(_MINHASH_SEEDS)
+        ],
+    ).select(
+        "doc_id",
+        F.md5(F.concat("mh_0", "mh_1")).alias("band_0"),
+        F.md5(F.concat("mh_2", "mh_3")).alias("band_1"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_idx"), F.col("band_0").alias("band_hash")),
+                F.struct(F.lit(1).alias("band_idx"), F.col("band_1").alias("band_hash")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_idx", "b.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+    doc="document fingerprint: md5 over the sorted distinct token set "
+    "(order-insensitive content identity)",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_topk",
+    oracle="""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token LIMIT 20
+""",
+    doc="corpus token frequency top-k (explode + groupBy; the BPE-ish "
+    "vocabulary-building primitive)",
+    tags=("text",),
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1) / 200.0)
+             * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                / (length(text) - length(replace(text, ' ', '')) + 1)), 4)
+           AS quality
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""",
+    doc="quality scoring: length saturation x lexical diversity "
+    "(stopword/punct ratios are trivial variants of the same shape)",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    n_distinct = F.size(F.array_distinct(tokens(F.col("text"))))
+    quality = F.least(F.lit(1.0), n_tokens / 200.0) * (
+        n_distinct.cast("double") / n_tokens
+    )
+    return d.select("doc_id", F.round(quality, 4).alias("quality")).orderBy("doc_id")

@@ -1,0 +1,223 @@
+"""Similarity-search gate queries over the embeddings table
+(BASELINE.json north star: ANN over an array<float> column).
+
+Brute-force cosine top-k is the exactness baseline; the scale path is the
+LSH/IVF bucketed variant (random-hyperplane signs), which turns the O(n·q)
+scan into a bucketed equi-join. Dot products are built-in expressions
+(zip_with + aggregate) — JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from .relational import t
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as double. zip_with multiplies element-wise; aggregate sums
+    sequentially (same order as DuckDB's list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+PROBE_IDS = [0, 1, 2]
+
+
+@register(
+    "vec_norms",
+    oracle="""
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))), 4) AS l2_norm,
+       len(embedding) AS dim
+FROM embeddings ORDER BY vec_id
+""",
+    doc="vector L2 norms via zip_with/aggregate (the dot-product primitive)",
+    tags=("vector",),
+)
+def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+), sims AS (
+  SELECT p.probe_id, e.vec_id, e.label,
+         round(list_dot_product(p.probe_vec, e.embedding)
+               / (sqrt(list_dot_product(p.probe_vec, p.probe_vec))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS cos_sim
+  FROM probes p CROSS JOIN embeddings e
+  WHERE e.vec_id != p.probe_id
+)
+SELECT probe_id, vec_id, label, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM sims
+) WHERE rk <= 5 ORDER BY probe_id, rk
+""",
+    doc="brute-force cosine top-5 neighbors for 3 probe vectors; the "
+    "exactness baseline every ANN variant is measured against",
+    tags=("vector", "knn"),
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    # broadcast the probe side: n_probes × corpus scan, one pass over data
+    sims = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("probe_vec"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id", "label", "cos_sim")
+        .orderBy("probe_id", F.desc("cos_sim"), "vec_id")
+    )
+
+
+@register(
+    "vec_label_centroids",
+    oracle="""
+SELECT label, count(*) AS n,
+       round(avg(list_sum(list_transform(embedding, x -> cast(x AS DOUBLE)))), 4)
+           AS avg_component_sum,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+""",
+    doc="per-label aggregate vector statistics (centroid-adjacent reduction)",
+    tags=("vector",),
+)
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(comp_sum), 4).alias("avg_component_sum"),
+            F.round(F.avg(norm(F.col("embedding"))), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "vec_lsh_buckets",
+    oracle=None,  # hyperplane constants generated per-dim; Spark-only check
+    doc="LSH bucketing: sign bits of 8 fixed pseudo-random hyperplane "
+    "projections -> bucket id; the scale path for ANN (bucketed equi-join "
+    "instead of full cross product). Deterministic hyperplanes from md5.",
+    tags=("vector", "lsh"),
+)
+def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    # Hyperplane h_k[i] = (md5-derived pseudo-random in [-1,1]); computed as
+    # a column expression from (k, i) so no driver-side RNG state is shipped.
+    dim = 64
+    n_planes = 8
+    import hashlib
+
+    def plane(k: int) -> list[float]:
+        vals = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane-{k}-{i}".encode()).hexdigest()
+            vals.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2 - 1)
+        return vals
+
+    bucket = F.lit(0)
+    for k in range(n_planes):
+        coeffs = F.array(*[F.lit(c) for c in plane(k)])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    out = e.select("vec_id", "label", bucket.alias("bucket"))
+    return (
+        out.groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "vec_neardup_pairs",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND b.vec_id > a.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))) > 0.9
+ORDER BY vec_a, vec_b
+""",
+    doc="embedding-cosine near-duplicate pairs, blocked by label (the "
+    "blocking key stands in for the LSH bucket at oracle scale)",
+    tags=("vector", "dedup"),
+)
+def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # precompute each vector's norm once (n rows) instead of per pair
+    # (n²/blocks rows); the pair stage then does exactly one dot product.
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .withColumn("cos_raw", sim)
+        .filter(F.col("cos_raw") > 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,394 @@
+"""Window / time-series gate queries (SURVEY.md §2.6 + sequence aggs §2.5).
+
+The reference's temporal layer (MobilityDB stores) becomes: per-entity
+sequences (A1/W6), tumbling buckets (W1), as-of instant extraction (W3),
+micro-batch range bounds (A5). The events table is the stand-in stream.
+
+Scale posture: every window here partitions by an entity key (user_id) —
+state is bounded per key and Spark distributes keys across executors. The
+as-of lookup uses the sort-merge union trick (one shuffle, no per-probe
+scans), which at 100 TB beats a per-probe subquery by orders of magnitude.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from .relational import t
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "w1_tumbling_hour",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS bucket,
+       event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+""",
+    doc="W1/P7: tumbling time bucket (apache_parquet.py:17,27,107)",
+    tags=("window", "time"),
+)
+def w1_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+@register(
+    "a5_batch_range_bounds",
+    oracle=f"""
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS range_start,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS range_end,
+       count(*) AS n_instants
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc="A5: tsrange batch bounds per entity (mobility_db_batch.py:81-82,107)",
+    tags=("agg", "time"),
+)
+def a5_batch_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("range_start"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("range_end"),
+            F.count("*").alias("n_instants"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# Probe instants for the as-of lookup (W3) — data-independent literals.
+ASOF_PROBES = [
+    "2024-01-02 00:00:00",
+    "2024-01-05 12:00:00",
+    "2024-01-10 06:30:00",
+]
+
+
+@register(
+    "w3_asof_lookup",
+    oracle=f"""
+WITH probes AS (
+  SELECT unnest([{", ".join(f"TIMESTAMP '{p}'" for p in ASOF_PROBES)}]) AS probe_ts
+),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, strftime(p.probe_ts, '{TS_FMT_DUCK}') AS probe,
+       (SELECT round(e.value, 2) FROM events e
+        WHERE e.user_id = u.user_id AND e.ts <= p.probe_ts
+        ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS asof_value
+FROM users u CROSS JOIN probes p
+ORDER BY u.user_id, probe
+""",
+    doc="W3: as-of instant extraction per entity (mobility_db.py:104-109); "
+    "sort-merge union trick — one shuffle for all probes",
+    tags=("window", "time", "asof"),
+)
+def w3_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    probes = spark.createDataFrame(
+        [(p,) for p in ASOF_PROBES], "probe_s string"
+    ).select(F.col("probe_s").cast("timestamp").alias("probe_ts"))
+    users = ev.select("user_id").distinct()
+    probe_rows = users.crossJoin(F.broadcast(probes)).select(
+        "user_id",
+        F.col("probe_ts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_probe"),
+    )
+    event_rows = ev.select(
+        "user_id", "ts", "event_id", "value", F.lit(0).alias("is_probe")
+    )
+    # events sort before probes at equal ts (as-of is inclusive); among
+    # equal-ts events the larger event_id wins, matching the oracle ORDER BY.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        event_rows.unionByName(probe_rows)
+        .withColumn("asof_raw", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("probe"),
+            F.round("asof_raw", 2).alias("asof_value"),
+        )
+        .orderBy("user_id", "probe")
+    )
+
+
+@register(
+    "w5_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id ORDER BY user_id
+""",
+    doc="sessionization: lag-gap > 30 min starts a session (pyspark guide "
+    "'Sessionization'; extension beyond reference W5 buffering)",
+    tags=("window", "time"),
+)
+def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_ord)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT user_id, event_id, round(value, 2) AS value, rk FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3 ORDER BY user_id, rk
+""",
+    doc="top-K per group via window rank (pyspark guide 'Top-K per group')",
+    tags=("window",),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rk")
+        .orderBy("user_id", "rk")
+    )
+
+
+@register(
+    "running_totals",
+    oracle=f"""
+SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+           AS delta_prev
+FROM events
+ORDER BY user_id, event_id
+""",
+    doc="running cumulative sum + lag delta (W4-adjacent incremental append)",
+    tags=("window",),
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        F.round(F.sum("value").over(w_cum), 2).alias("running_value"),
+        F.round(F.col("value") - F.lag("value").over(w_ord), 2).alias("delta_prev"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "ranking_suite",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+       ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer ORDER BY c_custkey
+""",
+    doc="rank/dense_rank/ntile window suite (Spark extension)",
+    tags=("window",),
+)
+def ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "quantiles_exact",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS median_value,
+       round(quantile_cont(value, 0.9), 4) AS p90_value,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="exact interpolated quantiles (percentile == duckdb quantile_cont)",
+    tags=("agg",),
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.5), 4).alias("median_value"),
+            F.round(F.percentile("value", 0.9), 4).alias("p90_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence builds (A1/W6) and JSON document construction (P4/A2/A3) —
+# the re-nesting side of the reference, string-stable across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_entity_sequences",
+    oracle=f"""
+SELECT user_id,
+       string_agg(strftime(ts, '{TS_FMT_DUCK}') || '@' || printf('%.2f', value),
+                  ';' ORDER BY ts, event_id) AS sequence,
+       count(*) AS n_instants
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id
+""",
+    doc="A1/W6/P16: per-entity time-ordered instant sequence "
+    "(mobility_db_batch.py:80-99) as a canonical string",
+    tags=("agg", "time", "sequence"),
+)
+def a1_entity_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    instant = F.struct("ts", "event_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(instant)),
+                    lambda x: F.concat(
+                        F.date_format(x["ts"], TS_FMT_SPARK),
+                        F.lit("@"),
+                        F.format_string("%.2f", x["value"]),
+                    ),
+                ),
+                ";",
+            ).alias("sequence"),
+            F.count("*").alias("n_instants"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "p4_json_doc_build",
+    oracle="""
+SELECT user_id,
+       '{"user":' || cast(user_id AS VARCHAR) ||
+       ',"n":' || cast(count(*) AS VARCHAR) ||
+       ',"events":[' ||
+       string_agg('{"id":' || cast(event_id AS VARCHAR) || ',"type":"' || event_type || '"}',
+                  ',' ORDER BY event_id) || ']}' AS doc
+FROM events WHERE user_id < 5 GROUP BY user_id ORDER BY user_id
+""",
+    doc="P4/P5/A2/A3: SQL-side JSON document construction "
+    "(postgresql_json_agg_store.py:75-106, postgresql_sql_text_conv.py:79-94)",
+    tags=("agg", "json"),
+)
+def p4_json_doc_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    item = F.struct("event_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list(item)).alias("items"))
+        .select(
+            "user_id",
+            F.concat(
+                F.lit('{"user":'),
+                F.col("user_id").cast("string"),
+                F.lit(',"n":'),
+                F.col("n").cast("string"),
+                F.lit(',"events":['),
+                F.array_join(
+                    F.transform(
+                        F.col("items"),
+                        lambda x: F.concat(
+                            F.lit('{"id":'),
+                            x["event_id"].cast("string"),
+                            F.lit(',"type":"'),
+                            x["event_type"],
+                            F.lit('"}'),
+                        ),
+                    ),
+                    ",",
+                ),
+                F.lit("]}"),
+            ).alias("doc"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT event_type,
+       cast(sum(cast(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="JSON scalar extraction from the props column (get_json_object path)",
+    tags=("json",),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("int"))
+            .cast("long")
+            .alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

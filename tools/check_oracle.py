@@ -1,0 +1,125 @@
+"""Local parity harness — replicates the driver's t2 correctness compare.
+
+For every registry entry: run the Spark query and the DuckDB oracle on the
+same sf dir, then compare (row count, column names, order-insensitive
+value multiset with float tolerance). Exit non-zero on any mismatch.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from mobilitydatalakebenchmark_spark.plans import load_registry
+from mobilitydatalakebenchmark_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # absorb last-ulp noise beyond the rounding both sides already do
+        return round(v, 9)
+    if isinstance(v, int):
+        return v
+    try:  # Decimal -> float
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return str(v)
+
+
+def _canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_canon_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [c for _, c in sorted(enumerate(cols), key=lambda t: t[1])], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2:]
+    registry = load_registry()
+    spark = get_spark("check_oracle")
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+
+    failures, passed, rows_only = [], 0, 0
+    for name, q in sorted(registry.items()):
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.spark(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {exc}"))
+            print(f"✗ {name}: spark error: {str(exc).splitlines()[0][:200]}")
+            continue
+        if q.oracle is None:
+            rows_only += 1
+            print(f"· {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            if len(s_rows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        try:
+            res = con.execute(q.oracle)
+            d_cols = [d[0] for d in res.description]
+            d_rows = [tuple(r) for r in res.fetchall()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {exc}"))
+            print(f"✗ {name}: duckdb error: {str(exc).splitlines()[0][:200]}")
+            continue
+
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"row count {len(s_rows)} vs {len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"columns {sorted(s_cols)} vs {sorted(d_cols)}")
+        if not problems:
+            _, sc = _canon_rows(s_cols, s_rows)
+            _, dc = _canon_rows(d_cols, d_rows)
+            if sc != dc:
+                diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"✗ {name}: {'; '.join(problems)[:400]}")
+        else:
+            passed += 1
+            print(f"✓ {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+
+    print(
+        f"\n{passed} matched, {rows_only} rows-only, {len(failures)} failed "
+        f"(of {len(registry)} registered) at {sf_dir}"
+    )
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
