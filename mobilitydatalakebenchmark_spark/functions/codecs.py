@@ -78,11 +78,20 @@ def _unscale_coord(n: Column, offset: int = 200) -> Column:
 
 
 def cantor_pair(x: Column, y: Column) -> Column:
-    """Cantor pairing of scaled coords: (a+b)(a+b+1)/2 + b, Decimal(38,0)."""
+    """Cantor pairing of scaled coords: (a+b)(a+b+1)/2 + b, Decimal(38,0).
+
+    The halving happens on the even factor BEFORE the multiply: Spark's
+    decimal division forces scale >= 6, and a scale-6 Decimal(38) tops out
+    at 1e32 — s*(s+1) ~ 1.7e37 would overflow. (s/2)*(s+1) keeps every
+    intermediate within Decimal(38,0)."""
     a = _scale_coord(x)
     b = _scale_coord(y)
     s = (a + b).cast(_DEC)
-    return (s * (s + F.lit(1).cast(_DEC)) / F.lit(2).cast(_DEC)).cast(_DEC) + b
+    s1 = (s + F.lit(1).cast(_DEC)).cast(_DEC)
+    half_product = (
+        F.when(s % 2 == 0, (s / 2).cast(_DEC) * s1).otherwise(s * (s1 / 2).cast(_DEC))
+    ).cast(_DEC)
+    return half_product + b
 
 
 def elegant_pair(x: Column, y: Column) -> Column:

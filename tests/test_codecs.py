@@ -1,0 +1,108 @@
+"""Operator-level unit tests (SURVEY.md §5): pairing inverse property,
+fixed-point inverse, direction involution, hashcons determinism, temporal
+as-of vs brute force."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.functions import codecs
+from mobilitydatalakebenchmark_spark.operators import temporal_store as ts_ops
+
+
+def test_elegant_pair_inverse(spark):
+    rng = random.Random(1)
+    coords = [
+        (round(rng.uniform(4.25, 4.45), 6), round(rng.uniform(50.79, 50.91), 6))
+        for _ in range(200)
+    ] + [(4.25, 50.79), (4.45, 50.91), (0.0, 0.0), (-179.999999, 89.999999)]
+    df = spark.createDataFrame(coords, "lon double, lat double")
+    z = codecs.elegant_pair(F.col("lon"), F.col("lat"))
+    lon2, lat2 = codecs.elegant_unpair(z)
+    rows = df.select("lon", "lat", lon2.alias("lon2"), lat2.alias("lat2")).collect()
+    for r in rows:
+        assert math.isclose(r.lon, r.lon2, abs_tol=1e-9), r
+        assert math.isclose(r.lat, r.lat2, abs_tol=1e-9), r
+
+
+def test_cantor_pair_monotone_unique(spark):
+    rng = random.Random(2)
+    coords = [
+        (round(rng.uniform(4.25, 4.45), 6), round(rng.uniform(50.79, 50.91), 6))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(set(coords), "lon double, lat double")
+    z = codecs.cantor_pair(F.col("lon"), F.col("lat"))
+    vals = [r.z for r in df.select(z.alias("z")).collect()]
+    # pairing must be injective on distinct inputs
+    assert len(set(vals)) == len(vals)
+
+
+def test_fixed_point_inverse(spark):
+    rng = random.Random(3)
+    data = [(round(rng.uniform(4.25, 4.45), 8), 4.25) for _ in range(300)]
+    df = spark.createDataFrame(data, "x double, mn double")
+    enc = codecs.encode_fixed_point(F.col("x"), F.col("mn"))
+    dec = codecs.decode_fixed_point(enc, F.col("mn"))
+    for r in df.select("x", dec.alias("x2")).collect():
+        assert math.isclose(r.x, r.x2, abs_tol=1e-8), r
+
+
+def test_direction_involution(spark):
+    df = spark.createDataFrame([(1,), (2,)], "d int")
+    out = df.select(
+        "d", codecs.decode_direction(codecs.encode_direction(F.col("d"))).alias("d2")
+    ).collect()
+    assert all(r.d == r.d2 for r in out)
+
+
+def test_hashcons_deterministic(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "s string, i int")
+    out = df.select(codecs.hashcons_key(F.col("s"), F.col("i")).alias("h")).collect()
+    assert out[0].h == out[1].h
+    assert out[0].h != out[2].h
+    assert len(out[0].h) == 8
+
+
+def test_asof_matches_bruteforce(spark):
+    rng = random.Random(4)
+    instants = sorted(
+        (float(t), rng.uniform(0, 100)) for t in rng.sample(range(0, 100000), 50)
+    )
+    seq = [
+        {"ts": f"2024-01-01 00:00:{i:02d}", "value": v}
+        for i, (_, v) in enumerate(instants[:50])
+    ]
+    # build array<struct<ts,value>> row
+    df = spark.createDataFrame(
+        [(seq,)], "seq array<struct<ts:string, value:double>>"
+    ).select(
+        F.transform(
+            "seq",
+            lambda x: F.struct(
+                x["ts"].cast("timestamp").alias("ts"), x["value"].alias("value")
+            ),
+        ).alias("seq")
+    )
+    for probe_i in (0, 7, 23, 49):
+        probe = f"2024-01-01 00:00:{probe_i:02d}"
+        got = df.select(
+            ts_ops.as_of(F.col("seq"), F.lit(probe).cast("timestamp")).alias("v")
+        ).collect()[0].v
+        want = seq[probe_i]["value"]  # exact-instant hit
+        assert math.isclose(got, want, rel_tol=1e-12)
+    # probe before the first instant -> NULL
+    got = df.select(
+        ts_ops.as_of(F.col("seq"), F.lit("2023-12-31 00:00:00").cast("timestamp")).alias("v")
+    ).collect()[0].v
+    assert got is None
+    # exact-instant extraction + containment
+    got = df.select(
+        ts_ops.at_timestamp(F.col("seq"), F.lit("2024-01-01 00:00:07").cast("timestamp")).alias("v"),
+        ts_ops.contains_instant(F.col("seq"), F.lit("2024-01-01 00:00:07").cast("timestamp")).alias("c"),
+    ).collect()[0]
+    assert math.isclose(got.v, seq[7]["value"], rel_tol=1e-12)
+    assert got.c is True
