@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale corpus processing
+(BASELINE.json north star; first-class alongside SURVEY §2).
+
+All operators take/return DataFrames and are pure column expressions
+(JVM-side) unless noted. Hash primitive is md5 — bit-identical across
+engines (the DuckDB oracle twins in plans/text.py use the same
+construction), uniformly distributed (no skewed shuffle keys).
+
+Scale design:
+- exact_duplicates: one shuffle on a 128-bit hash — no wide rows move,
+  only (hash, id).
+- minhash signatures: per-row transform, no shuffle.
+- LSH candidates: band explode (r rows per doc) + self-equi-join on
+  (band, hash) — linear in corpus + output size; never O(n²).
+- simhash: per-row 64-bit fingerprint; near-dup = equal fingerprint
+  buckets (or small Hamming radius via rotations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEEDS = tuple(f"s{i}" for i in range(8))
+
+
+def tokenize(text: Column, pattern: str = " ") -> Column:
+    """Whitespace tokenizer -> distinct token set (order-free)."""
+    return F.array_distinct(F.split(text, pattern))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: join each sliding n-token window back into a
+    string. Pure expressions: transform over index range + slice."""
+    toks = F.split(text, " ")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: groups with >1 copy, keeper = min id
+    (first-seen, reference A9 semantics)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias(f"keeper_{id_col}"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (the min-id row). Window-free: an
+    aggregate on the hash then a semi join keeps the shuffle narrow."""
+    keepers = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_element(tokens_col: Column, seed: str, prefix_len: int = 16) -> Column:
+    """One signature element: min over tokens of md5(seed||token) prefix.
+    (Approximates a random permutation; P[min equal] = Jaccard.)"""
+    return F.array_min(
+        F.transform(tokens_col, lambda x: F.substring(F.md5(F.concat(F.lit(seed), x)), 1, prefix_len))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) — one row per doc, no shuffle."""
+    grains = shingles(F.col(text_col), shingle_n) if shingle_n else tokenize(F.col(text_col))
+    d = df.select(F.col(id_col), grains.alias("tok"))
+    return d.select(
+        id_col, *[minhash_element(F.col("tok"), s).alias(f"mh_{i}") for i, s in enumerate(seeds)]
+    )
+
+
+def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
+    """Signature columns -> (id, band_idx, band_hash), r = k/bands rows per
+    doc. Band hash = md5 of the concatenated band slice."""
+    mh_cols = [c for c in sig.columns if c.startswith("mh_")]
+    rows_per_band = len(mh_cols) // bands
+    assert rows_per_band * bands == len(mh_cols), "bands must divide #hashes"
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(*mh_cols[b * rows_per_band : (b + 1) * rows_per_band])).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_hash")
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-equi-join on (band_idx, band_hash): docs sharing >=1 band.
+    Output: (doc_a, doc_b, n_bands). The join key is a uniform 128-bit
+    hash — no skew; AQE splits any hot bucket."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Full pipeline: signatures -> bands -> candidates -> exact-Jaccard
+    verification of candidates only (the candidate set is tiny relative to
+    n², so the verify join broadcasts the token sets of candidates)."""
+    sig = minhash_signatures(df, text_col, id_col, seeds, shingle_n)
+    cands = lsh_candidate_pairs(lsh_band_keys(sig, id_col, bands), id_col)
+    grains = shingles(F.col(text_col), shingle_n) if shingle_n else tokenize(F.col(text_col))
+    toks = df.select(F.col(id_col), grains.alias("tok"))
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("tok").alias("tok_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("tok").alias("tok_b"))
+    n_common = F.size(F.array_intersect("tok_a", "tok_b"))
+    jac = n_common.cast("double") / (F.size("tok_a") + F.size("tok_b") - n_common)
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "n_bands", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Per-token 64-bit hash (xxhash64, JVM built-in); fingerprint bit i is
+    the sign of Σ_tokens (±1 per token's bit i). Expressed as a transform
+    over bit positions — no UDF, no explode (the token array stays in-row).
+
+    Cross-engine note: xxhash64 is Spark-specific, so simhash queries are
+    rows-only in the oracle gate; the *property* (near-dup texts collide)
+    is unit-tested in tests/test_dedup.py."""
+    toks = F.array_distinct(F.split(text, " "))
+    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    # static unroll over bit positions (shift amounts must be literals);
+    # Spark splits the generated code into sub-methods automatically
+    fp = F.lit(0).cast("long")
+
+    def _voter(bit: int):
+        # closure factory: pyspark requires exactly-2-arg merge lambdas
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), _voter(i))
+        fp = fp.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Block-permuted simhash join: split the 64-bit fingerprint into
+    n_blocks 16-bit blocks; two fingerprints within Hamming distance
+    < n_blocks must share at least one exact block (pigeonhole) -> join on
+    (block_idx, block_value), verify Hamming on candidates. Linear, like
+    the MinHash LSH path."""
+    fp = simhash_fingerprints(df, text_col, id_col)
+    block_bits = SIMHASH_BITS // n_blocks
+    blocks = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("block_value"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_idx", "blk.block_value")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_value") == F.col("b.block_value"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

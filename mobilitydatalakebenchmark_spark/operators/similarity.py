@@ -1,0 +1,187 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers (BASELINE.json north star):
+- brute-force cosine top-k: the exactness baseline — one pass over the
+  corpus per probe batch, built-in expressions only;
+- LSH (random hyperplane) bucketed ANN: sign-bit bucket key -> candidates
+  share a bucket (optionally with multi-probe neighbor buckets) -> exact
+  re-rank of candidates. Turns O(n·q) into a bucketed equi-join.
+
+A numpy-backed mapInPandas variant of the scoring kernel is provided for
+throughput (Arrow-batched, ~10-50× the per-row expression path on wide
+vectors); semantics identical, used by bench.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast probes, one corpus pass, per-probe
+    window head. Output: (probe_id, vec_id, cos_sim, rk)."""
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            id_col,
+            cosine(F.col(probe_vec_col), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int, salt: str = "plane") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — no RNG state to
+    broadcast, reproducible across sessions/engines."""
+    planes = []
+    for k in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{salt}-{k}-{i}".encode()).hexdigest()
+            row.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2 - 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit k = sign(vec · plane_k)."""
+    bucket = F.lit(0)
+    for k, plane in enumerate(planes):
+        coeffs = F.array(*[F.lit(c) for c in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    k: int = 5,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """ANN: bucket corpus and probes with the same hyperplanes, equi-join on
+    the bucket, exact re-rank within candidates. ``multiprobe`` also probes
+    every 1-bit-flip neighbor bucket (n_planes+1 buckets per probe) — the
+    standard recall boost; candidates stay a tiny fraction of the corpus.
+    Recall is measured against brute force in tests."""
+    planes = hyperplanes(dim, n_planes)
+    c = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    p = probes.withColumn("bucket", lsh_bucket(F.col(probe_vec_col), planes))
+    if multiprobe:
+        p = p.select(
+            probe_id_col,
+            probe_vec_col,
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+                )
+            ).alias("bucket"),
+        )
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            id_col,
+            cosine(F.col(probe_vec_col), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def brute_force_topk_numpy(
+    corpus: DataFrame,
+    probes_pdf: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Throughput variant: per-partition numpy matmul against the (small,
+    broadcast) probe matrix via mapInPandas; per-partition top-k then a
+    global top-k. Same ordering semantics (cos desc, id asc).
+
+    probes_pdf: pandas DataFrame with columns [probe_id, probe_vec(list)].
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    probe_ids = probes_pdf["probe_id"].to_numpy()
+    probe_mat = np.vstack(probes_pdf["probe_vec"].to_numpy()).astype("float64")
+    probe_norms = np.linalg.norm(probe_mat, axis=1)
+    bc = spark.sparkContext.broadcast((probe_ids, probe_mat, probe_norms))
+
+    out_schema = f"probe_id long, {id_col} long, cos_sim double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_ids, p_mat, p_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ p_mat.T) / np.outer(norms, p_norms)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for j, pid in enumerate(p_ids):
+                col = sims[:, j]
+                mask = ids != pid
+                take = min(k, int(mask.sum()))
+                cand_idx = np.flatnonzero(mask)
+                # partial top-k per batch; exact global head done in Spark
+                order = cand_idx[np.lexsort((ids[cand_idx], -col[cand_idx]))][:take]
+                frames.append(
+                    pd.DataFrame(
+                        {"probe_id": pid, id_col: ids[order], "cos_sim": col[order]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -307,6 +307,101 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_langid",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['le','la','les','de','des','et','un','une','est','que'])) AS s_fr,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['der','die','das','und','ist','ein','eine','nicht','mit','zu'])) AS s_de,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['el','la','los','las','de','y','un','una','es','que'])) AS s_es,
+         len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+             ['de5','shi4','le5','zai4','you3','wo3','ta1','zhe4','bu4','ren2'])) AS s_zh
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+            WHEN s_zh >= greatest(s_en, s_fr, s_de, s_es) THEN 'zh'
+            WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+            WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+            WHEN s_en >= s_de THEN 'en'
+            ELSE 'de' END AS detected_lang
+FROM scored ORDER BY doc_id
+""",
+    doc="heuristic stopword/n-gram language ID (argmax over marker-word "
+    "hits; ties break to the alphabetically-last code on both engines)",
+    tags=("text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import detect_language
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", detect_language(F.col("text")).alias("detected_lang")
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+), sig AS (
+  SELECT doc_id,
+         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
+         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[2:])})) AS band_1
+  FROM toks
+), bands AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_hash FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, band_1 AS band_hash FROM sig
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(cast(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+             / (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))), 4)
+           AS jaccard
+FROM cands c JOIN toks ta ON ta.doc_id = c.doc_a JOIN toks tb ON tb.doc_id = c.doc_b
+WHERE cast(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+      / (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    doc="full MinHash-LSH near-dup pipeline: candidates from band join, "
+    "exact Jaccard verification of candidates only (never O(n²))",
+    tags=("text", "dedup", "minhash"),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_duplicates
+
+    d = t(spark, sf_dir, "documents")
+    out = minhash_near_duplicates(
+        d, seeds=tuple(_MINHASH_SEEDS), bands=2, min_jaccard=0.5
+    )
+    return out.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is Spark-specific; property unit-tested instead
+    doc="64-bit SimHash fingerprints + block-join near-dup candidates "
+    "(operators/dedup.py); rows-only gate by design",
+    tags=("text", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_fingerprints
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_fingerprints(d).orderBy("doc_id")
+
+
+@register(
     "text_quality_score",
     oracle="""
 SELECT doc_id,

@@ -146,35 +146,38 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("vector", "lsh"),
 )
 def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hyperplanes, lsh_bucket
+
     e = t(spark, sf_dir, "embeddings")
-    # Hyperplane h_k[i] = (md5-derived pseudo-random in [-1,1]); computed as
-    # a column expression from (k, i) so no driver-side RNG state is shipped.
-    dim = 64
-    n_planes = 8
-    import hashlib
-
-    def plane(k: int) -> list[float]:
-        vals = []
-        for i in range(dim):
-            h = hashlib.md5(f"plane-{k}-{i}".encode()).hexdigest()
-            vals.append(int(h[:8], 16) / float(0xFFFFFFFF) * 2 - 1)
-        return vals
-
-    bucket = F.lit(0)
-    for k in range(n_planes):
-        coeffs = F.array(*[F.lit(c) for c in plane(k)])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << k)).otherwise(F.lit(0))
-    out = e.select("vec_id", "label", bucket.alias("bucket"))
+    planes = hyperplanes(dim=64, n_planes=8)
+    out = e.select("vec_id", "label", lsh_bucket(F.col("embedding"), planes).alias("bucket"))
     return (
         out.groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
         .orderBy("bucket")
     )
+
+
+@register(
+    "knn_lsh_multiprobe",
+    oracle=None,  # approximate by construction; recall vs brute force is
+    # asserted in tests/test_data_pipeline_ops.py
+    doc="ANN top-5 via random-hyperplane LSH with 1-bit multi-probe "
+    "(operators/similarity.py) — the 100TB path: bucketed equi-join "
+    "instead of a full scan per probe",
+    tags=("vector", "knn", "lsh"),
+)
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = lsh_topk(e, probes, dim=64, n_planes=8, k=5)
+    return out.select(
+        "probe_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rk"
+    ).orderBy("probe_id", "rk")
 
 
 @register(

@@ -1,0 +1,98 @@
+"""Streaming ingest — the reference's polling/buffered writers, Spark-native.
+
+Reference semantics being reproduced:
+- S2 (``get_data.py:11-29``): one snapshot every 20 s appended to storage —
+  here a file-source stream over the snapshot directory (each new JSON file
+  is a micro-batch input; in production the same code runs on a Kafka or
+  rate source because everything downstream is a DataFrame transform).
+- W5 (``mobility_db_batch.py:67-73``): buffer N snapshots, flush per batch —
+  micro-batch boundaries ARE the buffer; ``foreachBatch`` gets the batch as
+  a DataFrame and appends through the same batch pipelines (exactly-once
+  per epoch on replayable sources + idempotent sinks).
+- W2 (``apache_parquet.py:27``): bucket-change state reset — implicit:
+  every batch writes through ``partitionBy(ts_bucket)``, so rows land in
+  their bucket regardless of batch alignment; no mutable accumulator state
+  exists to reset.
+
+Scale posture: checkpointed progress, per-batch append, partition columns
+carried through — the same topology runs against object storage with a
+thousand executors. Watermarked windowed aggregation is included as the
+late-data extension (absent from the reference, SURVEY §2.6 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.flat_store import explode_features
+from ..functions.codecs import ts_bucket
+from ..schemas import FEATURE_COLLECTION_SCHEMA, TS_BUCKET_COL
+
+
+def read_snapshot_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming S1: the snapshot directory as a file-source stream.
+    Schema is explicit (no inference pre-pass); the timestamp key comes
+    from the filename exactly as in the batch reader."""
+    return (
+        spark.readStream.schema(FEATURE_COLLECTION_SCHEMA)
+        .option("multiLine", "true")
+        .option("maxFilesPerTrigger", "64")
+        .json(path)
+        .withColumn(
+            "timestamp",
+            F.translate(
+                F.regexp_extract(F.input_file_name(), r"([^/]+)\.json$", 1), "_", ":"
+            ),
+        )
+        .select("timestamp", F.struct("type", "features").alias("data"))
+    )
+
+
+def stream_to_flat_store(
+    documents: DataFrame, table_path: str, checkpoint: str
+) -> StreamingQuery:
+    """W5: micro-batch append into the flat parquet store. Each epoch is the
+    reference's 'buffer flush' — explode+flatten+bucket, append."""
+
+    def flush(batch: DataFrame, epoch_id: int) -> None:
+        (
+            explode_features(batch)
+            .withColumn(TS_BUCKET_COL, ts_bucket(F.col("timestamp")))
+            .write.mode("append")
+            .partitionBy(TS_BUCKET_COL)
+            .parquet(table_path)
+        )
+
+    return (
+        documents.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_vehicle_counts(documents: DataFrame, slide: str | None = None) -> DataFrame:
+    """Watermarked tumbling/sliding window over the stream: vehicles per
+    lineId per 5-minute window, tolerating 1 minute of late data. (The
+    late-data extension beyond reference parity.)"""
+    flat = explode_features(documents).withColumn("ts", F.to_timestamp("timestamp"))
+    window = (
+        F.window("ts", "5 minutes", slide) if slide else F.window("ts", "5 minutes")
+    )
+    return (
+        flat.withWatermark("ts", "1 minute")
+        .groupBy(window.alias("win"), "lineId")
+        .agg(
+            F.approx_count_distinct("uuid").alias("n_vehicles"),
+            F.count("*").alias("n_observations"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "lineId",
+            "n_vehicles",
+            "n_observations",
+        )
+    )

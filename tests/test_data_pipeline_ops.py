@@ -1,0 +1,235 @@
+"""Unit tests for dedup / similarity / text / multimodal operators using
+planted ground truth (exact copies, near-copies, distinct docs)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _doc(rng, n=60):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(5)
+    docs = []
+    for i in range(40):
+        docs.append((i, _doc(rng)))
+    # planted exact duplicates: 100=copy of 0, 101=copy of 1
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1]))
+    # planted near-duplicate of doc 2: one word changed
+    toks = docs[2][1].split()
+    toks[5] = "omega"
+    docs.append((102, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.cache().count()
+    return df
+
+
+class TestExactDedup:
+    def test_duplicate_groups(self, corpus):
+        groups = dedup.exact_duplicates(corpus).collect()
+        keepers = {r.keeper_doc_id: r.n_copies for r in groups}
+        assert keepers == {0: 2, 1: 2}
+
+    def test_drop_keeps_first(self, corpus):
+        kept = dedup.drop_exact_duplicates(corpus)
+        ids = {r.doc_id for r in kept.select("doc_id").collect()}
+        assert 0 in ids and 100 not in ids
+        assert 1 in ids and 101 not in ids
+        assert 102 in ids  # near-dup is NOT exact -> kept
+        assert kept.count() == corpus.count() - 2
+
+
+class TestMinHashLSH:
+    def test_exact_copies_always_collide(self, corpus):
+        pairs = dedup.minhash_near_duplicates(corpus, min_jaccard=0.99).collect()
+        found = {(r.doc_a, r.doc_b) for r in pairs}
+        assert (0, 100) in found and (1, 101) in found
+
+    def test_near_dup_found_with_threshold(self, corpus):
+        pairs = dedup.minhash_near_duplicates(corpus, min_jaccard=0.5).collect()
+        by_pair = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+        assert (2, 102) in by_pair
+        assert by_pair[(2, 102)] >= 0.5
+
+    def test_jaccard_exact_on_candidates(self, corpus):
+        pairs = dedup.minhash_near_duplicates(corpus, min_jaccard=0.99)
+        for r in pairs.collect():
+            if r.doc_a in (0, 1):
+                assert r.jaccard == 1.0
+
+    def test_shingle_variant_runs(self, corpus):
+        out = dedup.minhash_near_duplicates(corpus, shingle_n=3, min_jaccard=0.9)
+        found = {(r.doc_a, r.doc_b) for r in out.collect()}
+        assert (0, 100) in found
+
+
+class TestSimHash:
+    def test_exact_copies_same_fingerprint(self, corpus):
+        fp = dedup.simhash_fingerprints(corpus)
+        vals = {r.doc_id: r.simhash for r in fp.collect()}
+        assert vals[0] == vals[100]
+        assert vals[1] == vals[101]
+
+    def test_near_dup_small_hamming(self, corpus):
+        # pigeonhole: hamming < n_blocks guarantees a shared block, so a
+        # radius-15 search needs 16 blocks (the production default pairs
+        # radius 3 with 4 blocks)
+        pairs = dedup.simhash_near_duplicates(corpus, max_hamming=15, n_blocks=16)
+        by_pair = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+        assert by_pair[(0, 100)] == 0
+        assert (2, 102) in by_pair  # one-word change stays within radius
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def _probes(self, emb):
+        return emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+
+    def test_brute_force_topk(self, emb):
+        out = similarity.brute_force_topk(emb, self._probes(emb), k=5).collect()
+        assert len(out) == 15
+        for r in out:
+            assert -1.0001 <= r.cos_sim <= 1.0001
+
+    def test_lsh_recall_vs_bruteforce(self, emb):
+        probes = self._probes(emb)
+        exact = similarity.brute_force_topk(emb, probes, k=5).collect()
+        approx = similarity.lsh_topk(emb, probes, dim=64, n_planes=4, k=5).collect()
+        exact_set = {(r.probe_id, r.vec_id) for r in exact}
+        approx_set = {(r.probe_id, r.vec_id) for r in approx}
+        # 4 planes -> 16 buckets over 500 vectors; the probe's own bucket
+        # must yield results and recall should be well above random
+        assert len(approx_set) > 0
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.2, f"suspiciously low LSH recall {recall}"
+
+    def test_numpy_variant_matches_expressions(self, emb):
+        probes = self._probes(emb)
+        exact = similarity.brute_force_topk(emb, probes, k=5)
+        fast = similarity.brute_force_topk_numpy(emb, probes.toPandas(), k=5)
+        e = {(r.probe_id, r.rk): (r.vec_id, round(r.cos_sim, 6)) for r in exact.collect()}
+        f = {(r.probe_id, r.rk): (r.vec_id, round(r.cos_sim, 6)) for r in fast.collect()}
+        assert e == f
+
+
+class TestTextAnalysis:
+    def test_quality_features(self, corpus):
+        out = text_analysis.quality_features(corpus)
+        row = out.filter(F.col("doc_id") == 0).collect()[0]
+        assert row.n_tokens == 60
+        assert 0 < row.lexical_diversity <= 1
+        assert row.quality > 0
+
+    def test_language_detection(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and it is warm"),
+                (2, "le chat est sur la table et il est content"),
+                (3, "der hund ist nicht mit der katze"),
+                (4, "el perro y el gato es una historia"),
+                (5, "zzz qqq xxx"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.lang
+            for r in df.select(
+                "doc_id", text_analysis.detect_language(F.col("text")).alias("lang")
+            ).collect()
+        }
+        assert out == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "und"}
+
+    def test_fingerprint_order_insensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a"), (3, "a b d")], "doc_id long, text string"
+        )
+        fps = {
+            r.doc_id: r.fp
+            for r in df.select(
+                "doc_id", text_analysis.fingerprint(F.col("text")).alias("fp")
+            ).collect()
+        }
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "one two three")], "doc_id long, text string")
+        r = df.select(
+            text_analysis.token_count(F.col("text")).alias("n"),
+            text_analysis.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        ).collect()[0]
+        assert r.n == 3
+        assert r.bpe >= 3
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        df = multimodal.synthesize_media(spark, n=48)
+        df.cache().count()
+        return df
+
+    def test_decode_features_shape(self, media):
+        out = multimodal.decode_features(media)
+        rows = out.collect()
+        assert len(rows) == 48
+        assert all(r.decode_ok for r in rows)
+        assert all(r.feat_dim == 16 for r in rows)
+
+    def test_decode_is_content_addressed(self, media):
+        out1 = multimodal.decode_features(media).orderBy("media_id").collect()
+        out2 = multimodal.decode_features(media).orderBy("media_id").collect()
+        assert [r.features for r in out1] == [r.features for r in out2]
+
+    def test_metadata_query_prunes_payload(self, media, tmp_path):
+        path = str(tmp_path / "media")
+        media.write.parquet(path)
+        spark = media.sparkSession
+        q = spark.read.parquet(path).filter(F.col("meta.width") > 600).select(
+            "media_id", "meta.width"
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in plan  # columnar projection skips the blob
+        assert q.count() > 0
+
+    def test_frame_sample_plan(self, media):
+        frames = multimodal.frame_sample_plan(media, every_n=10)
+        rows = frames.collect()
+        assert len(rows) > 0
+        assert all(r.frame_idx % 10 == 0 for r in rows)
+
+    def test_resize_spec_aspect(self, media):
+        out = multimodal.resize_spec(media, max_side=256).collect()
+        for r in out:
+            assert max(r.dst_w, r.dst_h) <= 256
+            # aspect preserved within rounding
+            assert abs(r.dst_w / r.dst_h - r.src_w / r.src_h) < 0.05
+
+    def test_stub_decoder_failure_path(self, spark, media):
+        def failing(payload, modality):
+            raise NotImplementedError("real codec not installed")
+
+        out = multimodal.decode_features(media, decoder=failing).collect()
+        assert all(not r.decode_ok for r in out)
+        assert all(r.feat_dim == 0 for r in out)
