@@ -154,11 +154,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash: k independent permutations approximated by md5(seed || token);
-# the per-doc signature element is the minimum hex digest. Band hash =
-# md5(concat of band's signature elements). Identical construction on both
-# engines — md5 is bit-stable everywhere.
+# MinHash over 3-token SHINGLES (not bare tokens): the synthetic corpus
+# shares a small vocabulary, so token-set Jaccard between unrelated docs is
+# ~0.5+ and token-level LSH degenerates to a near-quadratic candidate set
+# (measured: 62% of all pairs at sf0.1). Shingle sets are near-disjoint for
+# unrelated docs — the textbook shingle->minhash->band construction.
+# Signature element = min over shingles of md5(seed || shingle); band key =
+# md5(concat of band's elements). md5 is bit-stable across both engines.
 _MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+
+
+def _shingles3(text: Column) -> Column:
+    from ..operators.dedup import shingles
+
+    return shingles(text, 3)
 
 
 def _minhash_sig(tok: Column, seed: str) -> Column:
@@ -168,8 +177,13 @@ def _minhash_sig(tok: Column, seed: str) -> Column:
 @register(
     "dedup_minhash_signatures",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 1)),
+      i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM words
 )
 SELECT doc_id,
        {", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min') AS mh_{i}" for i, s in enumerate(_MINHASH_SEEDS))},
@@ -183,7 +197,7 @@ FROM toks ORDER BY doc_id
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
+        "doc_id", _shingles3(F.col("text")).alias("tok")
     )
     sigs = [_minhash_sig(F.col("tok"), s).alias(f"mh_{i}") for i, s in enumerate(_MINHASH_SEEDS)]
     d = d.select("doc_id", *sigs)
@@ -198,8 +212,13 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh_candidates",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 1)),
+      i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM words
 ), sig AS (
   SELECT doc_id,
          md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
@@ -222,7 +241,7 @@ ORDER BY doc_a, doc_b
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
+        "doc_id", _shingles3(F.col("text")).alias("tok")
     )
     # materialize each signature element once, then derive band keys from
     # the columns (chained selects -> Catalyst reuses the projections
@@ -348,8 +367,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_verified",
     oracle=f"""
-WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 1)),
+      i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM words
 ), sig AS (
   SELECT doc_id,
          md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
@@ -382,7 +406,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     out = minhash_near_duplicates(
-        d, seeds=tuple(_MINHASH_SEEDS), bands=2, min_jaccard=0.5
+        d, seeds=tuple(_MINHASH_SEEDS), bands=2, min_jaccard=0.5, shingle_n=3
     )
     return out.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 

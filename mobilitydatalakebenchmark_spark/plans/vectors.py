@@ -191,10 +191,10 @@ FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND b.vec_id > a.vec_id
 WHERE list_dot_product(a.embedding, b.embedding)
       / (sqrt(list_dot_product(a.embedding, a.embedding))
-         * sqrt(list_dot_product(b.embedding, b.embedding))) > 0.9
+         * sqrt(list_dot_product(b.embedding, b.embedding))) > 0.3
 ORDER BY vec_a, vec_b
 """,
-    doc="embedding-cosine near-duplicate pairs, blocked by label (the "
+    doc="embedding-cosine high-similarity pairs (threshold 0.3 — the synthetic vectors' max within-label cosine is ~0.5), blocked by label (the "
     "blocking key stands in for the LSH bucket at oracle scale)",
     tags=("vector", "dedup"),
 )
@@ -216,7 +216,7 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("b.vec_id") > F.col("a.vec_id")),
         )
         .withColumn("cos_raw", sim)
-        .filter(F.col("cos_raw") > 0.9)
+        .filter(F.col("cos_raw") > 0.3)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
