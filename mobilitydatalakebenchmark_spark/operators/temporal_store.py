@@ -135,6 +135,11 @@ class TemporalStore:
         merged.write.mode("overwrite").parquet(self.path)
         merged.unpersist()
 
+    def total_size(self) -> int:
+        from ..sources.size import dir_size
+
+        return dir_size(self.path)
+
     def get_document(self, spark: SparkSession, timestamp: str) -> DataFrame:
         """Reconstruct the snapshot at an instant: timerange prune ->
         containment filter -> per-measure as-of extraction -> re-nest."""

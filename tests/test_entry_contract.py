@@ -1,0 +1,49 @@
+"""Driver-contract regression guard: entry/queries/oracle_sql shapes."""
+
+from __future__ import annotations
+
+import importlib.util
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_queries_and_oracles_consistent(spark):
+    mod = _load_entry()
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert len(qs) >= 50
+    # every oracle key must have a query; every query either has an oracle
+    # or is a declared approximation (rows-only)
+    assert set(osql) <= set(qs)
+    rows_only = set(qs) - set(osql)
+    assert rows_only <= {
+        "approx_distinct_users",
+        "vec_lsh_buckets",
+        "knn_lsh_multiprobe",
+        "dedup_simhash",
+    }
+    for name, sql in osql.items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_all_queries_plan_without_execution(spark):
+    """Every registered query must at least resolve its plan (catches
+    schema drift / bad column refs without paying full execution)."""
+    mod = _load_entry()
+    for name, fn in mod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        _ = df.schema  # forces analysis
