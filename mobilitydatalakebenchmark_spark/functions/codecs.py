@@ -9,6 +9,8 @@ arithmetic, which Spark evaluates JVM-side.
 
 from __future__ import annotations
 
+import pandas as pd  # module-global: pandas_udf resolves stringized hints here
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -77,15 +79,15 @@ def _unscale_coord(n: Column, offset: int = 200) -> Column:
     return n.cast("double") / F.lit(float(_PAIR_SCALE)) - F.lit(float(offset))
 
 
-def cantor_pair(x: Column, y: Column) -> Column:
+def cantor_pair(x: Column, y: Column, offset: int = 200) -> Column:
     """Cantor pairing of scaled coords: (a+b)(a+b+1)/2 + b, Decimal(38,0).
 
     The halving happens on the even factor BEFORE the multiply: Spark's
     decimal division forces scale >= 6, and a scale-6 Decimal(38) tops out
     at 1e32 — s*(s+1) ~ 1.7e37 would overflow. (s/2)*(s+1) keeps every
     intermediate within Decimal(38,0)."""
-    a = _scale_coord(x)
-    b = _scale_coord(y)
+    a = _scale_coord(x, offset)
+    b = _scale_coord(y, offset)
     s = (a + b).cast(_DEC)
     s1 = (s + F.lit(1).cast(_DEC)).cast(_DEC)
     half_product = (
@@ -94,36 +96,91 @@ def cantor_pair(x: Column, y: Column) -> Column:
     return half_product + b
 
 
-def elegant_pair(x: Column, y: Column) -> Column:
-    """Szudzik 'elegant' pairing: if a >= b then a² + a + b else a + b²."""
-    a = _scale_coord(x)
-    b = _scale_coord(y)
+def elegant_pair(x: Column, y: Column, offset: int = 200) -> Column:
+    """Szudzik 'elegant' pairing: if a >= b then a² + a + b else a + b².
+
+    offset shifts coords non-negative; 200 covers any lon/lat. The
+    reference's domain (positive Brussels coords, cantor.py:13-15) uses
+    offset=0, which also keeps z within the 15-byte packing (P13)."""
+    a = _scale_coord(x, offset)
+    b = _scale_coord(y, offset)
     return F.when(a >= b, (a * a + a + b).cast(_DEC)).otherwise((a + b * b).cast(_DEC))
 
 
-def elegant_unpair(z: Column) -> tuple[Column, Column]:
+def elegant_unpair(z: Column, offset: int = 200) -> tuple[Column, Column]:
     """Inverse of elegant_pair -> (lon, lat) doubles.
 
     The reference inverts with float ``math.sqrt`` which loses precision at
-    1e33 (SURVEY §7 'what's hard'); Decimal has no sqrt in Spark, so we take
-    the float sqrt as a *seed* and correct it with ±1 integer adjustment —
-    exact for our magnitudes.
+    these magnitudes (SURVEY §7 'what's hard'): for z ~ 1e37 the double
+    sqrt's ~1-ulp relative error is an absolute error of several hundred.
+    Spark's Decimal has no sqrt, so: float seed -> one Newton step in
+    Decimal(38) arithmetic (error -> ~0) -> exact ±2 floor adjustment.
+    Domain: scaled inputs must be positive (any lon/lat qualifies).
     """
     zf = z.cast("double")
     seed = F.floor(F.sqrt(zf)).cast(_DEC)
-    # correct the float sqrt: largest s with s*s <= z
-    s1 = seed + F.lit(1).cast(_DEC)
-    s_1 = seed - F.lit(1).cast(_DEC)
+    seed = F.when(seed < 1, F.lit(1).cast(_DEC)).otherwise(seed)
+    # Newton: s' = (seed + z/seed) / 2 — decimal division carries scale 6,
+    # values ~1e18 stay far inside Decimal(38,6); casts round, the
+    # adjustment below restores exact floor semantics.
+    newton = (
+        ((seed + (z / seed).cast(_DEC)) / F.lit(2).cast(_DEC)).cast(_DEC)
+    )
+    cands = [newton + F.lit(d).cast(_DEC) for d in (2, 1, 0, -1)]
     s = (
-        F.when(s1 * s1 <= z, s1)
-        .when(seed * seed <= z, seed)
-        .otherwise(s_1)
+        F.when(cands[0] * cands[0] <= z, cands[0])
+        .when(cands[1] * cands[1] <= z, cands[1])
+        .when(cands[2] * cands[2] <= z, cands[2])
+        .when(cands[3] * cands[3] <= z, cands[3])
+        .otherwise((newton - F.lit(2).cast(_DEC)).cast(_DEC))
         .cast(_DEC)
     )
     diff = (z - s * s).cast(_DEC)
     a = F.when(diff < s, diff).otherwise(s)
     b = F.when(diff < s, s).otherwise((diff - s).cast(_DEC))
-    return _unscale_coord(a), _unscale_coord(b)
+    return _unscale_coord(a, offset), _unscale_coord(b, offset)
+
+
+# -- P13: little-endian fixed-width byte packing of the paired integer
+#    (apache_parquet_cantor.py:86-89 packs into pyarrow.binary(15)).
+#    Byte packing of >64-bit ints has no Column expression; this is the one
+#    sanctioned Pandas-UDF (Arrow-vectorized) codec in the library.
+
+PACK_BYTES = 15
+
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _pack_udfs():
+    # created lazily: pandas_udf registration needs an active SparkSession
+    if "pack" not in _UDF_CACHE:
+
+        def pack_fn(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None if v is None else int(v).to_bytes(PACK_BYTES, "little")
+            )
+
+        def unpack_fn(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None if v is None else str(int.from_bytes(bytes(v), "little"))
+            )
+
+        _UDF_CACHE["pack"] = F.pandas_udf(pack_fn, "binary")
+        _UDF_CACHE["unpack"] = F.pandas_udf(unpack_fn, "string")
+    return _UDF_CACHE["pack"], _UDF_CACHE["unpack"]
+
+
+def pack_le_bytes(col: Column) -> Column:
+    """Decimal(38,0) column -> 15-byte little-endian binary."""
+    pack, _ = _pack_udfs()
+    return pack(col)
+
+
+def unpack_le_bytes(col: Column) -> Column:
+    """15-byte little-endian binary -> Decimal(38,0)."""
+    _, unpack = _pack_udfs()
+    return unpack(col).cast(_DEC)
 
 
 # -- P14: md5 hash-consing key (postgresql_velocity.py:64-67)
