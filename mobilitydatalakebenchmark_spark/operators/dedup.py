@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_SEEDS = tuple(f"s{i}" for i in range(8))
+DEFAULT_N_HASHES = 8
+_SLICES_PER_MD5 = 4  # a 32-hex md5 yields four independent 8-hex hashes
 
 
 def tokenize(text: Column, pattern: str = " ") -> Column:
@@ -75,26 +76,51 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 # ---------------------------------------------------------------------------
 
 
-def minhash_element(tokens_col: Column, seed: str, prefix_len: int = 16) -> Column:
-    """One signature element: min over tokens of md5(seed||token) prefix.
-    (Approximates a random permutation; P[min equal] = Jaccard.)"""
-    return F.array_min(
-        F.transform(tokens_col, lambda x: F.substring(F.md5(F.concat(F.lit(seed), x)), 1, prefix_len))
-    )
+def _grain_hasher(group: int):
+    """Closure factory (pyspark requires exact-arity lambdas): md5 over the
+    grain salted with the hash group."""
+    return lambda x: F.md5(F.concat(F.lit(f"g{group}"), x))
+
+
+def _slicer(offset: int):
+    return lambda h: F.substring(h, offset, 8)
 
 
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    n_hashes: int = DEFAULT_N_HASHES,
     shingle_n: int | None = None,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) — one row per doc, no shuffle."""
+    """(id, mh_0..mh_{k-1}) — one row per doc, no shuffle.
+
+    Hash budget: ONE md5 per grain per group of 4 signature elements — the
+    32-hex digest is sliced into four independent 8-hex hashes (standard
+    multi-hash-from-one-digest construction), so 8 signature elements cost
+    2 md5 passes, not 8. Each element = min over grains of its slice
+    (P[min equal] = Jaccard)."""
     grains = shingles(F.col(text_col), shingle_n) if shingle_n else tokenize(F.col(text_col))
     d = df.select(F.col(id_col), grains.alias("tok"))
+    n_groups = (n_hashes + _SLICES_PER_MD5 - 1) // _SLICES_PER_MD5
+    # materialize each md5 pass once as an array column, then slice
+    d = d.select(
+        id_col,
+        *[
+            F.transform("tok", _grain_hasher(g)).alias(f"_h{g}")
+            for g in range(n_groups)
+        ],
+    )
     return d.select(
-        id_col, *[minhash_element(F.col("tok"), s).alias(f"mh_{i}") for i, s in enumerate(seeds)]
+        id_col,
+        *[
+            F.array_min(
+                F.transform(
+                    f"_h{k // _SLICES_PER_MD5}", _slicer(1 + 8 * (k % _SLICES_PER_MD5))
+                )
+            ).alias(f"mh_{k}")
+            for k in range(n_hashes)
+        ],
     )
 
 
@@ -142,7 +168,7 @@ def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    seeds: tuple[str, ...] = DEFAULT_SEEDS,
+    n_hashes: int = DEFAULT_N_HASHES,
     bands: int = 4,
     min_jaccard: float = 0.5,
     shingle_n: int | None = None,
@@ -150,7 +176,7 @@ def minhash_near_duplicates(
     """Full pipeline: signatures -> bands -> candidates -> exact-Jaccard
     verification of candidates only (the candidate set is tiny relative to
     n², so the verify join broadcasts the token sets of candidates)."""
-    sig = minhash_signatures(df, text_col, id_col, seeds, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(lsh_band_keys(sig, id_col, bands), id_col)
     grains = shingles(F.col(text_col), shingle_n) if shingle_n else tokenize(F.col(text_col))
     toks = df.select(F.col(id_col), grains.alias("tok"))

@@ -134,6 +134,49 @@ def lsh_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def cosine_pairs_numpy(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All within-block pairs with cosine > threshold, scored by a blocked
+    numpy matmul per group (applyInPandas). Identical semantics to the
+    expression path (float64 math; ~1e-13 divergence is far below the
+    4-decimal rounding the gate compares at), ~10x the throughput on wide
+    vectors. Blocks must fit in executor memory — at 100 TB the block key
+    is the LSH bucket, which bounds group size by construction."""
+    import numpy as np
+
+    out_schema = f"vec_a long, vec_b long, cos_sim double"
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        pdf = pdf.sort_values(id_col)
+        mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(n, k=1)
+        mask = sims[iu, ju] > threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[mask]],
+                "vec_b": ids[ju[mask]],
+                "cos_sim": sims[iu[mask], ju[mask]],
+            }
+        )
+
+    return (
+        df.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(score, out_schema)
+    )
+
+
 def brute_force_topk_numpy(
     corpus: DataFrame,
     probes_pdf: pd.DataFrame,

@@ -159,9 +159,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~0.5+ and token-level LSH degenerates to a near-quadratic candidate set
 # (measured: 62% of all pairs at sf0.1). Shingle sets are near-disjoint for
 # unrelated docs — the textbook shingle->minhash->band construction.
-# Signature element = min over shingles of md5(seed || shingle); band key =
-# md5(concat of band's elements). md5 is bit-stable across both engines.
-_MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+#
+# Hash budget: ONE md5 per shingle; the 32-hex digest is sliced into four
+# independent 8-hex hashes (operators/dedup.minhash_signatures). Band key =
+# md5(concat of the band's two elements). md5 is bit-stable across engines.
+
+# shared oracle prefix: shingles -> per-shingle md5 -> sliced signature -> bands
+_MINHASH_SQL_PREFIX = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 1)),
+      i -> array_to_string(w[i:i+2], ' '))) AS tok
+  FROM words
+), hashed AS (
+  SELECT doc_id, tok, list_transform(tok, x -> md5('g0' || x)) AS hs FROM toks
+), sig AS (
+  SELECT doc_id, tok,
+         list_aggregate(list_transform(hs, h -> substr(h, 1, 8)), 'min')  AS mh_0,
+         list_aggregate(list_transform(hs, h -> substr(h, 9, 8)), 'min')  AS mh_1,
+         list_aggregate(list_transform(hs, h -> substr(h, 17, 8)), 'min') AS mh_2,
+         list_aggregate(list_transform(hs, h -> substr(h, 25, 8)), 'min') AS mh_3
+  FROM hashed
+), banded AS (
+  SELECT doc_id, tok, mh_0, mh_1, mh_2, mh_3,
+         md5(concat(mh_0, mh_1)) AS band_0,
+         md5(concat(mh_2, mh_3)) AS band_1
+  FROM sig
+)
+"""
 
 
 def _shingles3(text: Column) -> Column:
@@ -170,40 +197,31 @@ def _shingles3(text: Column) -> Column:
     return shingles(text, 3)
 
 
-def _minhash_sig(tok: Column, seed: str) -> Column:
-    return F.array_min(F.transform(tok, lambda x: F.substring(F.md5(F.concat(F.lit(seed), x)), 1, 16)))
+def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the `banded` CTE, via the operator library."""
+    from ..operators.dedup import lsh_band_keys, minhash_signatures
+
+    d = t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, n_hashes=4, shingle_n=3)
+    return sig, lsh_band_keys(sig, bands=2)
 
 
 @register(
     "dedup_minhash_signatures",
-    oracle=f"""
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), toks AS (
-  SELECT doc_id, list_distinct(list_transform(
-      generate_series(1, greatest(len(w) - 2, 1)),
-      i -> array_to_string(w[i:i+2], ' '))) AS tok
-  FROM words
-)
-SELECT doc_id,
-       {", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min') AS mh_{i}" for i, s in enumerate(_MINHASH_SEEDS))},
-       md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
-       md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[2:])})) AS band_1
-FROM toks ORDER BY doc_id
-""",
-    doc="MinHash signature (4 hashes) + 2 LSH band keys per document "
+    oracle=_MINHASH_SQL_PREFIX
+    + "SELECT doc_id, mh_0, mh_1, mh_2, mh_3, band_0, band_1 FROM banded ORDER BY doc_id",
+    doc="MinHash signature (4 sliced hashes) + 2 LSH band keys per document "
     "(shingle->minhash->band; bucket-join finds candidates at any scale)",
     tags=("text", "dedup", "minhash"),
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", _shingles3(F.col("text")).alias("tok")
-    )
-    sigs = [_minhash_sig(F.col("tok"), s).alias(f"mh_{i}") for i, s in enumerate(_MINHASH_SEEDS)]
-    d = d.select("doc_id", *sigs)
-    return d.select(
+    sig, _ = _doc_signatures(spark, sf_dir)
+    return sig.select(
         "doc_id",
-        *[F.col(f"mh_{i}") for i in range(len(_MINHASH_SEEDS))],
+        "mh_0",
+        "mh_1",
+        "mh_2",
+        "mh_3",
         F.md5(F.concat("mh_0", "mh_1")).alias("band_0"),
         F.md5(F.concat("mh_2", "mh_3")).alias("band_1"),
     ).orderBy("doc_id")
@@ -211,23 +229,11 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh_candidates",
-    oracle=f"""
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), toks AS (
-  SELECT doc_id, list_distinct(list_transform(
-      generate_series(1, greatest(len(w) - 2, 1)),
-      i -> array_to_string(w[i:i+2], ' '))) AS tok
-  FROM words
-), sig AS (
-  SELECT doc_id,
-         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
-         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[2:])})) AS band_1
-  FROM toks
-), bands AS (
-  SELECT doc_id, 0 AS band_idx, band_0 AS band_hash FROM sig
+    oracle=_MINHASH_SQL_PREFIX
+    + """, bands AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_hash FROM banded
   UNION ALL
-  SELECT doc_id, 1 AS band_idx, band_1 AS band_hash FROM sig
+  SELECT doc_id, 1 AS band_idx, band_1 AS band_hash FROM banded
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
 FROM bands a JOIN bands b
@@ -240,45 +246,45 @@ ORDER BY doc_a, doc_b
     tags=("text", "dedup", "minhash"),
 )
 def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", _shingles3(F.col("text")).alias("tok")
+    from ..operators.dedup import lsh_candidate_pairs
+
+    _, bands = _doc_signatures(spark, sf_dir)
+    return lsh_candidate_pairs(bands).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=_MINHASH_SQL_PREFIX
+    + """, bands AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_hash FROM banded
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, band_1 AS band_hash FROM banded
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(cast(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+             / (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))), 4)
+           AS jaccard
+FROM cands c JOIN toks ta ON ta.doc_id = c.doc_a JOIN toks tb ON tb.doc_id = c.doc_b
+WHERE cast(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+      / (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    doc="full MinHash-LSH near-dup pipeline: candidates from band join, "
+    "exact Jaccard verification of candidates only (never O(n²))",
+    tags=("text", "dedup", "minhash"),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_near_duplicates
+
+    d = t(spark, sf_dir, "documents")
+    out = minhash_near_duplicates(
+        d, n_hashes=4, bands=2, min_jaccard=0.5, shingle_n=3
     )
-    # materialize each signature element once, then derive band keys from
-    # the columns (chained selects -> Catalyst reuses the projections
-    # instead of recomputing 4 md5 passes per band)
-    sig = d.select(
-        "doc_id",
-        *[
-            _minhash_sig(F.col("tok"), s).alias(f"mh_{i}")
-            for i, s in enumerate(_MINHASH_SEEDS)
-        ],
-    ).select(
-        "doc_id",
-        F.md5(F.concat("mh_0", "mh_1")).alias("band_0"),
-        F.md5(F.concat("mh_2", "mh_3")).alias("band_1"),
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band_idx"), F.col("band_0").alias("band_hash")),
-                F.struct(F.lit(1).alias("band_idx"), F.col("band_1").alias("band_hash")),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_idx", "b.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_bands"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return out.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
 
 @register(
@@ -362,53 +368,6 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", detect_language(F.col("text")).alias("detected_lang")
     ).orderBy("doc_id")
-
-
-@register(
-    "dedup_minhash_verified",
-    oracle=f"""
-WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), toks AS (
-  SELECT doc_id, list_distinct(list_transform(
-      generate_series(1, greatest(len(w) - 2, 1)),
-      i -> array_to_string(w[i:i+2], ' '))) AS tok
-  FROM words
-), sig AS (
-  SELECT doc_id,
-         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[:2])})) AS band_0,
-         md5(concat({", ".join(f"list_aggregate(list_transform(tok, x -> substr(md5('{s}' || x), 1, 16)), 'min')" for s in _MINHASH_SEEDS[2:])})) AS band_1
-  FROM toks
-), bands AS (
-  SELECT doc_id, 0 AS band_idx, band_0 AS band_hash FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band_idx, band_1 AS band_hash FROM sig
-), cands AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)
-SELECT c.doc_a, c.doc_b,
-       round(cast(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
-             / (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))), 4)
-           AS jaccard
-FROM cands c JOIN toks ta ON ta.doc_id = c.doc_a JOIN toks tb ON tb.doc_id = c.doc_b
-WHERE cast(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
-      / (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) >= 0.5
-ORDER BY doc_a, doc_b
-""",
-    doc="full MinHash-LSH near-dup pipeline: candidates from band join, "
-    "exact Jaccard verification of candidates only (never O(n²))",
-    tags=("text", "dedup", "minhash"),
-)
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_near_duplicates
-
-    d = t(spark, sf_dir, "documents")
-    out = minhash_near_duplicates(
-        d, seeds=tuple(_MINHASH_SEEDS), bands=2, min_jaccard=0.5, shingle_n=3
-    )
-    return out.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
 
 @register(

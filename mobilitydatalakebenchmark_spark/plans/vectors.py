@@ -180,6 +180,38 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rk")
 
 
+_NEARDUP_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND b.vec_id > a.vec_id
+WHERE list_dot_product(a.embedding, b.embedding)
+      / (sqrt(list_dot_product(a.embedding, a.embedding))
+         * sqrt(list_dot_product(b.embedding, b.embedding))) > 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "vec_neardup_pairs_numpy",
+    oracle=_NEARDUP_ORACLE,
+    doc="same semantics as vec_neardup_pairs through the blocked-numpy "
+    "applyInPandas kernel (operators/similarity.py) — the Arrow-vectorized "
+    "scale path, oracle-checked against the identical SQL",
+    tags=("vector", "dedup", "kernel"),
+)
+def vec_neardup_pairs_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_pairs_numpy
+
+    e = t(spark, sf_dir, "embeddings")
+    out = cosine_pairs_numpy(e, block_col="label", threshold=0.3)
+    return out.select(
+        "vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim")
+    ).orderBy("vec_a", "vec_b")
+
+
 @register(
     "vec_neardup_pairs",
     oracle="""

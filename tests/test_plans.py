@@ -71,7 +71,8 @@ def test_gate_queries_stay_jvm_side(spark, registry):
         df = q.spark(spark, SF)
         plan = explain.physical_plan(df)
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
-        assert "MapInPandas" not in plan, f"{name} unexpectedly uses pandas"
+        if "kernel" not in q.tags:  # declared Arrow-batched kernels excepted
+            assert "InPandas" not in plan, f"{name} unexpectedly uses pandas"
 
 
 def test_codegen_covers_flagship(spark, registry):
