@@ -132,6 +132,70 @@ def w3_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_purchases_clicks",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_event,
+       round(c.value, 2) AS last_click_value
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.user_id, purchase_event
+""",
+    doc="as-of JOIN: every purchase gets the latest prior click value per "
+    "user (operators/asof.py union strategy — one shuffle, no per-row "
+    "probing; DuckDB's native ASOF JOIN is the oracle)",
+    tags=("join", "time", "asof"),
+)
+def asof_join_purchases_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("purchase_event"),
+        F.round("asof_click_value", 2).alias("last_click_value"),
+    ).orderBy("user_id", "purchase_event")
+
+
+@register(
+    "range_join_value_tiers",
+    oracle="""
+SELECT t.tier, count(*) AS n, round(sum(e.value), 2) AS total
+FROM events e
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
+     t(tier, lo, hi)
+  ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier ORDER BY t.tier
+""",
+    doc="range join: fact value into [lo,hi) interval dims "
+    "(operators/asof.range_join; broadcast path here, bucketized "
+    "equi-join path for big-big covered in tests)",
+    tags=("join", "range"),
+)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join
+
+    ev = t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        range_join(ev, tiers, "value")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("tier")
+    )
+
+
+@register(
     "w5_sessionize",
     oracle="""
 WITH g AS (
