@@ -134,6 +134,124 @@ def lsh_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, "pd.DataFrame"]:
+    """IVF index: deterministic seed centroids (md5-ordered sample) refined
+    by `lloyd_iters` k-means steps, then every vector assigned to its
+    nearest centroid. Returns (corpus + `centroid_id`, centroid table).
+
+    Scale: centroids are tiny (k x dim, broadcast); assignment is one
+    mapInPandas pass (numpy argmax over the centroid matrix); each Lloyd
+    step is one groupBy(centroid_id).avg — a bounded-width shuffle."""
+    import hashlib
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    # deterministic pseudo-random seed sample: order by md5(id)
+    seeds_pdf = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .toPandas()
+    )
+    centroids = np.vstack(seeds_pdf[vec_col].to_numpy()).astype("float64")
+
+    def assign_df(cents: "np.ndarray") -> DataFrame:
+        bc = spark.sparkContext.broadcast(cents)
+        schema = f"{id_col} long, centroid_id int"
+
+        def kernel(batches):
+            c = bc.value
+            c_norm = np.linalg.norm(c, axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                sims = (mat @ c.T) / (
+                    np.outer(np.linalg.norm(mat, axis=1), c_norm) + 1e-12
+                )
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "centroid_id": sims.argmax(axis=1).astype("int32")}
+                )
+
+        return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+    for _ in range(lloyd_iters):
+        assigned = assign_df(centroids)
+        means = (
+            corpus.join(assigned, id_col)
+            .groupBy("centroid_id")
+            .agg(
+                F.array(
+                    *[
+                        F.avg(F.col(vec_col).getItem(i))
+                        for i in range(centroids.shape[1])
+                    ]
+                ).alias("mean_vec")
+            )
+            .toPandas()
+        )
+        for _, row in means.iterrows():
+            centroids[int(row["centroid_id"])] = np.array(row["mean_vec"])
+
+    assigned = assign_df(centroids)
+    cent_pdf = pd.DataFrame(
+        {"centroid_id": range(len(centroids)), "centroid_vec": list(map(list, centroids))}
+    )
+    return corpus.join(assigned, id_col), cent_pdf
+
+
+def ivf_topk(
+    indexed_corpus: DataFrame,
+    centroids_pdf: "pd.DataFrame",
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """ANN over an IVF index: each probe scans only its `nprobe` nearest
+    inverted lists (equi-join on centroid_id), exact cosine re-rank inside.
+    Recall grows with nprobe; nprobe == n_centroids degrades gracefully to
+    brute force."""
+    import numpy as np
+
+    cents = np.vstack(centroids_pdf["centroid_vec"].to_numpy()).astype("float64")
+    c_norm = np.linalg.norm(cents, axis=1)
+    probes_pdf = probes.toPandas()
+    rows = []
+    for _, row in probes_pdf.iterrows():
+        v = np.asarray(row[probe_vec_col], dtype="float64")
+        sims = (cents @ v) / (c_norm * np.linalg.norm(v) + 1e-12)
+        vec = [float(x) for x in row[probe_vec_col]]  # numpy f32 -> python
+        for cid in np.argsort(-sims)[:nprobe]:
+            rows.append((int(row[probe_id_col]), vec, int(cid)))
+    spark = indexed_corpus.sparkSession
+    probe_lists = spark.createDataFrame(
+        rows, f"{probe_id_col} long, {probe_vec_col} array<float>, centroid_id int"
+    )
+    scored = (
+        indexed_corpus.join(F.broadcast(probe_lists), "centroid_id")
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            id_col,
+            cosine(F.col(probe_vec_col), F.col(vec_col)).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def cosine_pairs_numpy(
     df: DataFrame,
     block_col: str = "label",

@@ -195,6 +195,28 @@ ORDER BY vec_a, vec_b
 
 
 @register(
+    "knn_ivf",
+    oracle=None,  # approximate by construction; exactness at nprobe=k is
+    # asserted in tests (test_ivf_full_probe_equals_bruteforce)
+    doc="ANN top-5 via an IVF index (deterministic seeds + 1 Lloyd step, "
+    "nprobe=4 of 8 inverted lists) — operators/similarity.ivf_index/ivf_topk",
+    tags=("vector", "knn", "ivf", "kernel"),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_index, ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    indexed, cents = ivf_index(e, n_centroids=8, lloyd_iters=1)
+    out = ivf_topk(indexed, cents, probes, k=5, nprobe=4)
+    return out.select(
+        "probe_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rk"
+    ).orderBy("probe_id", "rk")
+
+
+@register(
     "vec_neardup_pairs_numpy",
     oracle=_NEARDUP_ORACLE,
     doc="same semantics as vec_neardup_pairs through the blocked-numpy "

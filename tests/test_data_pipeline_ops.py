@@ -124,6 +124,26 @@ class TestSimilarity:
         recall = len(exact_set & approx_set) / len(exact_set)
         assert recall >= 0.2, f"suspiciously low LSH recall {recall}"
 
+    def test_ivf_recall_vs_bruteforce(self, emb):
+        probes = self._probes(emb)
+        exact = similarity.brute_force_topk(emb, probes, k=5).collect()
+        indexed, cents = similarity.ivf_index(emb, n_centroids=8, lloyd_iters=1)
+        approx = similarity.ivf_topk(indexed, cents, probes, k=5, nprobe=3).collect()
+        exact_set = {(r.probe_id, r.vec_id) for r in exact}
+        approx_set = {(r.probe_id, r.vec_id) for r in approx}
+        assert len(approx) == 15  # k results per probe
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+    def test_ivf_full_probe_equals_bruteforce(self, emb):
+        probes = self._probes(emb)
+        exact = similarity.brute_force_topk(emb, probes, k=5).collect()
+        indexed, cents = similarity.ivf_index(emb, n_centroids=4, lloyd_iters=0)
+        full = similarity.ivf_topk(indexed, cents, probes, k=5, nprobe=4).collect()
+        assert {(r.probe_id, r.rk, r.vec_id) for r in exact} == {
+            (r.probe_id, r.rk, r.vec_id) for r in full
+        }
+
     def test_numpy_variant_matches_expressions(self, emb):
         probes = self._probes(emb)
         exact = similarity.brute_force_topk(emb, probes, k=5)

@@ -35,6 +35,7 @@ def test_queries_and_oracles_consistent(spark):
         "vec_lsh_buckets",
         "knn_lsh_multiprobe",
         "dedup_simhash",
+        "knn_ivf",
     }
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
