@@ -31,14 +31,16 @@ from ..functions.codecs import ts_bucket
 from ..schemas import FEATURE_COLLECTION_SCHEMA, TS_BUCKET_COL
 
 
-def read_snapshot_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_snapshot_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 64
+) -> DataFrame:
     """Streaming S1: the snapshot directory as a file-source stream.
     Schema is explicit (no inference pre-pass); the timestamp key comes
     from the filename exactly as in the batch reader."""
     return (
         spark.readStream.schema(FEATURE_COLLECTION_SCHEMA)
         .option("multiLine", "true")
-        .option("maxFilesPerTrigger", "64")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .json(path)
         .withColumn(
             "timestamp",

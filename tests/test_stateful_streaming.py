@@ -1,0 +1,72 @@
+"""applyInPandasWithState first-seen dedup: exactly one emission per
+vehicle across micro-batches, matching the batch window-rank answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.sources.geojson import write_snapshot_dir
+from mobilitydatalakebenchmark_spark.streaming.ingest import read_snapshot_stream
+from mobilitydatalakebenchmark_spark.streaming.stateful import streaming_first_seen
+
+
+def test_streaming_first_seen_matches_batch(spark, tmp_path, snapshots, documents_df):
+    data_dir = str(tmp_path / "data")
+    write_snapshot_dir(snapshots, data_dir)
+    stream = read_snapshot_stream(spark, data_dir)
+    out = streaming_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.uuid: r.first_timestamp
+        for r in spark.sql("SELECT * FROM first_seen").collect()
+    }
+
+    # batch oracle: window-rank first occurrence (A9)
+    from pyspark.sql import Window
+
+    from mobilitydatalakebenchmark_spark.operators.flat_store import explode_features
+
+    flat = explode_features(documents_df)
+    w = Window.partitionBy("uuid").orderBy("timestamp")
+    want = {
+        r.uuid: r.timestamp
+        for r in flat.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert len(got) == len(want)
+    # one emission per uuid, at the earliest timestamp, modulo micro-batch
+    # boundaries: maxFilesPerTrigger=64 > 48 snapshots -> single batch, so
+    # the timestamps must match exactly
+    assert got == want
+
+
+def test_state_survives_across_batches(spark, tmp_path, snapshots):
+    """With 8 files per trigger (6 micro-batches), re-appearing vehicles
+    must NOT re-emit: the boolean state persists in the state store."""
+    data_dir = str(tmp_path / "data")
+    write_snapshot_dir(snapshots, data_dir)
+    stream = read_snapshot_stream(spark, data_dir, max_files_per_trigger=8)
+    out = streaming_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen_mb")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT uuid, count(*) AS n FROM first_seen_mb GROUP BY uuid").collect()
+    assert all(r.n == 1 for r in rows)
+    n_vehicles = len({f["properties"]["uuid"] for _, d in snapshots for f in d["features"]})
+    assert len(rows) == n_vehicles
