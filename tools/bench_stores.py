@@ -127,6 +127,22 @@ def main():
     results.append(batched)
     print(json.dumps(batched))
 
+    # Codec sweep on the flat store — the reference's central theme is the
+    # storage-size/codec trade-off (snappy vs gzip across its stores);
+    # parquet makes it one writer option.
+    for codec in ["none", "snappy", "gzip", "zstd"]:
+        store = FlatParquetStore(f"{base}/codec_{codec}", compression=codec)
+        t0 = time.time()
+        store.write(documents)
+        res = {
+            "store": f"flat_parquet[{codec}]",
+            "write_s": round(time.time() - t0, 3),
+            "size_bytes": store.total_size(),
+            "read_avg_ms": None,
+        }
+        results.append(res)
+        print(json.dumps(res))
+
     summary = {
         "metric": "store_benchmark",
         "docs": args.docs,
