@@ -186,8 +186,13 @@ def unpack_le_bytes(col: Column) -> Column:
 # -- P14: md5 hash-consing key (postgresql_velocity.py:64-67)
 
 
-def hashcons_key(*cols: Column, length: int = 8) -> Column:
-    """md5(concat(cols))[:length] — deterministic dimension key."""
+def hashcons_key(*cols: Column, length: int = 32) -> Column:
+    """md5(concat(cols))[:length] — deterministic dimension key.
+
+    Default is the FULL 128-bit digest: truncated keys birthday-collide
+    (8 hex chars ≈ 50% collision odds at ~77k distinct entities), and a
+    dim-key collision silently cross-wires entities. Pass a shorter length
+    only for reference-parity demos (postgresql_velocity.py:64-67 uses 8)."""
     return F.md5(F.concat_ws("", *[c.cast("string") for c in cols])).substr(1, length)
 
 

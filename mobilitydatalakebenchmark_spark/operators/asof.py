@@ -41,6 +41,13 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in by_cols + [on]
     ]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join value columns {sorted(clash)} collide with left-side "
+            "columns; rename the right side (e.g. .withColumnRenamed) first — "
+            "a silent overlap would corrupt the as-of fill."
+        )
     if strategy == "pandas":
         return _asof_join_pandas(left, right, on, by_cols, value_cols)
 
@@ -51,11 +58,15 @@ def asof_join(
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     for c in value_cols:
-        if c not in l_tag.columns:
-            l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
-    cols = by_cols + [on, "_side"] + value_cols + [
-        c for c in left.columns if c not in by_cols + [on]
-    ]
+        l_tag = l_tag.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    cols = list(
+        dict.fromkeys(
+            by_cols
+            + [on, "_side"]
+            + value_cols
+            + [c for c in left.columns if c not in by_cols + [on]]
+        )
+    )
     both = l_tag.select(*cols).unionByName(r_tag.select(*cols))
     # right rows sort before left rows at equal ts (as-of is inclusive)
     w = (

@@ -85,7 +85,8 @@ def decode_features(
                 try:
                     feats.append(decode(bytes(payload), modality))
                     ok.append(True)
-                except NotImplementedError:
+                except Exception:  # noqa: BLE001 — corrupt payloads must
+                    # flag decode_ok=False, not fail the task after retries
                     feats.append(None)
                     ok.append(False)
             yield pd.DataFrame(

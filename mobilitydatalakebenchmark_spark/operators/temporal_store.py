@@ -130,10 +130,18 @@ class TemporalStore:
             F.min_by("direction", "timerange.start").alias("direction"),
             F.min_by("lineId", "timerange.start").alias("lineId"),
         )
-        merged.persist()
-        merged.count()  # materialize before overwriting the source
-        merged.write.mode("overwrite").parquet(self.path)
-        merged.unpersist()
+        # Safe self-overwrite: materialize to a sibling path first (persist()
+        # is NOT a reliability barrier — an evicted cached partition would
+        # recompute against files the overwrite already deleted), then swap
+        # via the Hadoop FileSystem API (works on local FS and HDFS alike).
+        tmp_path = self.path + "__pending"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
+        dst = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs.delete(dst, True)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp_path), dst)
 
     def total_size(self) -> int:
         from ..sources.size import dir_size
@@ -169,11 +177,15 @@ class TemporalStore:
                 at_timestamp(F.col("pointId"), ts).alias("pointId"),
             ).alias("properties"),
         )
+        # groupBy a constant (not a global agg): zero input rows -> zero
+        # output rows, matching the other stores' "document absent"
+        # signal instead of fabricating an empty FeatureCollection.
         return (
             hit.select(feature.alias("f"))
+            .groupBy(F.lit(timestamp).alias("timestamp"))
             .agg(F.sort_array(F.collect_list("f")).alias("_features"))
             .select(
-                F.lit(timestamp).alias("timestamp"),
+                "timestamp",
                 F.struct(
                     F.lit("FeatureCollection").alias("type"),
                     F.col("_features").alias("features"),

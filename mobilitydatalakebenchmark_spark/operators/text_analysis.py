@@ -45,15 +45,18 @@ def lang_scores(text: Column) -> list[Column]:
 
 def detect_language(text: Column) -> Column:
     """argmax over marker scores; 'und' (undetermined) when all zero.
-    Ties break by language code order via the struct comparison trick."""
+
+    Tie-break: the struct comparison in array_max is (score, lang)
+    lexicographic, so equal scores resolve to the alphabetically LAST
+    language code (zh > fr > es > en > de) — the DuckDB oracle in
+    plans/text.text_langid implements the same order."""
     toks = F.array_distinct(F.split(F.lower(text), " "))
     pairs = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         marker_arr = F.array(*[F.lit(m) for m in markers])
         score = F.size(F.array_intersect(toks, marker_arr))
-        # negative alphabetical rank so array_max prefers earlier codes on ties
         pairs.append(F.struct(score.alias("s"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*reversed(pairs)))
+    best = F.array_max(F.array(*pairs))
     return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 

@@ -26,11 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ..functions.codecs import hashcons_key, ts_bucket
+from ..functions.codecs import ts_bucket
 from ..schemas import TS_BUCKET_COL
 from .flat_store import explode_features, feature_struct
 
-L1_KEY_COLS = ["uuid", "id", "color", "direction", "lineId"]
+
+def _l1_key() -> F.Column:
+    """Dim key = FULL md5 of the uuid alone. uuid-only matters: l2 rows must
+    reference the same dim row even when a vehicle's mutable attributes
+    (direction at a terminus, color) drift between snapshots — first-seen
+    attribute values win, exactly the reference's in-memory-hash-table
+    semantics (apache_parquet_velocity.py:81-85). Untruncated: a truncated
+    hash birthday-collides at fleet scale and a collision would silently
+    cross-wire two vehicles' observations."""
+    return F.md5(F.col("uuid"))
 
 
 def build_velocity_tables(
@@ -55,9 +64,7 @@ def build_velocity_tables(
         flat.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
-            hashcons_key(
-                F.col("uuid"), F.col("id"), F.col("color"), F.col("direction"), F.col("lineId")
-            ).alias("l1_id"),
+            _l1_key().alias("l1_id"),
             "uuid",
             F.col("id").alias("vid"),
             "color",
@@ -69,9 +76,7 @@ def build_velocity_tables(
     l2 = flat.select(
         "timestamp",
         ts_bucket(F.col("timestamp")).alias(TS_BUCKET_COL),
-        hashcons_key(
-            F.col("uuid"), F.col("id"), F.col("color"), F.col("direction"), F.col("lineId")
-        ).alias("l1_id"),
+        _l1_key().alias("l1_id"),
         "distance",
         "pointId",
         "distanceFromPoint",

@@ -25,18 +25,9 @@ from . import register
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects unless nanos are read as long. Runtime-settable, so set it
-        # defensively — the driver may hand us a session without it.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long (nanosAsLong) -> truncate to
-        # micros with integer division (double division loses precision at
-        # ~1.7e18) and rebuild a proper timestamp column.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    from ..session import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -141,15 +141,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_common = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
     n_union = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - n_common
     jac = n_common.cast("double") / n_union
+    # filter on the RAW jaccard (the oracle does too); rounding happens
+    # only in the projected output — a boundary value like 0.30004 must
+    # survive the filter on both engines
     return (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(jac > 0.3)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             n_common.alias("n_common"),
             F.round(jac, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") > 0.3)
         .orderBy("doc_a")
     )
 

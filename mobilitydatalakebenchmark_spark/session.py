@@ -58,6 +58,21 @@ def get_spark(
     return spark
 
 
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one driver test table with the engine's normalizations applied
+    (events.parquet stores TIMESTAMP(NANOS): read nanos-as-long — runtime-
+    settable, so an externally-built session works — and rebuild micros via
+    integer division)."""
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = None):
     """Register the driver test tables (TESTDATA.md) as temp views and
     return them as a dict of DataFrames. Parquet scans: pushdown + pruning
@@ -76,7 +91,7 @@ def load_tables(spark: SparkSession, sf_dir: str, tables: list[str] | None = Non
     ]
     out = {}
     for name in names:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -64,7 +64,9 @@ def test_hashcons_deterministic(spark):
     out = df.select(codecs.hashcons_key(F.col("s"), F.col("i")).alias("h")).collect()
     assert out[0].h == out[1].h
     assert out[0].h != out[2].h
-    assert len(out[0].h) == 8
+    assert len(out[0].h) == 32  # full digest by default (collision safety)
+    short = df.select(codecs.hashcons_key(F.col("s"), length=8).alias("h")).collect()
+    assert len(short[0].h) == 8  # reference-parity truncation still available
 
 
 def test_asof_matches_bruteforce(spark):

@@ -62,6 +62,38 @@ class TestVelocity:
         assert l1.count() == len(uuids)
         assert l1.select("l1_id").distinct().count() == l1.count()
 
+    def test_attribute_drift_keeps_observation(self, spark, tmp_path_factory):
+        """A vehicle whose mutable attributes change between snapshots
+        (direction flip at a terminus) must NOT lose observations: the dim
+        key is uuid-only and first-seen attribute values win (reference
+        apache_parquet_velocity.py:81-85 semantics)."""
+        from mobilitydatalakebenchmark_spark.sources.geojson import snapshots_to_df
+
+        def feat(direction):
+            return {
+                "type": "Feature",
+                "id": "veh-1",
+                "geometry": {"type": "Point", "coordinates": [4.3, 50.8]},
+                "properties": {
+                    "uuid": "veh-1", "id": 1, "color": "#123456",
+                    "direction": direction, "distance": 10.0,
+                    "distanceFromPoint": 5, "lineId": "T1", "pointId": 7,
+                },
+            }
+
+        snaps = [
+            ("2024-03-21T13:40:00", {"type": "FeatureCollection", "features": [feat(1)]}),
+            ("2024-03-21T13:40:20", {"type": "FeatureCollection", "features": [feat(2)]}),
+        ]
+        store = VelocityParquetStore(str(tmp_path_factory.mktemp("drift") / "t"))
+        store.write(snapshots_to_df(spark, snaps))
+        doc2 = store.get_document(spark, "2024-03-21T13:40:20").collect()
+        assert len(doc2) == 1
+        feats = doc2[0].asDict(recursive=True)["data"]["features"]
+        assert len(feats) == 1  # observation survived the drift
+        # first-seen attribute wins (direction=1 from t1)
+        assert feats[0]["properties"]["direction"] == 1
+
     def test_append_novelty_join(self, spark, tmp_path_factory, documents_df):
         from pyspark.sql import functions as F
 
@@ -110,6 +142,10 @@ class TestTemporal:
                     g["geometry"]["coordinates"], w["geometry"]["coordinates"]
                 ):
                     assert math.isclose(a, b, rel_tol=1e-6)
+
+    def test_missing_timestamp_returns_no_rows(self, spark, store):
+        # consistent "document absent" signal across all stores
+        assert store.get_document(spark, "1999-01-01T00:00:00").count() == 0
 
     def test_sequences_are_time_sorted(self, spark, store):
         from pyspark.sql import functions as F
