@@ -137,12 +137,33 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle_sql() -> str:
+    """The hyperplanes are deterministic md5-derived constants, so the
+    DuckDB twin simply inlines them as literal arrays: bucket bit k =
+    sign(list_dot_product(embedding, plane_k)). Sign flips would need a
+    projection within ~1e-12 of zero — vanishing for real data."""
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(list_transform(embedding, x -> cast(x AS DOUBLE)), "
+        f"[{', '.join(repr(c) for c in plane)}]) > 0 THEN {1 << k} ELSE 0 END)"
+        for k, plane in enumerate(planes)
+    )
+    return f"""
+SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+FROM (SELECT vec_id, {bits} AS bucket FROM embeddings)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 @register(
     "vec_lsh_buckets",
-    oracle=None,  # hyperplane constants generated per-dim; Spark-only check
+    oracle=_lsh_oracle_sql(),
     doc="LSH bucketing: sign bits of 8 fixed pseudo-random hyperplane "
     "projections -> bucket id; the scale path for ANN (bucketed equi-join "
-    "instead of full cross product). Deterministic hyperplanes from md5.",
+    "instead of full cross product). Deterministic hyperplanes from md5, "
+    "inlined as literal arrays in the DuckDB twin.",
     tags=("vector", "lsh"),
 )
 def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,7 +32,6 @@ def test_queries_and_oracles_consistent(spark):
     rows_only = set(qs) - set(osql)
     assert rows_only <= {
         "approx_distinct_users",
-        "vec_lsh_buckets",
         "knn_lsh_multiprobe",
         "dedup_simhash",
         "knn_ivf",
@@ -48,3 +47,20 @@ def test_all_queries_plan_without_execution(spark):
     for name, fn in mod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         _ = df.schema  # forces analysis
+
+
+def test_store_benchmark_harness_runs(spark, documents_df, snapshots, tmp_path):
+    """tools/bench_stores.run_store must keep working (the reference-
+    workload metric harness)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from bench_stores import run_store
+
+    from mobilitydatalakebenchmark_spark.operators.flat_store import FlatParquetStore
+
+    store = FlatParquetStore(str(tmp_path / "bench"))
+    res = run_store(
+        "flat", store, documents_df, [ts for ts, _ in snapshots], 2, spark
+    )
+    assert res["write_s"] > 0 and res["size_bytes"] > 0 and res["reads"] == 2
