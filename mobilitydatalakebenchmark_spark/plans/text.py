@@ -409,3 +409,42 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_distinct.cast("double") / n_tokens
     )
     return d.select("doc_id", F.round(quality, 4).alias("quality")).orderBy("doc_id")
+
+
+@register(
+    "dedup_simhash_md5",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, list_transform(tok, x -> substr(md5(x), 1, 4)) AS hs FROM toks
+), votes AS (
+  SELECT doc_id, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 1) % 2) - 1)) AS v0, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 2) % 2) - 1)) AS v1, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 4) % 2) - 1)) AS v2, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) // 8) % 2) - 1)) AS v3, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 1) % 2) - 1)) AS v4, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 2) % 2) - 1)) AS v5, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 4) % 2) - 1)) AS v6, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) // 8) % 2) - 1)) AS v7, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 1) % 2) - 1)) AS v8, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 2) % 2) - 1)) AS v9, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 4) % 2) - 1)) AS v10, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) // 8) % 2) - 1)) AS v11, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 1) % 2) - 1)) AS v12, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 2) % 2) - 1)) AS v13, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 4) % 2) - 1)) AS v14, list_sum(list_transform(hs, h -> 2 * (((strpos('0123456789abcdef', substr(h, 4, 1)) - 1) // 8) % 2) - 1)) AS v15 FROM hashed
+)
+SELECT doc_id, cast((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash16 FROM votes ORDER BY doc_id
+""",
+    doc="cross-engine 16-bit SimHash: per-token md5 nibbles vote per bit "
+    "(the xxhash64 64-bit variant in operators/dedup.py is the fast path; "
+    "this md5 construction is bit-stable on both engines, so the simhash "
+    "family gets a value-checked gate too)",
+    tags=("text", "dedup", "simhash"),
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
+    )
+    hashed = d.select(
+        "doc_id", F.transform("tok", lambda x: F.substring(F.md5(x), 1, 4)).alias("hs")
+    )
+
+    def _vote(pos, shift):
+        return lambda acc, h: acc + (
+            (F.conv(F.substring(h, pos, 1), 16, 10).cast("int") / (2 ** shift))
+            .cast("int") % 2
+        ) * 2 - 1
+
+    fp = F.lit(0).cast("long")
+    for i in range(16):
+        vote = F.aggregate(F.col("hs"), F.lit(0), _vote(i // 4 + 1, i % 4))
+        fp = fp + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return hashed.select("doc_id", fp.alias("simhash16")).orderBy("doc_id")
