@@ -100,15 +100,29 @@ class FlatParquetStore:
     pruning + parquet predicate pushdown); reconstruct: P3.
     """
 
-    def __init__(self, path: str, bucket_len: int = 13, compression: str = "snappy"):
+    def __init__(
+        self,
+        path: str,
+        bucket_len: int = 13,
+        compression: str = "snappy",
+        segment_by: str | None = None,
+    ):
+        """segment_by: sort rows within each partition by this column before
+        writing (S14 — TimescaleDB's compress_segmentby='uuid',
+        timescaledb_store.py:63-64): co-locates each entity's rows inside
+        the parquet row groups, improving both compression (runs of equal
+        values dictionary-encode) and per-entity read locality."""
         self.path = path
         self.bucket_len = bucket_len
         self.compression = compression
+        self.segment_by = segment_by
 
     def write(self, documents: DataFrame, mode: str = "overwrite") -> None:
         flat = explode_features(documents).withColumn(
             TS_BUCKET_COL, ts_bucket(F.col("timestamp"), self.bucket_len)
         )
+        if self.segment_by:
+            flat = flat.sortWithinPartitions(self.segment_by, "timestamp")
         (
             flat.write.mode(mode)
             .option("compression", self.compression)

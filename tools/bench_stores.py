@@ -88,9 +88,17 @@ def main():
     timestamps = [ts for ts, _ in snaps]
 
     base = tempfile.mkdtemp(prefix="bench_stores_")
+    from mobilitydatalakebenchmark_spark.operators.encoded_store import (
+        CantorParquetStore,
+        VelocitySplitParquetStore,
+    )
+
     stores = [
         ("flat_parquet", FlatParquetStore(f"{base}/flat")),
+        ("flat_segmented", FlatParquetStore(f"{base}/flatseg", segment_by="uuid")),
         ("velocity_parquet", VelocityParquetStore(f"{base}/velocity")),
+        ("velocity_split", VelocitySplitParquetStore(f"{base}/vsplit")),
+        ("cantor_packed", CantorParquetStore(f"{base}/cantor", packed=True)),
         ("temporal", TemporalStore(f"{base}/temporal")),
         ("document_parquet", DocumentParquetStore(f"{base}/docs")),
         ("gzip_json_single", GzipJsonStore(f"{base}/gz", single_file=True)),
