@@ -179,13 +179,50 @@ def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_multiprobe_oracle() -> str:
+    """Full SQL twin of the multi-probe LSH search: same inlined hyperplane
+    constants as _lsh_oracle_sql, probe buckets = own bucket XOR each
+    one-bit mask, candidates via bucket equi-join, exact cosine re-rank."""
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(list_transform(embedding, x -> cast(x AS DOUBLE)), "
+        f"[{', '.join(repr(c) for c in plane)}]) > 0 THEN {1 << k} ELSE 0 END)"
+        for k, plane in enumerate(planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << b for b in range(8)])
+    probe_list = ", ".join(map(str, PROBE_IDS))
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_vec,
+         xor(bucket, unnest([{masks}])) AS bucket
+  FROM bucketed WHERE vec_id IN ({probe_list})
+), scored AS (
+  SELECT p.probe_id, c.vec_id,
+         list_dot_product(p.probe_vec, c.embedding)
+         / (sqrt(list_dot_product(p.probe_vec, p.probe_vec))
+            * sqrt(list_dot_product(c.embedding, c.embedding))) AS raw_sim
+  FROM probes p JOIN bucketed c ON p.bucket = c.bucket
+  WHERE c.vec_id != p.probe_id
+)
+SELECT probe_id, vec_id, round(raw_sim, 4) AS cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY raw_sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY probe_id, rk
+"""
+
+
 @register(
     "knn_lsh_multiprobe",
-    oracle=None,  # approximate by construction; recall vs brute force is
-    # asserted in tests/test_data_pipeline_ops.py
+    oracle=_lsh_multiprobe_oracle(),
     doc="ANN top-5 via random-hyperplane LSH with 1-bit multi-probe "
     "(operators/similarity.py) — the 100TB path: bucketed equi-join "
-    "instead of a full scan per probe",
+    "instead of a full scan per probe. Value-checked: the DuckDB twin "
+    "recomputes the same buckets from inlined plane constants.",
     tags=("vector", "knn", "lsh"),
 )
 def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,7 +32,6 @@ def test_queries_and_oracles_consistent(spark):
     rows_only = set(qs) - set(osql)
     assert rows_only <= {
         "approx_distinct_users",
-        "knn_lsh_multiprobe",
         "dedup_simhash",
         "knn_ivf",
     }
