@@ -55,14 +55,15 @@ def generate_snapshots(
     n_snapshots: int = 48,
     n_vehicles: int = 90,
     seed: int = 7,
-    start: str = "2024-03-21T13:40:00",
+    start: str = "2024-03-21T13:52:00",
 ) -> list[tuple[str, dict]]:
     """Deterministic list of (iso_timestamp, FeatureCollection dict).
 
-    48 snapshots x 20 s from 13:40 spans the 13:59->14:00 hour-bucket
-    boundary (exercises W1/W2). Snapshot #5 is empty; snapshot #2 contains a
-    duplicated uuid; first snapshot pins coords at the bbox corners
-    (fixed-point edge, P11).
+    48 snapshots x 20 s from 13:52 run to 14:07:40, crossing the 13->14
+    hour-bucket boundary (exercises W1/W2 and multi-partition stores; the
+    earlier 13:40 start never actually crossed the hour). Snapshot #5 is
+    empty; snapshot #2 contains a duplicated uuid; first snapshot pins
+    coords at the bbox corners (fixed-point edge, P11).
     """
     rng = random.Random(seed)
     pool = _vehicle_pool(rng, n_vehicles)
