@@ -76,16 +76,6 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 # ---------------------------------------------------------------------------
 
 
-def _grain_hasher(group: int):
-    """Closure factory (pyspark requires exact-arity lambdas): md5 over the
-    grain salted with the hash group."""
-    return lambda x: F.md5(F.concat(F.lit(f"g{group}"), x))
-
-
-def _slicer(offset: int):
-    return lambda h: F.substring(h, offset, 8)
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -101,26 +91,28 @@ def minhash_signatures(
     2 md5 passes, not 8. Each element = min over grains of its slice
     (P[min equal] = Jaccard)."""
     grains = shingles(F.col(text_col), shingle_n) if shingle_n else tokenize(F.col(text_col))
-    d = df.select(F.col(id_col), grains.alias("tok"))
     n_groups = (n_hashes + _SLICES_PER_MD5 - 1) // _SLICES_PER_MD5
-    # materialize each md5 pass once as an array column, then slice
-    d = d.select(
+    # explode grains to rows: md5 then runs inside WholeStageCodegen
+    # (higher-order-function lambdas are interpreted per element — measured
+    # ~4x slower for the same hash count); the min-aggregate shuffles only
+    # (id, digest) pairs with map-side partial mins.
+    exploded = df.select(F.col(id_col), F.explode(grains).alias("_g"))
+    digests = exploded.select(
         id_col,
         *[
-            F.transform("tok", _grain_hasher(g)).alias(f"_h{g}")
+            F.md5(F.concat(F.lit(f"g{g}"), F.col("_g"))).alias(f"_h{g}")
             for g in range(n_groups)
         ],
     )
-    return d.select(
-        id_col,
+    return digests.groupBy(id_col).agg(
         *[
-            F.array_min(
-                F.transform(
-                    f"_h{k // _SLICES_PER_MD5}", _slicer(1 + 8 * (k % _SLICES_PER_MD5))
+            F.min(
+                F.substring(
+                    F.col(f"_h{k // _SLICES_PER_MD5}"), 1 + 8 * (k % _SLICES_PER_MD5), 8
                 )
             ).alias(f"mh_{k}")
             for k in range(n_hashes)
-        ],
+        ]
     )
 
 
