@@ -1,0 +1,85 @@
+"""Connected components over a pair-edge list — the missing piece between
+"near-duplicate PAIRS" and "deduplicated CORPUS".
+
+Near-dup detection (MinHash-LSH / SimHash / cosine) emits edges; dropping
+duplicates needs the transitive closure: if A~B and B~C, one keeper serves
+all three. Implemented as iterative min-label propagation in pure
+DataFrame ops (no GraphX/GraphFrames dependency):
+
+    label(v) <- min(label(v), min over neighbors(label(u)))
+
+Each iteration is one join + one aggregate; iterations needed =
+graph diameter (near-dup clusters are tiny, so 3-5 iterations converge;
+the loop stops early when labels stop changing). At 100 TB the edge list
+is the (small) LSH candidate output, not the corpus — the corpus is only
+touched by the final keeper anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """-> (node, component) where component = min node id reachable.
+    Only nodes that appear in edges are returned (isolated nodes are their
+    own component by definition and never need relabeling)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("node"))
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy("v")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.v, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # convergence check: any label still shrinking?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def drop_near_duplicates(
+    corpus: DataFrame,
+    pair_edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Remove every near-duplicate except the min-id representative of its
+    component. corpus rows not mentioned in any edge pass through."""
+    comp = connected_components(pair_edges, src, dst)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")

@@ -448,3 +448,54 @@ def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         vote = F.aggregate(F.col("hs"), F.lit(0), _vote(i // 4 + 1, i % 4))
         fp = fp + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return hashed.select("doc_id", fp.alias("simhash16")).orderBy("doc_id")
+
+
+@register(
+    "dedup_drop_near_duplicates",
+    oracle=_MINHASH_SQL_PREFIX
+    + """, bands AS (
+  SELECT doc_id, 0 AS band_idx, band_0 AS band_hash FROM banded
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, band_1 AS band_hash FROM banded
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c JOIN toks ta ON ta.doc_id = c.doc_a JOIN toks tb ON tb.doc_id = c.doc_b
+  WHERE cast(len(list_intersect(ta.tok, tb.tok)) AS DOUBLE)
+        / (len(ta.tok) + len(tb.tok) - len(list_intersect(ta.tok, tb.tok))) >= 0.5
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM edges
+), reach AS (
+  -- transitive closure by recursive reachability; min reachable id = component
+  WITH RECURSIVE walk(node, r) AS (
+    SELECT u, u FROM sym
+    UNION
+    SELECT s.v, walk.r FROM walk JOIN sym s ON s.u = walk.node
+  )
+  SELECT node, min(r) AS component FROM walk GROUP BY node
+), losers AS (
+  SELECT node AS doc_id FROM reach WHERE node != component
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY d.doc_id
+""",
+    doc="end-to-end near-dup REMOVAL: MinHash-LSH pairs -> transitive "
+    "closure (iterative min-label propagation, operators/components.py) -> "
+    "min-id keeper per cluster. DuckDB twin closes the graph with a "
+    "recursive CTE — the iterative-algorithm gate.",
+    tags=("text", "dedup", "minhash", "iterative"),
+)
+def dedup_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import drop_near_duplicates
+    from ..operators.dedup import minhash_near_duplicates
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, n_hashes=4, bands=2, min_jaccard=0.5, shingle_n=3
+    )
+    return drop_near_duplicates(d, pairs).select("doc_id").orderBy("doc_id")
