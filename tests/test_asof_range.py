@@ -66,6 +66,43 @@ def test_pandas_strategy_agrees(quotes_trades):
     assert a == b
 
 
+def test_multi_key_multi_value_asof(spark):
+    quotes = spark.createDataFrame(
+        [
+            ("AA", "X", "2024-01-01 10:00:00", 10.0, 100),
+            ("AA", "X", "2024-01-01 11:00:00", 11.0, 110),
+            ("AA", "Y", "2024-01-01 10:30:00", 99.0, 990),
+        ],
+        "sym string, venue string, ts string, price double, qty long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    trades = spark.createDataFrame(
+        [
+            ("AA", "X", "2024-01-01 10:30:00", 1),
+            ("AA", "X", "2024-01-01 12:00:00", 2),
+            ("AA", "Y", "2024-01-01 10:00:00", 3),  # before any Y quote
+        ],
+        "sym string, venue string, ts string, trade_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.trade_id: (r.asof_price, r.asof_qty)
+        for r in asof_join(trades, quotes, on="ts", by=["sym", "venue"]).collect()
+    }
+    assert out == {1: (10.0, 100), 2: (11.0, 110), 3: (None, None)}
+
+
+def test_asof_rejects_column_collision(spark):
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "key string, ts string, price double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 2.0)], "key string, ts string, price double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="ts", by="key")
+
+
 def test_range_join_strategies_agree(spark):
     rng = random.Random(10)
     facts = spark.createDataFrame(
