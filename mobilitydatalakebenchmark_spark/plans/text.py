@@ -499,3 +499,35 @@ def dedup_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, n_hashes=4, bands=2, min_jaccard=0.5, shingle_n=3
     )
     return drop_near_duplicates(d, pairs).select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) < 55
+ORDER BY doc_a
+""",
+    doc="edit-distance near-dup scoring on adjacent doc prefixes "
+    "(levenshtein is quadratic per pair — prefix-bounded, and only ever "
+    "run on candidate pairs at scale)",
+    tags=("text", "dedup"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("prefix")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(dist < 55)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("doc_a")
+    )

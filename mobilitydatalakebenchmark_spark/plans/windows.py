@@ -456,3 +456,69 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "window_range_frames",
+    oracle=f"""
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+           AS rolling_1h,
+       round(first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+           AS first_val,
+       round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+           AS last_val
+FROM events ORDER BY user_id, event_id
+""",
+    doc="RANGE-frame rolling window (1h trailing sum) + first/last_value "
+    "(time-based frames — the windowed form of the temporal layer)",
+    tags=("window", "time"),
+)
+def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w_range), 2).alias("rolling_1h"),
+        F.round(F.first("value").over(w_ord), 2).alias("first_val"),
+        F.round(F.last("value").over(w_full), 2).alias("last_val"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       cast(date_part('year', o_orderdate) AS INT)    AS yr,
+       cast(date_part('month', o_orderdate) AS INT)   AS mo,
+       cast(date_part('dow', o_orderdate) AS INT)     AS dow,
+       strftime(last_day(o_orderdate), '%Y-%m-%d')    AS month_end,
+       datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+""",
+    doc="calendar function suite: extract parts, last_day, day difference "
+    "(P7/P8 family generalized)",
+    tags=("time", "project"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    # duckdb dow: Sunday=0; spark dayofweek: Sunday=1
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_95"),
+    ).orderBy("o_orderkey")
