@@ -37,14 +37,21 @@ CADENCE_S = 20
 
 
 def _vehicle_pool(rng: random.Random, n: int) -> list[dict]:
+    import hashlib
+
     pool = []
     for i in range(n):
+        line = rng.choice(["T1", "T3", "T7", "B9", "M1", "M5", "T4", "B2"])
+        # route color is a property of the LINE, not the vehicle (real
+        # transit semantics; also what makes the bus dimension of the
+        # two-level stores smaller than the vehicle dimension)
+        color = "#" + hashlib.md5(f"line-color-{line}".encode()).hexdigest()[:6]
         pool.append(
             {
                 "uuid": f"{rng.getrandbits(32):08x}-{i:04x}-4000-8000-{rng.getrandbits(48):012x}",
                 "id": i + 1,
-                "color": "#%06x" % rng.getrandbits(24),
-                "lineId": rng.choice(["T1", "T3", "T7", "B9", "M1", "M5", "T4", "B2"]),
+                "color": color,
+                "lineId": line,
                 "direction": rng.choice([1, 2]),
             }
         )

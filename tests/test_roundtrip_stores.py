@@ -109,6 +109,36 @@ class TestVelocity:
         assert l1.select("l1_id").distinct().count() == l1.count()
 
 
+class TestVelocity2:
+    @pytest.fixture(scope="class")
+    def store(self, tmp_path_factory, documents_df):
+        from mobilitydatalakebenchmark_spark.operators.velocity2_store import (
+            Velocity2ParquetStore,
+        )
+
+        store = Velocity2ParquetStore(str(tmp_path_factory.mktemp("v2") / "t"))
+        store.write(documents_df)
+        return store
+
+    def test_roundtrip(self, spark, store, snapshots):
+        for idx in (0, 2, len(snapshots) - 1):
+            ts, data = snapshots[idx]
+            rows = store.get_document(spark, ts).collect()
+            assert len(rows) == 1
+            _check_doc(rows[0], ts, data)
+
+    def test_bus_dim_is_smaller_than_vehicle_dim(self, spark, store):
+        bus = spark.read.parquet(f"{store.path}/bus")
+        vehicle = spark.read.parquet(f"{store.path}/vehicle")
+        # the whole point of the second level: many vehicles share a route
+        assert bus.count() < vehicle.count()
+        # snowflake integrity: every vehicle's bus exists
+        from pyspark.sql import functions as F
+
+        dangling = vehicle.join(bus, "bus_id", "left_anti").count()
+        assert dangling == 0
+
+
 class TestTemporal:
     @pytest.fixture(scope="class")
     def store(self, tmp_path_factory, documents_df):
