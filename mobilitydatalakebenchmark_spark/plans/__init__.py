@@ -37,6 +37,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 def load_registry() -> dict[str, Q]:
     """Import all query modules (side-effect: fills REGISTRY)."""
     from . import relational  # noqa: F401
+    from . import tpch  # noqa: F401
     from . import windows  # noqa: F401
     from . import mobility  # noqa: F401
     from . import text  # noqa: F401
