@@ -87,3 +87,62 @@ def fingerprint(text: Column) -> Column:
     """Order-insensitive content identity: md5 over the sorted distinct
     token set (rolling-hash-class document fingerprint)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(F.split(text, " "))), " "))
+
+
+def raw_ngrams(text: Column, n: int = 5) -> Column:
+    """Word n-grams WITH multiplicity (unlike dedup.shingles, which
+    deduplicates for set semantics). Multiplicity is the point here: the
+    duplicate-n-gram fraction below needs repeated windows to count."""
+    toks = F.split(text, " ")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+def duplicate_ngram_fraction(text: Column, n: int = 5) -> Column:
+    """Fraction of word n-gram occurrences that are repeats of an earlier
+    n-gram in the same document (Gopher-style repetition quality signal):
+    1 - distinct/total. Per-row expression — no shuffle at any scale."""
+    g = raw_ngrams(text, n)
+    return F.round(
+        1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g), 4
+    )
+
+
+def hash_split(id_col: Column, boundaries: tuple[str, str] = ("c0", "e0")) -> Column:
+    """Deterministic train/val/test assignment from the first md5 hex byte
+    of the id: < boundaries[0] -> train, < boundaries[1] -> val, else test.
+    Defaults give 75/12.5/12.5. Hex-string comparison is engine-portable
+    (no hex->int parse); assignment is stable under any repartitioning,
+    reshuffling, or re-run — the property a 100 TB pipeline needs."""
+    h = F.substring(F.md5(id_col.cast("string")), 1, 2)
+    return (
+        F.when(h < boundaries[0], F.lit("train"))
+        .when(h < boundaries[1], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def deterministic_sample(df: DataFrame, id_col: str, hex2_max: str = "1a") -> DataFrame:
+    """Stable ~(x/256) sample: keep rows whose md5 first hex byte is below
+    `hex2_max` ('1a' ~ 10.2%). Unlike df.sample(), membership is a pure
+    function of the id — reproducible across runs, engines, partitionings."""
+    return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < hex2_max)
+
+
+def idf_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus document-frequency + inverse-document-frequency per token.
+    Two-stage agg: per-doc distinct explode (map-side), then token groupBy;
+    the scalar corpus size joins in as a broadcast single-row cross join."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    return dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 4).alias("idf"),
+    )

@@ -531,3 +531,181 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline additions: repetition quality, TF-IDF, and
+# deterministic hash sampling/splits. All pure expressions / two-stage
+# aggregations — the shapes that survive a 100 TB corpus.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_dup_ngrams",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, list_transform(
+      generate_series(1, greatest(len(w) - 4, 1)),
+      i -> array_to_string(w[i:i+4], ' ')) AS g
+  FROM words
+)
+SELECT doc_id, len(g) AS n_grams,
+       len(list_distinct(g)) AS n_distinct_grams,
+       round(1.0 - cast(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+           AS dup_fraction
+FROM grams ORDER BY doc_id
+""",
+    doc="Gopher-style repetition signal: fraction of word 5-gram "
+    "occurrences that repeat within the document (per-row expression, "
+    "no shuffle)",
+    tags=("text", "quality"),
+)
+def text_repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import duplicate_ngram_fraction, raw_ngrams
+
+    d = t(spark, sf_dir, "documents")
+    g = raw_ngrams(F.col("text"), 5)
+    return d.select(
+        "doc_id",
+        F.size(g).alias("n_grams"),
+        F.size(F.array_distinct(g)).alias("n_distinct_grams"),
+        duplicate_ngram_fraction(F.col("text"), 5).alias("dup_fraction"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_df_idf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+), dfreq AS (
+  SELECT token, count(*) AS df FROM toks GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, df, round(ln(cast(n_docs AS DOUBLE) / df), 4) AS idf
+FROM dfreq, n
+ORDER BY df DESC, token LIMIT 30
+""",
+    doc="corpus document-frequency + IDF per token (two-stage agg; corpus "
+    "size broadcast as a single-row cross join — the vocabulary-weighting "
+    "primitive for TF-IDF and rare-token filters)",
+    tags=("text",),
+)
+def text_df_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import idf_table
+
+    d = t(spark, sf_dir, "documents")
+    return idf_table(d).orderBy(F.desc("df"), F.asc("token")).limit(30)
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM words GROUP BY doc_id, token
+), dlen AS (
+  SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM words GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round((cast(tf AS DOUBLE) / n_tok)
+               * ln(cast(n_docs AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (token), n
+), ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tfidf FROM ranked
+WHERE rk <= 3 AND doc_id < 100
+ORDER BY doc_id, tfidf DESC, token
+""",
+    doc="per-document top-3 TF-IDF keywords (tf and df aggs + broadcast "
+    "joins + per-doc rank window; ranking on the ROUNDED score so the "
+    "cross-engine order is identical, token tiebreak)",
+    tags=("text",),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = words.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dlen = words.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    dfreq = words.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("tf").cast("double") / F.col("n_tok"))
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "tfidf")
+        .orderBy("doc_id", F.desc("tfidf"), "token")
+    )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+SELECT doc_id, source,
+       CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
+            WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+""",
+    doc="deterministic train/val/test split from the id's md5 first hex "
+    "byte (75/12.5/12.5): stable under any repartitioning or re-run — "
+    "unlike random splits, membership is a pure function of the id",
+    tags=("text", "sampling"),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import hash_split
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source", hash_split(F.col("doc_id")).alias("split")
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_deterministic_strata",
+    oracle="""
+SELECT source, count(*) AS n_sampled, min(doc_id) AS first_doc
+FROM documents
+WHERE substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < '34'
+GROUP BY source ORDER BY source
+""",
+    doc="deterministic ~20% sample (md5 hex byte < '34' = 52/256) with "
+    "per-source stratum counts — reproducible corpus downsampling",
+    tags=("text", "sampling"),
+)
+def sample_deterministic_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import deterministic_sample
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", "34")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("source")
+    )
