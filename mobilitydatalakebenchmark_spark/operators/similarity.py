@@ -346,3 +346,39 @@ def brute_force_topk_numpy(
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label", dim: int = 64
+) -> DataFrame:
+    """Per-label mean vector as an array column. One shuffle keyed by label
+    (map-side partial sums per component); output is |labels| rows — always
+    broadcastable downstream."""
+    avgs = [F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+    return df.groupBy(F.col(label_col).alias("c_label")).agg(
+        F.array(*avgs).alias("centroid")
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine: broadcast the (tiny) centroid
+    table against every vector, rank per vector, keep the argmax. The
+    classification / cluster-assignment primitive — the fact side streams,
+    never shuffles on vector contents."""
+    from pyspark.sql import Window
+
+    sim = cosine(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("c_label"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .withColumnRenamed("c_label", "assigned_label")
+    )

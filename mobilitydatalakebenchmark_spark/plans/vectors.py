@@ -336,3 +336,46 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "vec_nearest_centroid_confusion",
+    oracle="""
+WITH pos AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+  FROM embeddings
+), cents AS (
+  SELECT label AS c_label, i, avg(cast(x AS DOUBLE)) AS c FROM pos GROUP BY label, i
+), clists AS (
+  SELECT c_label, list(c ORDER BY i) AS c_list FROM cents GROUP BY c_label
+), scored AS (
+  SELECT e.vec_id, e.label, cl.c_label,
+         list_dot_product(list_transform(e.embedding, x -> cast(x AS DOUBLE)), cl.c_list)
+         / (sqrt(list_sum(list_transform(e.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(cl.c_list, x -> x * x)))) AS sim
+  FROM embeddings e CROSS JOIN clists cl
+), best AS (
+  SELECT vec_id, label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rk
+  FROM scored
+)
+SELECT label, c_label AS assigned_label, count(*) AS n_vectors
+FROM best WHERE rk = 1
+GROUP BY label, c_label ORDER BY label, assigned_label
+""",
+    doc="nearest-centroid assignment confusion matrix: per-label mean "
+    "vectors (one label-keyed shuffle) broadcast against every embedding, "
+    "cosine argmax per vector — the cluster-assignment / classification "
+    "primitive; fact side never shuffles on vector contents",
+    tags=("vector",),
+)
+def vec_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_nearest_centroid, label_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned = assign_nearest_centroid(e, label_centroids(e))
+    return (
+        assigned.groupBy("label", "assigned_label")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("label", "assigned_label")
+    )
