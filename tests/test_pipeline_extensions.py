@@ -1,0 +1,118 @@
+"""Tests for the training-pipeline extensions: repetition signal, IDF /
+TF-IDF, deterministic hash sampling/splits, nearest-centroid assignment."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators import similarity, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = random.Random(11)
+    words = "red green blue cyan magenta yellow black white".split()
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(50))) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.cache().count()
+    return df
+
+
+class TestRepetition:
+    def test_fully_repetitive_doc_scores_high(self, spark):
+        df = spark.createDataFrame(
+            [(1, " ".join(["spam ham"] * 20)), (2, " ".join(f"w{i}" for i in range(40)))],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["dup"]
+            for r in df.select(
+                "doc_id",
+                text_analysis.duplicate_ngram_fraction(F.col("text"), 5).alias("dup"),
+            ).collect()
+        }
+        # doc 1: 40 tokens alternating spam/ham -> only 2 distinct 5-grams of 36
+        assert out[1] > 0.9
+        # doc 2: all tokens distinct -> zero repeated 5-grams
+        assert out[2] == 0.0
+
+    def test_short_doc_is_safe(self, spark):
+        df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+        row = df.select(
+            text_analysis.duplicate_ngram_fraction(F.col("text"), 5).alias("dup")
+        ).first()
+        assert row["dup"] == 0.0
+
+
+class TestHashSplit:
+    def test_split_is_deterministic_and_partition_invariant(self, docs):
+        a = docs.select("doc_id", text_analysis.hash_split(F.col("doc_id")).alias("s"))
+        b = docs.repartition(7).select(
+            "doc_id", text_analysis.hash_split(F.col("doc_id")).alias("s")
+        )
+        assert sorted(a.collect()) == sorted(b.collect())
+
+    def test_split_fractions_roughly_match(self, docs):
+        counts = dict(
+            docs.select(text_analysis.hash_split(F.col("doc_id")).alias("s"))
+            .groupBy("s")
+            .count()
+            .collect()
+        )
+        n = sum(counts.values())
+        assert counts["train"] / n == pytest.approx(0.75, abs=0.12)
+        # every split is non-empty at n=200
+        assert set(counts) == {"train", "val", "test"}
+
+    def test_sample_is_subset_and_stable(self, docs):
+        s1 = {r["doc_id"] for r in text_analysis.deterministic_sample(docs, "doc_id").collect()}
+        s2 = {r["doc_id"] for r in text_analysis.deterministic_sample(docs, "doc_id").collect()}
+        assert s1 == s2
+        assert 0 < len(s1) < docs.count()
+
+
+class TestIdf:
+    def test_idf_math_matches_definition(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a c"), (3, "a d")], "doc_id long, text string"
+        )
+        out = {r["token"]: r for r in text_analysis.idf_table(df).collect()}
+        assert out["a"]["df"] == 3 and out["a"]["idf"] == 0.0
+        assert out["b"]["df"] == 1
+        assert out["b"]["idf"] == pytest.approx(round(math.log(3.0), 4))
+
+
+class TestNearestCentroid:
+    def test_planted_clusters_assign_back(self, spark):
+        rng = random.Random(3)
+        rows = []
+        for vid in range(90):
+            label = vid % 3
+            base = [0.0] * 6
+            base[label * 2] = 1.0
+            vec = [v + rng.uniform(-0.05, 0.05) for v in base]
+            rows.append((vid, vec, label))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        cents = similarity.label_centroids(df, dim=6)
+        assert cents.count() == 3
+        assigned = similarity.assign_nearest_centroid(df, cents)
+        agree = assigned.filter("label = assigned_label").count()
+        assert agree == 90  # well-separated planted clusters: perfect recall
+
+    def test_assignment_has_one_row_per_vector(self, spark):
+        rng = random.Random(4)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(6)], i % 2) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        assigned = similarity.assign_nearest_centroid(
+            df, similarity.label_centroids(df, dim=6)
+        )
+        assert assigned.count() == 40
+        assert assigned.select("vec_id").distinct().count() == 40
