@@ -522,3 +522,96 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
         ).alias("days_since_95"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase
+""",
+    doc="ordered funnel: users whose first view precedes a click precedes "
+    "a purchase (stage aggs + per-stage time-ordered joins; each stage "
+    "shrinks the key set, so the joins broadcast at scale)",
+    tags=("window", "time", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, min(cast(ts AS DATE)) AS cohort FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         datediff('day', f.cohort, cast(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN first f ON f.user_id = e.user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date, day_offset,
+       count(*) AS n_users
+FROM act GROUP BY cohort, day_offset
+ORDER BY cohort_date, day_offset
+""",
+    doc="cohort retention matrix: users bucketed by first-seen date, "
+    "distinct-active counts per day offset (first-touch agg broadcast "
+    "back onto the fact; the cohort matrix is |days|^2 rows at most)",
+    tags=("window", "time", "cohort"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    act = (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"), "day_offset"
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
