@@ -21,6 +21,8 @@ from mobilitydatalakebenchmark_spark.session import get_spark
 
 HEADLINE = [
     "flagship_pricing_summary",
+    "tpch_q5_style_regional_revenue",
+    "tpch_q18_style_large_orders",
     "j4_snowflake_revenue",
     "a4_zonemap_minmax",
     "a1_entity_sequences",
@@ -33,8 +35,11 @@ HEADLINE = [
     "dedup_minhash_lsh_candidates",
     "knn_bruteforce_cosine",
     "vec_neardup_pairs_numpy",
+    "vec_nearest_centroid_confusion",
     "text_stats",
     "text_token_topk",
+    "text_tfidf_keywords",
+    "cohort_retention",
 ]
 
 

@@ -365,20 +365,35 @@ def assign_nearest_centroid(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine: broadcast the (tiny) centroid
-    table against every vector, rank per vector, keep the argmax. The
-    classification / cluster-assignment primitive — the fact side streams,
-    never shuffles on vector contents."""
-    from pyspark.sql import Window
+    table against every vector, argmax per vector. The classification /
+    cluster-assignment primitive.
 
-    sim = cosine(F.col(vec_col), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("c_label"))
-    return (
+    The argmax is a `max(struct(sim, -label))` aggregate, not a window
+    rank: partial aggregation collapses the |labels|·N scored rows back to
+    N inside each scan partition, so the one shuffle carries N rows and no
+    sort — the shape that survives 100 TB. Exact-tie break: lowest c_label
+    (via the negated second struct field; c_label must be numeric, which
+    `label_centroids` guarantees). `keep_cols` are carried through the
+    groupBy — they must be functionally dependent on `id_col`."""
+    label_type = dict(centroids.dtypes)["c_label"]
+    scored = (
         df.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", sim)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-        .withColumnRenamed("c_label", "assigned_label")
+        .withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+    )
+    best = scored.groupBy(id_col, *keep_cols).agg(
+        F.max(
+            F.struct(
+                F.col("sim"),
+                (-F.col("c_label")).cast("double").alias("neg_label"),
+            )
+        ).alias("_best")
+    )
+    return best.select(
+        id_col,
+        *keep_cols,
+        F.col("_best.sim").alias("sim"),
+        (-F.col("_best.neg_label")).cast(label_type).alias("assigned_label"),
     )

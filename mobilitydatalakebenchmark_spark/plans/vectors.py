@@ -373,7 +373,7 @@ def vec_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.similarity import assign_nearest_centroid, label_centroids
 
     e = t(spark, sf_dir, "embeddings")
-    assigned = assign_nearest_centroid(e, label_centroids(e))
+    assigned = assign_nearest_centroid(e, label_centroids(e), keep_cols=("label",))
     return (
         assigned.groupBy("label", "assigned_label")
         .agg(F.count("*").alias("n_vectors"))

@@ -101,7 +101,7 @@ class TestNearestCentroid:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
         cents = similarity.label_centroids(df, dim=6)
         assert cents.count() == 3
-        assigned = similarity.assign_nearest_centroid(df, cents)
+        assigned = similarity.assign_nearest_centroid(df, cents, keep_cols=("label",))
         agree = assigned.filter("label = assigned_label").count()
         assert agree == 90  # well-separated planted clusters: perfect recall
 
