@@ -1,0 +1,137 @@
+"""Trajectory analytics over flat vehicle observations (beyond-reference
+depth for the mobility domain: the reference stores and reconstructs
+tracks — `stores/mobility_db_batch.py:85-99` groups per-vehicle sequences —
+but never analyzes them).
+
+Input shape: one row per (vehicle, instant) with scalar lon/lat — the
+canonical flat observation table (schemas.FLAT_SCHEMA). Every operator is
+a per-vehicle window or aggregation: the only shuffle is keyed by the
+vehicle id, so the work distributes evenly across any number of executors
+(vehicle count >> executor count at fleet scale; per-vehicle history is
+bounded), and all math is built-in column expressions — JVM-side,
+codegen-friendly, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (haversine; standard public
+    formula). Pure trig expressions — whole-stage codegen keeps this in
+    the scan stage."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.sin(dlon / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def step_metrics(
+    df: DataFrame,
+    id_col: str = "uuid",
+    ts_col: str = "ts",
+    lon_col: str = "coordinates_0",
+    lat_col: str = "coordinates_1",
+) -> DataFrame:
+    """Per-observation step metrics vs the previous fix of the same
+    vehicle: elapsed seconds, great-circle meters, speed m/s. First fix of
+    a vehicle has NULL steps. One shuffle (window keyed by vehicle)."""
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    prev_lat = F.lag(F.col(lat_col)).over(w)
+    prev_lon = F.lag(F.col(lon_col)).over(w)
+    dt_s = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    dist = haversine_m(prev_lat, prev_lon, F.col(lat_col), F.col(lon_col))
+    return df.withColumns(
+        {
+            "dt_s": dt_s,
+            "step_m": F.round(dist, 2),
+            "speed_mps": F.round(dist / F.nullif(dt_s.cast("double"), F.lit(0.0)), 4),
+        }
+    )
+
+
+def trip_segments(
+    df: DataFrame,
+    gap_s: int = 300,
+    id_col: str = "uuid",
+    ts_col: str = "ts",
+    lon_col: str = "coordinates_0",
+    lat_col: str = "coordinates_1",
+) -> DataFrame:
+    """Segment each vehicle's track into trips at gaps > `gap_s` (the
+    sessionization pattern applied to movement data), then summarize each
+    trip: bounds, fix count, total distance, mean speed."""
+    stepped = step_metrics(df, id_col, ts_col, lon_col, lat_col)
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    new_trip = F.when(
+        F.col("dt_s").isNull() | (F.col("dt_s") > gap_s), 1
+    ).otherwise(0)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trips = stepped.withColumn("trip_id", F.sum(new_trip).over(w_cum))
+    # a trip's first step_m/dt_s belongs to the PREVIOUS trip's gap — zero
+    # them out within the new trip so sums only count intra-trip motion
+    in_trip = F.when(new_trip == 0, F.col("step_m")).otherwise(F.lit(None))
+    in_trip_dt = F.when(new_trip == 0, F.col("dt_s")).otherwise(F.lit(None))
+    return (
+        trips.withColumn("_m", in_trip)
+        .withColumn("_dt", in_trip_dt)
+        .groupBy(id_col, "trip_id")
+        .agg(
+            F.min(ts_col).alias("trip_start"),
+            F.max(ts_col).alias("trip_end"),
+            F.count("*").alias("n_fixes"),
+            F.round(F.coalesce(F.sum("_m"), F.lit(0.0)), 2).alias("total_m"),
+            F.round(
+                F.coalesce(F.sum("_m"), F.lit(0.0))
+                / F.nullif(F.sum("_dt").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("mean_speed_mps"),
+        )
+    )
+
+
+def detect_stops(
+    df: DataFrame,
+    speed_thresh_mps: float = 0.5,
+    min_duration_s: int = 60,
+    id_col: str = "uuid",
+    ts_col: str = "ts",
+    lon_col: str = "coordinates_0",
+    lat_col: str = "coordinates_1",
+) -> DataFrame:
+    """Stop intervals: maximal runs of consecutive slow fixes lasting at
+    least `min_duration_s`. Run grouping via the rank-difference trick
+    (two windows over the same vehicle partition — one shuffle)."""
+    stepped = step_metrics(df, id_col, ts_col, lon_col, lat_col)
+    slow = stepped.withColumn(
+        "is_slow",
+        (F.col("speed_mps") < speed_thresh_mps) & F.col("speed_mps").isNotNull(),
+    )
+    w = Window.partitionBy(id_col).orderBy(ts_col)
+    w_slow = Window.partitionBy(id_col, "is_slow").orderBy(ts_col)
+    runs = slow.withColumn(
+        "run_key", F.row_number().over(w) - F.row_number().over(w_slow)
+    )
+    return (
+        runs.filter(F.col("is_slow"))
+        .groupBy(id_col, "run_key")
+        .agg(
+            F.min(ts_col).alias("stop_start"),
+            F.max(ts_col).alias("stop_end"),
+            F.count("*").alias("n_fixes"),
+            F.round(F.avg(lon_col), 6).alias("stop_lon"),
+            F.round(F.avg(lat_col), 6).alias("stop_lat"),
+        )
+        .filter(
+            F.col("stop_end").cast("long") - F.col("stop_start").cast("long")
+            >= min_duration_s
+        )
+        .drop("run_key")
+    )

@@ -161,3 +161,70 @@ def f6_temporal_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_contained"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "trajectory_step_metrics",
+    oracle="""
+WITH fixes AS (
+  SELECT user_id, event_id, ts,
+         value % 80.0          AS lat,
+         (value * 3.7) % 160.0 AS lon
+  FROM events WHERE user_id < 30
+), stepped AS (
+  SELECT user_id, event_id, ts, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt_s
+  FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       round(dt_s, 6) AS dt_s,
+       round(2 * 6371008.8 * asin(sqrt(
+           sin(radians(lat - plat) / 2) ^ 2
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin(radians(lon - plon) / 2) ^ 2)), 2) AS step_m
+FROM stepped WHERE plat IS NOT NULL
+ORDER BY user_id, event_id
+""",
+    doc="trajectory step metrics (operators/trajectory.py): per-entity lag "
+    "window + haversine distance, oracle-checked by mapping events.value "
+    "onto pseudo lat/lon — the math and window shape are exactly what runs "
+    "on real vehicle tracks (reference stores tracks, never analyzes them: "
+    "mobility_db_batch.py:85-99)",
+    tags=("mobility", "trajectory", "window"),
+)
+def trajectory_step_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import haversine_m
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    fixes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = fixes.withColumns(
+        {
+            "plat": F.lag("lat").over(w),
+            "plon": F.lag("lon").over(w),
+            "dt_s": (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+            )
+            / 1000000.0,
+        }
+    )
+    return (
+        stepped.filter(F.col("plat").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.round("dt_s", 6).alias("dt_s"),
+            F.round(
+                haversine_m(F.col("plat"), F.col("plon"), F.col("lat"), F.col("lon")),
+                2,
+            ).alias("step_m"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1,0 +1,115 @@
+"""Trajectory operator tests: haversine correctness against known
+distances, trip segmentation at gaps, stop detection on planted dwell."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators import trajectory
+
+
+def _track(spark, rows):
+    return spark.createDataFrame(
+        rows, "uuid string, ts timestamp, coordinates_0 double, coordinates_1 double"
+    )
+
+
+T0 = dt.datetime(2024, 3, 21, 13, 0, 0)
+
+
+def at(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+class TestHaversine:
+    def test_known_distance_one_degree_longitude_at_equator(self, spark):
+        # 1 degree of longitude at the equator ~ 111.19 km
+        df = _track(spark, [("v", at(0), 0.0, 0.0), ("v", at(60), 1.0, 0.0)])
+        out = trajectory.step_metrics(df).filter(F.col("step_m").isNotNull()).first()
+        assert out["step_m"] == pytest.approx(111195, rel=1e-3)
+        assert out["dt_s"] == 60
+        assert out["speed_mps"] == pytest.approx(111195 / 60, rel=1e-3)
+
+    def test_zero_distance_and_first_fix_null(self, spark):
+        df = _track(spark, [("v", at(0), 4.35, 50.85), ("v", at(20), 4.35, 50.85)])
+        rows = trajectory.step_metrics(df).orderBy("ts").collect()
+        assert rows[0]["step_m"] is None and rows[0]["dt_s"] is None
+        assert rows[1]["step_m"] == 0.0 and rows[1]["speed_mps"] == 0.0
+
+    def test_vehicles_do_not_interleave(self, spark):
+        df = _track(
+            spark,
+            [("a", at(0), 0.0, 0.0), ("b", at(10), 50.0, 50.0), ("a", at(20), 0.001, 0.0)],
+        )
+        rows = {
+            (r["uuid"], r["ts"]): r["step_m"]
+            for r in trajectory.step_metrics(df).collect()
+        }
+        # b's only fix has no predecessor; a's second step is tiny, not 50 deg
+        assert rows[("b", at(10))] is None
+        assert rows[("a", at(20))] < 200
+
+
+class TestTrips:
+    def test_gap_splits_trips_and_distance_excludes_gap(self, spark):
+        rows = [
+            ("v", at(0), 4.0, 50.0),
+            ("v", at(20), 4.001, 50.0),
+            ("v", at(40), 4.002, 50.0),
+            # 1h gap -> new trip
+            ("v", at(4000), 9.0, 45.0),
+            ("v", at(4020), 9.001, 45.0),
+        ]
+        trips = trajectory.trip_segments(_track(spark, rows), gap_s=300).orderBy(
+            "trip_id"
+        ).collect()
+        assert len(trips) == 2
+        assert trips[0]["n_fixes"] == 3 and trips[1]["n_fixes"] == 2
+        # neither trip's distance includes the ~600 km inter-trip jump
+        assert trips[0]["total_m"] < 1000 and trips[1]["total_m"] < 1000
+        assert trips[0]["trip_start"] == at(0) and trips[0]["trip_end"] == at(40)
+
+    def test_single_fix_vehicle_is_one_empty_trip(self, spark):
+        trips = trajectory.trip_segments(
+            _track(spark, [("v", at(0), 4.0, 50.0)])
+        ).collect()
+        assert len(trips) == 1
+        assert trips[0]["n_fixes"] == 1 and trips[0]["total_m"] == 0.0
+
+
+class TestStops:
+    def test_planted_dwell_is_detected(self, spark):
+        rows = [("v", at(0), 4.0, 50.0)]
+        # moving fast: 0.01 deg (~1.1km) per 20s
+        for i in range(1, 4):
+            rows.append(("v", at(i * 20), 4.0 + 0.01 * i, 50.0))
+        # dwell: stationary 13:01:00..13:03:00
+        for i in range(4, 11):
+            rows.append(("v", at(i * 20), 4.03, 50.0))
+        # moving again
+        for i in range(11, 14):
+            rows.append(("v", at(i * 20), 4.03 + 0.01 * (i - 10), 50.0))
+        stops = trajectory.detect_stops(
+            _track(spark, rows), speed_thresh_mps=0.5, min_duration_s=60
+        ).collect()
+        assert len(stops) == 1
+        s = stops[0]
+        # arrival fix at t=60 is the last moving one; slow fixes run 80..200
+        assert s["stop_start"] == at(80) and s["stop_end"] == at(200)
+        assert s["stop_lon"] == pytest.approx(4.03)
+        assert s["n_fixes"] == 7
+
+    def test_brief_pause_below_min_duration_is_ignored(self, spark):
+        rows = [
+            ("v", at(0), 4.0, 50.0),
+            ("v", at(20), 4.01, 50.0),
+            ("v", at(40), 4.01, 50.0),  # one slow fix (20s pause)
+            ("v", at(60), 4.02, 50.0),
+        ]
+        stops = trajectory.detect_stops(
+            _track(spark, rows), speed_thresh_mps=0.5, min_duration_s=60
+        ).collect()
+        assert stops == []
