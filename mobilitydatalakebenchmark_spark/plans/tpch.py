@@ -346,3 +346,75 @@ def tpch_q18_style_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
         .limit(25)
     )
+
+
+@register(
+    "correlated_not_exists_sql",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+ORDER BY c.c_custkey
+""",
+    doc="correlated NOT EXISTS through the spark.sql path (Catalyst "
+    "decorrelates to a left-anti join — the complement of "
+    "correlated_exists_sql)",
+    tags=("filter", "subquery", "sql", "tpch"),
+)
+def correlated_not_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "tpch_q15_style_top_supplier",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+""",
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, keep the max "
+    "(scalar subquery over a DERIVED aggregate, not a base table; the "
+    "rounded sum is the comparison key on both engines)",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def tpch_q15_style_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    s = t(spark, sf_dir, "supplier")
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        s.join(F.broadcast(rev), s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"), "inner")
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
