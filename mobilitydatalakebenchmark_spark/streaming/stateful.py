@@ -66,3 +66,84 @@ def streaming_first_seen(documents: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming odometer: per-vehicle cumulative distance. State = (running
+# total, fix count, last fix position) so the distance chain survives
+# micro-batch boundaries.
+#
+# Implementation note: Spark 4's transformWithStateInPandas is the richer
+# API for this (typed value state, timers, TTL), but its Python worker
+# needs the `protobuf` package, which this image lacks — so the operator
+# uses applyInPandasWithState (GroupState), which has everything the
+# odometer needs and no extra dependency. The state contract is identical.
+# ---------------------------------------------------------------------------
+
+ODOMETER_OUTPUT = T.StructType(
+    [
+        T.StructField("uuid", T.StringType()),
+        T.StructField("total_m", T.DoubleType()),
+        T.StructField("n_fixes", T.LongType()),
+    ]
+)
+
+
+def _haversine_np(lat1, lon1, lat2, lon2):
+    import numpy as np
+
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(x, dtype="f8")) for x in (lat1, lon1, lat2, lon2))
+    a = (
+        np.sin((lat2 - lat1) / 2) ** 2
+        + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2) ** 2
+    )
+    return 2 * 6371008.8 * np.arcsin(np.sqrt(a))
+
+
+_ODO_STATE = T.StructType(
+    [
+        T.StructField("total_m", T.DoubleType()),
+        T.StructField("n_fixes", T.LongType()),
+        T.StructField("last_lon", T.DoubleType()),
+        T.StructField("last_lat", T.DoubleType()),
+    ]
+)
+
+
+def _odometer_fn(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    batch = pd.concat(list(pdfs), ignore_index=True).sort_values("timestamp")
+    if batch.empty:
+        return
+    total, n, last_lon, last_lat = state.get if state.exists else (0.0, 0, None, None)
+    lons = batch["coordinates_0"].to_numpy(dtype="f8")
+    lats = batch["coordinates_1"].to_numpy(dtype="f8")
+    if last_lon is not None:
+        lons = np.concatenate(([last_lon], lons))
+        lats = np.concatenate(([last_lat], lats))
+    if len(lons) > 1:
+        total += float(_haversine_np(lats[:-1], lons[:-1], lats[1:], lons[1:]).sum())
+    n += len(batch)
+    state.update((float(total), int(n), float(lons[-1]), float(lats[-1])))
+    yield pd.DataFrame({"uuid": [key[0]], "total_m": [total], "n_fixes": [n]})
+
+
+def streaming_odometer(documents: DataFrame) -> DataFrame:
+    """Per-vehicle cumulative great-circle distance over the whole stream
+    (streaming twin of operators/trajectory.step_metrics summed): one
+    emission per (vehicle, micro-batch) with the running total."""
+    from ..operators.flat_store import explode_features
+
+    flat = explode_features(documents).select(
+        "uuid", "timestamp", "coordinates_0", "coordinates_1"
+    )
+    return flat.groupBy("uuid").applyInPandasWithState(
+        _odometer_fn,
+        outputStructType=ODOMETER_OUTPUT,
+        stateStructType=_ODO_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

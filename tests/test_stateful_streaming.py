@@ -70,3 +70,53 @@ def test_state_survives_across_batches(spark, tmp_path, snapshots):
     assert all(r.n == 1 for r in rows)
     n_vehicles = len({f["properties"]["uuid"] for _, d in snapshots for f in d["features"]})
     assert len(rows) == n_vehicles
+
+
+def test_streaming_odometer_matches_batch_total(spark, tmp_path, snapshots):
+    """transformWithStateInPandas odometer across 6 micro-batches must end
+    at the batch-mode per-vehicle distance sum (state carries the last fix
+    over every batch boundary)."""
+    from mobilitydatalakebenchmark_spark.operators import trajectory
+    from mobilitydatalakebenchmark_spark.operators.flat_store import explode_features
+    from mobilitydatalakebenchmark_spark.sources.geojson import snapshots_to_df
+    from mobilitydatalakebenchmark_spark.streaming.stateful import streaming_odometer
+
+    data_dir = str(tmp_path / "data")
+    write_snapshot_dir(snapshots, data_dir)
+    stream = read_snapshot_stream(spark, data_dir, max_files_per_trigger=8)
+    q = (
+        streaming_odometer(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("odometer")
+        .option("checkpointLocation", str(tmp_path / "ckpt_odo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # running totals are monotone: the final value per uuid is the max
+    got = {
+        r.uuid: (r.total_m, r.n_fixes)
+        for r in spark.sql(
+            """SELECT uuid, max(total_m) AS total_m, max(n_fixes) AS n_fixes
+               FROM odometer GROUP BY uuid"""
+        ).collect()
+    }
+
+    flat = explode_features(snapshots_to_df(spark, snapshots)).withColumn(
+        "ts", F.col("timestamp").cast("timestamp")
+    )
+    want = {
+        r.uuid: (r.total, r.n)
+        for r in trajectory.step_metrics(flat, ts_col="ts")
+        .groupBy("uuid")
+        .agg(
+            F.coalesce(F.sum("step_m"), F.lit(0.0)).alias("total"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uuid, (total_m, n_fixes) in got.items():
+        assert n_fixes == want[uuid][1]
+        assert total_m == pytest.approx(want[uuid][0], rel=1e-4)
