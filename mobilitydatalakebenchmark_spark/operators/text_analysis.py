@@ -146,3 +146,72 @@ def idf_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         "df",
         F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 4).alias("idf"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous sequence packing for training shards: within each shard,
+    lay documents end-to-end in deterministic md5(id) order and chunk the
+    token stream at `capacity`. Emits per-doc placement: shard-local order,
+    start offset, and the bins the doc starts/ends in (a doc may straddle
+    a boundary — trainers split it across sequences).
+
+    Scale posture: the running offset is a window over (shard, hash order)
+    — state never crosses shards, so packing parallelizes over shards the
+    way production packers do; no global sort exists anywhere."""
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    w = Window.partitionBy(shard_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.select(shard_col, id_col, n_tok.alias("n_tokens"))
+        .withColumn("pack_order", F.row_number().over(w))
+        .withColumn("start_offset", (cum - F.col("n_tokens")).cast("long"))
+        .withColumn("start_bin", (F.col("start_offset") / capacity).cast("long"))
+        .withColumn(
+            "end_bin",
+            ((cum - 1) / capacity).cast("long"),
+        )
+    )
+
+
+def contamination(
+    df: DataFrame,
+    shingle_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test contamination: evaluation documents sharing at least one
+    word `shingle_n`-gram with any training document. The shingle equi-join
+    replaces the quadratic cross-comparison — same scale posture as the
+    MinHash-LSH candidate join (uniform hash keys, broadcast-free)."""
+    from .dedup import shingles
+
+    sh = df.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    train = sh.filter(F.col(split_col) == "train").select(
+        F.col("shingle"), F.col(id_col).alias("train_doc")
+    )
+    test = sh.filter(F.col(split_col) != "train").select(
+        F.col("shingle"), F.col(id_col).alias("test_doc"), F.col(split_col)
+    )
+    return (
+        test.join(train, "shingle")
+        .groupBy("test_doc", split_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )

@@ -709,3 +709,88 @@ def sample_deterministic_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
         .orderBy("source")
     )
+
+
+@register(
+    "pack_sequences_contiguous",
+    oracle="""
+WITH sized AS (
+  SELECT source, doc_id, md5(cast(doc_id AS VARCHAR)) AS h,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER w AS pack_order,
+         cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset,
+         cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS last_offset
+  FROM sized WINDOW w AS (PARTITION BY source ORDER BY h, doc_id)
+)
+SELECT source, doc_id, n_tokens, pack_order, start_offset,
+       start_offset // 512 AS start_bin,
+       last_offset // 512  AS end_bin
+FROM placed ORDER BY source, pack_order
+""",
+    doc="contiguous sequence packing per training shard: docs laid "
+    "end-to-end in deterministic md5(id) order, chunked at 512 tokens "
+    "(shard-partitioned running offset — no global sort; docs straddling "
+    "a boundary report start_bin != end_bin)",
+    tags=("text", "packing"),
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    return pack_sequences(d, capacity=512).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "pack_order",
+        "start_offset",
+        "start_bin",
+        "end_bin",
+    ).orderBy("source", "pack_order")
+
+
+@register(
+    "contamination_check",
+    oracle="""
+WITH split AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
+              WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), sh AS (
+  SELECT doc_id, split, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS shingle
+  FROM split
+)
+SELECT e.doc_id AS test_doc, e.split,
+       count(DISTINCT e.shingle) AS n_shared_shingles,
+       count(DISTINCT tr.doc_id) AS n_train_docs
+FROM sh e JOIN sh tr ON tr.shingle = e.shingle AND tr.split = 'train'
+WHERE e.split != 'train'
+GROUP BY e.doc_id, e.split
+ORDER BY test_doc
+""",
+    doc="train/eval contamination scan: eval docs sharing any 5-token "
+    "shingle with a training doc (hash split -> shingle equi-join; the "
+    "linear-scale alternative to pairwise comparison)",
+    tags=("text", "dedup", "sampling"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import contamination, hash_split
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "split", hash_split(F.col("doc_id"))
+    )
+    return (
+        contamination(d, shingle_n=5)
+        .select("test_doc", F.col("split"), "n_shared_shingles", "n_train_docs")
+        .orderBy("test_doc")
+    )

@@ -116,3 +116,45 @@ class TestNearestCentroid:
         )
         assert assigned.count() == 40
         assert assigned.select("vec_id").distinct().count() == 40
+
+
+class TestPacking:
+    def test_offsets_are_contiguous_within_shard(self, spark):
+        rows = [(i, "s0", " ".join(["w"] * (10 + i))) for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        packed = text_analysis.pack_sequences(df, capacity=16).orderBy("pack_order")
+        out = packed.collect()
+        # each doc starts exactly where the previous one ended
+        offset = 0
+        for r in out:
+            assert r["start_offset"] == offset
+            offset += r["n_tokens"]
+        # bin ids follow from offsets
+        for r in out:
+            assert r["start_bin"] == r["start_offset"] // 16
+            assert r["end_bin"] == (r["start_offset"] + r["n_tokens"] - 1) // 16
+
+    def test_shards_pack_independently(self, spark):
+        rows = [(1, "a", "x y z"), (2, "b", "x y z"), (3, "a", "x y")]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {
+            (r["source"], r["doc_id"]): r["start_offset"]
+            for r in text_analysis.pack_sequences(df, capacity=4).collect()
+        }
+        # each shard starts at offset 0 regardless of the other shard
+        assert 0 in [v for (s, _), v in out.items() if s == "a"]
+        assert out[("b", 2)] == 0
+
+
+class TestContamination:
+    def test_planted_overlap_is_found_and_clean_docs_are_not(self, spark):
+        train_text = "one two three four five six seven eight"
+        rows = [
+            (1, train_text, "train"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "test"),  # clean
+            (3, "zz one two three four five yy", "test"),  # shares a 5-gram
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+        out = {r["test_doc"]: r for r in text_analysis.contamination(df, 5).collect()}
+        assert 3 in out and 2 not in out
+        assert out[3]["n_train_docs"] == 1
