@@ -98,3 +98,16 @@ def windowed_vehicle_counts(documents: DataFrame, slide: str | None = None) -> D
             "n_observations",
         )
     )
+
+
+def enrich_stream(documents: DataFrame, route_dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join each streamed observation with a
+    static route dimension on lineId. Spark plans the static side as a
+    broadcast against every micro-batch (no state, no watermark needed) —
+    the standard pattern for attaching slowly-changing reference data to a
+    live feed. The dim is re-resolved per batch, so replacing the parquet
+    under it picks up new attributes without restarting the query."""
+    flat = explode_features(documents).select(
+        "uuid", "timestamp", "lineId", "direction", "coordinates_0", "coordinates_1"
+    )
+    return flat.join(F.broadcast(route_dim), "lineId", "left")

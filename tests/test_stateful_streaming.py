@@ -120,3 +120,43 @@ def test_streaming_odometer_matches_batch_total(spark, tmp_path, snapshots):
     for uuid, (total_m, n_fixes) in got.items():
         assert n_fixes == want[uuid][1]
         assert total_m == pytest.approx(want[uuid][0], rel=1e-4)
+
+
+def test_stream_static_enrichment(spark, tmp_path, snapshots):
+    """Every streamed observation picks up its route attributes from the
+    static dim; lineIds absent from the dim survive with nulls (left)."""
+    from mobilitydatalakebenchmark_spark.streaming.ingest import enrich_stream
+
+    data_dir = str(tmp_path / "data")
+    write_snapshot_dir(snapshots, data_dir)
+    line_ids = sorted(
+        {
+            f["properties"]["lineId"]
+            for _, doc in snapshots
+            for f in doc["features"]
+        }
+    )
+    # dim covers all but the last lineId -> that one must keep null attrs
+    dim = spark.createDataFrame(
+        [(lid, f"route-{lid}", i % 3) for i, lid in enumerate(line_ids[:-1])],
+        "lineId string, route_name string, zone int",
+    )
+    stream = read_snapshot_stream(spark, data_dir)
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM enriched")
+    n_obs = sum(len(doc["features"]) for _, doc in snapshots)
+    assert got.count() == n_obs  # left join: nothing dropped or duplicated
+    covered = got.filter(F.col("lineId") != line_ids[-1])
+    assert covered.filter(F.col("route_name").isNull()).count() == 0
+    uncovered = got.filter(F.col("lineId") == line_ids[-1])
+    assert uncovered.count() > 0
+    assert uncovered.filter(F.col("route_name").isNotNull()).count() == 0

@@ -1,0 +1,113 @@
+"""Scaling probe: replicate the test tables k-fold (key-consistent) and
+time selected gate queries at 1x vs kx to expose any super-linear operator.
+
+Replica i shifts every join key by i * (max key + 1), so joins stay
+key-consistent and selectivities are preserved: k x rows -> k x matches,
+never k^2. Dimension tables that the queries treat as fixed vocabularies
+(nation, region) are NOT replicated.
+
+Usage: python tools/scale_probe.py [k] [sf_dir] [query ...]
+Writes replicated parquet under /tmp/scale_probe_kx and prints one JSON
+line per query: {"query": ..., "base_s": ..., "scaled_s": ..., "ratio": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.plans import load_registry
+from mobilitydatalakebenchmark_spark.session import get_spark, read_table
+
+DEFAULT_QUERIES = [
+    "flagship_pricing_summary",
+    "tpch_q5_style_regional_revenue",
+    "tpch_q18_style_large_orders",
+    "text_tfidf_keywords",
+    "contamination_check",
+    "vec_nearest_centroid_confusion",
+    "cohort_retention",
+    "trajectory_step_metrics",
+    "pack_sequences_contiguous",
+]
+
+# table -> columns shifted per replica (key families must shift together)
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_TABLES = ["nation", "region"]
+
+
+def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    for table, keys in SHIFT_KEYS.items():
+        df = read_table(spark, sf_dir, table)
+        maxes = df.agg(*[F.max(c).alias(c) for c in keys]).first()
+        parts = []
+        for i in range(k):
+            rep = df
+            for c in keys:
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * (maxes[c] + 1)))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+    for table in COPY_TABLES:
+        read_table(spark, sf_dir, table).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+
+
+def time_query(registry, name, spark, sf_dir) -> float:
+    best = float("inf")
+    for _ in range(2):  # min of 2: drop JIT/listing noise
+        t0 = time.time()
+        registry[name].spark(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    queries = sys.argv[3:] or DEFAULT_QUERIES
+    out_dir = f"/tmp/scale_probe_{k}x"
+    registry = load_registry()
+    spark = get_spark(
+        "scale_probe", extra_conf={"spark.sql.files.maxPartitionBytes": "8m"}
+    )
+    replicate(spark, sf_dir, out_dir, k)
+    for name in queries:
+        base = time_query(registry, name, spark, sf_dir)
+        scaled = time_query(registry, name, spark, out_dir)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "k": k,
+                    "base_s": base,
+                    "scaled_s": scaled,
+                    "ratio": round(scaled / base, 2) if base else None,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
