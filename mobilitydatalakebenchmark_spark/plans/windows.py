@@ -615,3 +615,36 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_date", "day_offset")
     )
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+SELECT event_type,
+       min(cast(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       max(cast(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       count(DISTINCT cast(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k
+FROM events
+WHERE cast(json_extract_string(props, '$.k') AS INT) % 7 = 0
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="semi-structured VARIANT path (Spark 4 parse_json/variant_get): "
+    "the open-schema alternative to get_json_object — parse once, typed "
+    "extraction + predicate on the extracted value; DuckDB twin uses its "
+    "JSON extraction (the semantics, not the encoding, are the contract)",
+    tags=("json", "variant"),
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 7 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
