@@ -228,3 +228,66 @@ def trajectory_step_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "resample_linear_grid",
+    oracle="""
+WITH b AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events WHERE user_id < 10 GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(
+             cast(ceil(t0 / 21600000000.0) * 21600000000 AS BIGINT),
+             t1, 21600000000)) AS gus,
+         TRUE AS is_grid, cast(NULL AS DOUBLE) AS v
+  FROM b
+), obs AS (
+  SELECT user_id, epoch_us(ts) AS gus, FALSE AS is_grid, value AS v
+  FROM events WHERE user_id < 10
+), m AS (
+  SELECT * FROM obs UNION ALL SELECT * FROM grid
+), w AS (
+  SELECT user_id, gus, is_grid,
+    last_value(CASE WHEN NOT is_grid THEN gus END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY gus, is_grid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pus,
+    last_value(CASE WHEN NOT is_grid THEN v END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY gus, is_grid
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN NOT is_grid THEN gus END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY gus, is_grid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nus,
+    first_value(CASE WHEN NOT is_grid THEN v END IGNORE NULLS) OVER
+      (PARTITION BY user_id ORDER BY gus, is_grid
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM m
+)
+SELECT user_id,
+       strftime(make_timestamp(gus), '%Y-%m-%d %H:%M:%S') AS grid_ts,
+       round(coalesce(
+           pv + (nv - pv) * (CASE WHEN nus > pus
+                                  THEN (gus - pus) * 1.0 / (nus - pus)
+                                  ELSE 0 END), pv, nv), 4) AS value_interp
+FROM w WHERE is_grid ORDER BY user_id, gus
+""",
+    doc="regular-grid resampling with linear interpolation "
+    "(operators/resample.py): per-entity 6h grid via sequence(), nearest "
+    "real observations carried by IGNORE NULLS window frames, lerp "
+    "between them — gap repair for irregular feeds, one entity-keyed "
+    "shuffle and no joins",
+    tags=("mobility", "time", "resample"),
+)
+def resample_linear_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.resample import resample_linear
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    out = resample_linear(
+        ev, step_s=21600, id_col="user_id", ts_col="ts", val_cols=("value",)
+    )
+    return out.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.round("value_interp", 4).alias("value_interp"),
+    ).orderBy("user_id", "grid_ts")

@@ -113,3 +113,56 @@ class TestStops:
             _track(spark, rows), speed_thresh_mps=0.5, min_duration_s=60
         ).collect()
         assert stops == []
+
+
+class TestResample:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "uuid string, ts timestamp, value double")
+
+    def test_linear_ramp_is_exact(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.resample import resample_linear
+
+        df = self._df(
+            spark,
+            [("v", at(0), 0.0), ("v", at(100), 100.0), ("v", at(130), 40.0)],
+        )
+        out = [
+            (r["grid_ts"], round(r["value_interp"], 6))
+            for r in resample_linear(df, step_s=30).orderBy("grid_ts").collect()
+        ]
+        assert out == [
+            (at(0), 0.0),       # coincides with an observation
+            (at(30), 30.0),     # on the 0->100 ramp
+            (at(60), 60.0),
+            (at(90), 90.0),
+            (at(120), 60.0),    # 2/3 along the 100->40 segment
+        ]
+
+    def test_grid_is_phase_aligned_not_anchored_to_first_obs(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.resample import resample_linear
+
+        # first observation at t=13s -> first grid point is t=30, not t=13
+        df = self._df(spark, [("v", at(13), 1.0), ("v", at(73), 7.0)])
+        out = resample_linear(df, step_s=30).orderBy("grid_ts").collect()
+        assert [r["grid_ts"] for r in out] == [at(30), at(60)]
+
+    def test_entities_resample_independently(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.resample import resample_linear
+
+        df = self._df(
+            spark,
+            [("a", at(0), 0.0), ("a", at(60), 60.0), ("b", at(0), 5.0), ("b", at(30), 5.0)],
+        )
+        out = resample_linear(df, step_s=30).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r["uuid"], []).append(r["value_interp"])
+        assert sorted(by_id["a"]) == [0.0, 30.0, 60.0]
+        assert by_id["b"] == [5.0, 5.0]
+
+    def test_single_observation_clamps(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.resample import resample_linear
+
+        df = self._df(spark, [("v", at(30), 9.0)])
+        out = resample_linear(df, step_s=30).collect()
+        assert len(out) == 1 and out[0]["value_interp"] == 9.0
