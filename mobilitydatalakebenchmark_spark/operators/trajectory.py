@@ -135,3 +135,67 @@ def detect_stops(
         )
         .drop("run_key")
     )
+
+
+def simplify_tracks(
+    df: DataFrame,
+    tolerance_deg: float = 1e-4,
+    id_col: str = "uuid",
+    ts_col: str = "ts",
+    lon_col: str = "coordinates_0",
+    lat_col: str = "coordinates_1",
+) -> DataFrame:
+    """Douglas-Peucker polyline simplification per vehicle track: drop
+    fixes whose perpendicular deviation from the segment between kept
+    neighbors is below `tolerance_deg` (planar degrees — fine at city
+    scale). Endpoints always survive.
+
+    This is the one trajectory operator that is genuinely NOT a window
+    expression (recursive split on the max-deviation point), so it runs
+    as an applyInPandas grouped-map kernel: Arrow-batched numpy per
+    vehicle, state never crosses vehicles, shuffle keyed by vehicle —
+    the sanctioned slow path (SURVEY §2.8), used only where declarative
+    operators cannot express the semantics."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def _dp_mask(xs: "np.ndarray", ys: "np.ndarray", tol: float) -> "np.ndarray":
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            a, b = stack.pop()
+            if b - a < 2:
+                continue
+            dx, dy = xs[b] - xs[a], ys[b] - ys[a]
+            seg_len = np.hypot(dx, dy)
+            px, py = xs[a + 1 : b], ys[a + 1 : b]
+            if seg_len == 0.0:
+                dist = np.hypot(px - xs[a], py - ys[a])
+            else:
+                dist = np.abs(dx * (ys[a] - py) - dy * (xs[a] - px)) / seg_len
+            i = int(np.argmax(dist))
+            if dist[i] > tol:
+                m = a + 1 + i
+                keep[m] = True
+                stack.append((a, m))
+                stack.append((m, b))
+        return keep
+
+    def _simplify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        if len(pdf) <= 2:
+            return pdf
+        mask = _dp_mask(
+            pdf[lon_col].to_numpy(dtype="f8"),
+            pdf[lat_col].to_numpy(dtype="f8"),
+            tolerance_deg,
+        )
+        return pdf[mask]
+
+    return df.groupBy(id_col).applyInPandas(_simplify, schema=out_schema)

@@ -166,3 +166,36 @@ class TestResample:
         df = self._df(spark, [("v", at(30), 9.0)])
         out = resample_linear(df, step_s=30).collect()
         assert len(out) == 1 and out[0]["value_interp"] == 9.0
+
+
+class TestSimplify:
+    def test_collinear_points_are_dropped_endpoints_kept(self, spark):
+        rows = [("v", at(i * 20), 4.0 + 0.001 * i, 50.0) for i in range(10)]
+        out = trajectory.simplify_tracks(_track(spark, rows), tolerance_deg=1e-5)
+        kept = sorted(r["ts"] for r in out.collect())
+        assert kept == [at(0), at(180)]  # straight line -> 2 endpoints
+
+    def test_corner_survives(self, spark):
+        # L-shaped track: the corner point deviates far beyond tolerance
+        rows = (
+            [("v", at(i * 20), 4.0 + 0.01 * i, 50.0) for i in range(5)]
+            + [("v", at((5 + i) * 20), 4.04, 50.0 + 0.01 * (i + 1)) for i in range(5)]
+        )
+        out = trajectory.simplify_tracks(_track(spark, rows), tolerance_deg=1e-4)
+        kept = sorted(r["ts"] for r in out.collect())
+        assert at(0) in kept and at(9 * 20) in kept
+        assert at(4 * 20) in kept  # the corner
+        assert len(kept) == 3
+
+    def test_zigzag_above_tolerance_keeps_everything(self, spark):
+        rows = [
+            ("v", at(i * 20), 4.0 + 0.01 * i, 50.0 + (0.02 if i % 2 else 0.0))
+            for i in range(6)
+        ]
+        out = trajectory.simplify_tracks(_track(spark, rows), tolerance_deg=1e-4)
+        assert out.count() == 6
+
+    def test_tracks_are_independent_and_short_tracks_pass_through(self, spark):
+        rows = [("a", at(0), 4.0, 50.0), ("a", at(20), 5.0, 50.0), ("b", at(0), 9.0, 9.0)]
+        out = trajectory.simplify_tracks(_track(spark, rows))
+        assert out.count() == 3
