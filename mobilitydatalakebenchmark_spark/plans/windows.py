@@ -648,3 +648,32 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_percentiles",
+    oracle=None,  # sketch-based: Spark's GK/KLL result differs from any
+    # exact or DuckDB approximation by design; the exact twin is the
+    # quantiles_exact gate, and the test bounds the sketch error vs it
+    doc="approximate percentiles via percentile_approx (mergeable sketch: "
+    "partial aggregation works at any scale; accuracy knob = the last "
+    "argument). Exact counterpart: quantiles_exact.",
+    tags=("agg", "sketch"),
+)
+def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p_approx"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("p_approx")[0], 2).alias("p50"),
+            F.round(F.col("p_approx")[1], 2).alias("p95"),
+            F.round(F.col("p_approx")[2], 2).alias("p99"),
+            "n",
+        )
+        .orderBy("event_type")
+    )

@@ -158,3 +158,18 @@ class TestContamination:
         out = {r["test_doc"]: r for r in text_analysis.contamination(df, 5).collect()}
         assert 3 in out and 2 not in out
         assert out[3]["n_train_docs"] == 1
+
+
+class TestSketchPercentiles:
+    def test_sketch_tracks_exact_quantiles(self, spark):
+        import random
+
+        rng = random.Random(9)
+        rows = [(i, rng.uniform(0, 1000)) for i in range(20000)]
+        df = spark.createDataFrame(rows, "i long, value double")
+        approx = df.agg(
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("a")
+        ).first()["a"]
+        exact = df.agg(F.expr("percentile(value, array(0.5, 0.95))").alias("e")).first()["e"]
+        for a, e in zip(approx, exact):
+            assert a == pytest.approx(e, rel=0.02)
