@@ -35,10 +35,17 @@ def resample_linear(
     # ceil-align the grid start to the step so grids are phase-stable
     # across entities: first point = ceil(t0/step)*step
     grid_start = (-F.floor(-F.col("_t0") / step_us) * step_us).cast("long")
+    # an entity whose span contains no grid multiple (e.g. a single
+    # observation between grid points) gets an EMPTY grid — same as the
+    # SQL generate_series contract; an unguarded sequence() would throw
+    # on grid_start > _t1 and abort the whole job
     grid = bounds.select(
         id_col,
         F.explode(
-            F.sequence(grid_start, F.col("_t1"), step_us.cast("long"))
+            F.when(
+                grid_start <= F.col("_t1"),
+                F.sequence(grid_start, F.col("_t1"), step_us.cast("long")),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("_gus"),
     ).withColumn("_is_grid", F.lit(True))
 
