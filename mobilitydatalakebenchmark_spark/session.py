@@ -58,18 +58,53 @@ def get_spark(
     return spark
 
 
+# Tables whose downstream pipelines are dominated by per-row expression
+# work (shingling, hashing, vector math) rather than scan+agg throughput.
+_PER_ROW_HEAVY = {"documents", "embeddings"}
+# Below this size a parquet file is typically a single row group, so the
+# scan cannot parallelize no matter how small the split size is.
+_SMALL_SCAN_BYTES = 64 * 1024 * 1024
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver test table with the engine's normalizations applied
     (events.parquet stores TIMESTAMP(NANOS): read nanos-as-long — runtime-
     settable, so an externally-built session works — and rebuild micros via
-    integer division)."""
+    integer division).
+
+    Small-file parallelism rescue: the driver's test tables are single
+    row-group files, so the scan is one task regardless of split size and
+    every per-row-heavy pipeline (shingles, minhash, per-vector kernels)
+    runs on one core until its first shuffle. For the tables where that
+    per-row work dominates, round-robin repartition to the session's core
+    count right after the scan — filters still push down through the
+    repartition, and at production scale (multi-row-group / multi-file
+    tables over the size cutoff) this branch never triggers."""
+    import os as _os
+
     from pyspark.sql import functions as F
 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name in _PER_ROW_HEAVY:
+        try:
+            size = (
+                _os.path.getsize(path)
+                if _os.path.isfile(path)
+                else sum(
+                    _os.path.getsize(_os.path.join(root, f))
+                    for root, _, files in _os.walk(path)
+                    for f in files
+                )
+            )
+        except OSError:
+            size = _SMALL_SCAN_BYTES
+        if size < _SMALL_SCAN_BYTES:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
