@@ -208,6 +208,53 @@ def ivf_index(
     return corpus.join(assigned, id_col), cent_pdf
 
 
+def assign_nearest_centroid_numpy(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Numpy twin of `assign_nearest_centroid`: one mapInPandas pass scoring
+    every vector against the (collected, tiny) centroid matrix with a
+    blocked matmul instead of |labels| interpreted array-lambda cosines per
+    row. Same semantics: argmax by (sim desc, c_label asc) — centroid rows
+    are sorted by label ascending so numpy's first-max argmax applies the
+    tie-break. Scale: centroid matrix is |labels|x dim (KBs, ships in the
+    closure); the vector side streams through Arrow batches, no shuffle."""
+    import numpy as np
+
+    cent_pdf = centroids.orderBy("c_label").toPandas()
+    labels = cent_pdf["c_label"].to_numpy()
+    cents = np.vstack(cent_pdf["centroid"].to_numpy()).astype("float64")
+    c_norm = np.linalg.norm(cents, axis=1)
+    label_type = dict(centroids.dtypes)["c_label"]
+    keep_struct = ", ".join(
+        f"{k} {dict(df.dtypes)[k]}" for k in keep_cols
+    )
+    schema = (
+        f"{id_col} long, "
+        + (keep_struct + ", " if keep_struct else "")
+        + f"sim double, assigned_label {label_type}"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            sims = (mat @ cents.T) / np.outer(np.linalg.norm(mat, axis=1), c_norm)
+            best = sims.argmax(axis=1)
+            out = {id_col: pdf[id_col]}
+            for k in keep_cols:
+                out[k] = pdf[k]
+            out["sim"] = sims[np.arange(len(best)), best]
+            out["assigned_label"] = labels[best]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, *keep_cols, vec_col).mapInPandas(kernel, schema)
+
+
 def ivf_topk(
     indexed_corpus: DataFrame,
     centroids_pdf: "pd.DataFrame",

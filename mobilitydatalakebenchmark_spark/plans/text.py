@@ -637,8 +637,14 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-    tf = words.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dlen = words.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    # df and n_docs are corpus-wide by definition; tf, doc length and the
+    # per-doc rank only matter for the doc_id < 100 slice — push that
+    # filter below the explode so the heavy aggs scan 100 docs, not all
+    words_out = d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = words_out.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dlen = words_out.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     dfreq = words.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -658,7 +664,7 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tfidf")
         .orderBy("doc_id", F.desc("tfidf"), "token")
     )

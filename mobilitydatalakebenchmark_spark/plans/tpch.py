@@ -328,11 +328,17 @@ def tpch_q18_style_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sq") > 150)
         .select("l_orderkey")
     )
+    # restrict ORDERS to the big keys first: the enriched order side is then
+    # |big| rows and broadcasts, so lineitem is touched by broadcast joins
+    # only (its single shuffle is the `big` agg) — no fact-fact shuffle join
+    o_big = o.join(
+        F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
+        o.o_orderkey == F.col("bk"),
+        "left_semi",
+    )
     return (
-        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")),
-                li.l_orderkey == F.col("bk"), "left_semi")
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(F.broadcast(o_big), li.l_orderkey == o_big.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(

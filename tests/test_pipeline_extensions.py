@@ -105,6 +105,27 @@ class TestNearestCentroid:
         agree = assigned.filter("label = assigned_label").count()
         assert agree == 90  # well-separated planted clusters: perfect recall
 
+    def test_numpy_twin_matches_expression_path(self, spark):
+        rng = random.Random(5)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(6)], i % 4) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        cents = similarity.label_centroids(df, dim=6)
+        expr = {
+            r["vec_id"]: (r["assigned_label"], round(r["sim"], 9))
+            for r in similarity.assign_nearest_centroid(
+                df, cents, keep_cols=("label",)
+            ).collect()
+        }
+        np_ = {
+            r["vec_id"]: (r["assigned_label"], round(r["sim"], 9))
+            for r in similarity.assign_nearest_centroid_numpy(
+                df, cents, keep_cols=("label",)
+            ).collect()
+        }
+        assert expr == np_
+
     def test_assignment_has_one_row_per_vector(self, spark):
         rng = random.Random(4)
         rows = [
