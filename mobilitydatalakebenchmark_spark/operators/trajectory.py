@@ -199,3 +199,75 @@ def simplify_tracks(
         return pdf[mask]
 
     return df.groupBy(id_col).applyInPandas(_simplify, schema=out_schema)
+
+
+def proximity_pairs(
+    df: DataFrame,
+    radius_m: float,
+    id_col: str = "uuid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_lat_deg: float | None = None,
+    cell_lon_deg: float | None = None,
+) -> DataFrame:
+    """All point pairs within ``radius_m`` meters (great-circle), via a
+    grid-bucketed self-join: assign each point its (lat, lon) grid cell,
+    explode one side to the 3x3 neighbor cells, equi-join on the cell key,
+    then verify the exact haversine distance. Output: one row per unordered
+    pair (id_a < id_b) with `dist_m`.
+
+    Scale: the naive pair scan is O(n²); this is linear in points + true
+    pairs — the shuffle key is the grid cell, so co-located points land in
+    the same partition and everything else never meets. Each pair is
+    emitted exactly once (the probe side lives in exactly one cell, the
+    exploded side covers it once). Skewed cells (dense urban cores) are
+    AQE-split like any skewed join key.
+
+    Cell sizes must be at least the largest degree-span of ``radius_m``
+    anywhere in the data; the defaults derive from the worst case at
+    |lat| <= 80 deg (meters per lon degree shrinks with cos(lat)).
+    """
+    if cell_lat_deg is None:
+        cell_lat_deg = radius_m / 110574.0 * 1.1
+    if cell_lon_deg is None:
+        import math
+
+        cell_lon_deg = radius_m / (111320.0 * math.cos(math.radians(80.0))) * 1.1
+
+    cx = F.floor(F.col(lat_col) / cell_lat_deg).cast("long")
+    cy = F.floor(F.col(lon_col) / cell_lon_deg).cast("long")
+    pts = df.select(
+        F.col(id_col), F.col(lat_col), F.col(lon_col), cx.alias("_cx"), cy.alias("_cy")
+    )
+    neighbors = F.array(
+        *[
+            F.struct(
+                (F.col("_cx") + dx).alias("cx"), (F.col("_cy") + dy).alias("cy")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("lat_a"),
+        F.col(lon_col).alias("lon_a"),
+        F.explode(neighbors).alias("_cell"),
+    ).select("id_a", "lat_a", "lon_a", "_cell.cx", "_cell.cy")
+    b = pts.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lat_b"),
+        F.col(lon_col).alias("lon_b"),
+        F.col("_cx").alias("cx"),
+        F.col("_cy").alias("cy"),
+    )
+    dist = haversine_m(
+        F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")
+    )
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist_m", F.round(dist, 2))
+        .filter(F.col("dist_m") <= radius_m)
+        .select("id_a", "id_b", "dist_m")
+    )

@@ -291,3 +291,73 @@ def resample_linear_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         F.round("value_interp", 4).alias("value_interp"),
     ).orderBy("user_id", "grid_ts")
+
+
+# proximity grid-join cell sizes: must cover the largest degree-span of the
+# 50 km radius anywhere at |lat| <= 80 deg; identical literals go into the
+# Spark call and the oracle SQL so both engines bucket identically.
+_PROX_RADIUS_M = 50000.0
+_PROX_CELL_LAT = 0.4974044531264131  # 50000/110574 * 1.1
+_PROX_CELL_LON = 2.8452423335689883  # 50000/(111320*cos(80 deg)) * 1.1
+_PROX_HAVERSINE = """round(2 * 6371008.8 * asin(sqrt(
+           sin(radians(b.lat - a.lat) / 2) ^ 2
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin(radians(b.lon - a.lon) / 2) ^ 2)), 2)"""
+
+
+@register(
+    "proximity_grid_join",
+    oracle=f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+), fix AS (
+  SELECT user_id, value % 80.0 AS lat, (value * 3.7) % 160.0 AS lon
+  FROM ranked WHERE rk = 1
+), cells AS (
+  SELECT user_id, lat, lon,
+         cast(floor(lat / {_PROX_CELL_LAT!r}) AS BIGINT) AS cx,
+         cast(floor(lon / {_PROX_CELL_LON!r}) AS BIGINT) AS cy
+  FROM fix
+)
+SELECT a.user_id AS id_a, b.user_id AS id_b,
+       {_PROX_HAVERSINE} AS dist_m
+FROM cells a JOIN cells b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+ AND a.user_id < b.user_id
+WHERE {_PROX_HAVERSINE} <= {_PROX_RADIUS_M!r}
+ORDER BY id_a, id_b
+""",
+    doc="spatial proximity self-join (operators/trajectory.proximity_pairs): "
+    "latest fix per entity, grid-cell bucketing + 3x3 neighbor-cell "
+    "equi-join + exact haversine verify — every entity pair within 50 km, "
+    "linear in points + true pairs instead of O(n²); the oracle's "
+    "adjacent-cell theta join computes the identical pair set",
+    tags=("mobility", "join", "spatial"),
+)
+def proximity_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import proximity_pairs
+
+    ev = t(spark, sf_dir, "events")
+    # latest fix per entity as a struct-max aggregate (no window sort):
+    # lexicographic (ts, event_id) max == the oracle's row_number() desc pick
+    last = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "value")).alias("_s")
+    )
+    fix = last.select(
+        "user_id",
+        (F.col("_s.value") % 80.0).alias("lat"),
+        ((F.col("_s.value") * 3.7) % 160.0).alias("lon"),
+    )
+    pairs = proximity_pairs(
+        fix,
+        _PROX_RADIUS_M,
+        id_col="user_id",
+        cell_lat_deg=_PROX_CELL_LAT,
+        cell_lon_deg=_PROX_CELL_LON,
+    )
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.col("dist_m")
+    ).orderBy("id_a", "id_b")

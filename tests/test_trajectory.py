@@ -199,3 +199,52 @@ class TestSimplify:
         rows = [("a", at(0), 4.0, 50.0), ("a", at(20), 5.0, 50.0), ("b", at(0), 9.0, 9.0)]
         out = trajectory.simplify_tracks(_track(spark, rows))
         assert out.count() == 3
+
+
+class TestProximityPairs:
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import math
+        import random
+
+        rng = random.Random(11)
+        pts = [
+            (i, rng.uniform(0.0, 2.0), rng.uniform(0.0, 4.0)) for i in range(80)
+        ]
+        df = spark.createDataFrame(pts, "uuid long, lat double, lon double")
+        radius = 30000.0
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in trajectory.proximity_pairs(df, radius).collect()
+        }
+
+        def hav(a, b):
+            dlat = math.radians(b[1] - a[1])
+            dlon = math.radians(b[2] - a[2])
+            x = (
+                math.sin(dlat / 2) ** 2
+                + math.cos(math.radians(a[1]))
+                * math.cos(math.radians(b[1]))
+                * math.sin(dlon / 2) ** 2
+            )
+            return 2 * 6371008.8 * math.asin(math.sqrt(x))
+
+        want = {
+            (a[0], b[0])
+            for a, b in itertools.combinations(pts, 2)
+            if round(hav(a, b), 2) <= radius
+        }
+        assert got == want and len(want) > 0
+
+    def test_each_pair_emitted_once(self, spark):
+        # two points in the same cell and two straddling a cell boundary
+        df = spark.createDataFrame(
+            [(1, 0.01, 0.01), (2, 0.02, 0.02), (3, 0.497, 0.01), (4, 0.498, 0.01)],
+            "uuid long, lat double, lon double",
+        )
+        out = trajectory.proximity_pairs(df, 50000.0).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in out]
+        assert len(pairs) == len(set(pairs))
+        # 1-2 share a cell; 3-4 straddle the lat-cell boundary (found via
+        # neighbor expansion); 1/2 vs 3/4 are ~54 km apart — outside radius
+        assert set(pairs) == {(1, 2), (3, 4)}
