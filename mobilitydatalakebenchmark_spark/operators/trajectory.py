@@ -271,3 +271,92 @@ def proximity_pairs(
         .filter(F.col("dist_m") <= radius_m)
         .select("id_a", "id_b", "dist_m")
     )
+
+
+def co_location_pairs(
+    df: DataFrame,
+    radius_m: float,
+    window_s: int,
+    id_col: str = "uuid",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_lat_deg: float | None = None,
+    cell_lon_deg: float | None = None,
+) -> DataFrame:
+    """Spatiotemporal co-location: entity pairs that were within
+    ``radius_m`` meters AND ``window_s`` seconds of each other, aggregated
+    per pair (contact count + closest approach). The contact-tracing /
+    encounter-mining primitive over observation histories.
+
+    Same grid trick as `proximity_pairs` with time as a third bucket axis:
+    one side explodes to its 3x3x3 neighbor (lat-cell, lon-cell,
+    time-bucket) keys, the other keeps its single key, so the join is an
+    equi-join on the composite bucket — linear in observations + true
+    contacts. A probe observation owns exactly one bucket, so each
+    observation pair meets exactly once; exact distance and |dt| are
+    verified post-join. Time buckets are integer-divided epoch micros
+    (exact, no float drift)."""
+    if cell_lat_deg is None:
+        cell_lat_deg = radius_m / 110574.0 * 1.1
+    if cell_lon_deg is None:
+        import math
+
+        cell_lon_deg = radius_m / (111320.0 * math.cos(math.radians(80.0))) * 1.1
+
+    tus = F.unix_micros(F.col(ts_col))
+    pts = df.select(
+        F.col(id_col),
+        F.col(lat_col),
+        F.col(lon_col),
+        tus.alias("_tus"),
+        F.floor(F.col(lat_col) / cell_lat_deg).cast("long").alias("_cx"),
+        F.floor(F.col(lon_col) / cell_lon_deg).cast("long").alias("_cy"),
+        # integer division (SQL `div`) — exact at epoch-micro magnitudes,
+        # where a double-divide-then-floor can land on the wrong bucket
+        F.expr(f"unix_micros({ts_col}) div {window_s * 1_000_000}").alias("_tb"),
+    )
+    neighbors = F.array(
+        *[
+            F.struct(
+                (F.col("_cx") + dx).alias("cx"),
+                (F.col("_cy") + dy).alias("cy"),
+                (F.col("_tb") + dt).alias("tb"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dt in (-1, 0, 1)
+        ]
+    )
+    a = pts.select(
+        F.col(id_col).alias("id_a"),
+        F.col(lat_col).alias("lat_a"),
+        F.col(lon_col).alias("lon_a"),
+        F.col("_tus").alias("tus_a"),
+        F.explode(neighbors).alias("_cell"),
+    ).select("id_a", "lat_a", "lon_a", "tus_a", "_cell.cx", "_cell.cy", "_cell.tb")
+    b = pts.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).alias("lat_b"),
+        F.col(lon_col).alias("lon_b"),
+        F.col("_tus").alias("tus_b"),
+        F.col("_cx").alias("cx"),
+        F.col("_cy").alias("cy"),
+        F.col("_tb").alias("tb"),
+    )
+    dist = F.round(
+        haversine_m(F.col("lat_a"), F.col("lon_a"), F.col("lat_b"), F.col("lon_b")), 2
+    )
+    contacts = (
+        a.join(b, ["cx", "cy", "tb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.col("tus_a") - F.col("tus_b")) <= F.lit(window_s * 1_000_000)
+        )
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= radius_m)
+    )
+    return contacts.groupBy("id_a", "id_b").agg(
+        F.count("*").alias("n_contacts"),
+        F.min("dist_m").alias("min_dist_m"),
+    )

@@ -361,3 +361,67 @@ def proximity_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("id_a"), F.col("id_b"), F.col("dist_m")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "co_location_contacts",
+    oracle=f"""
+WITH cells AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         value % 80.0 AS lat, (value * 3.7) % 160.0 AS lon,
+         cast(floor((value % 80.0) / {_PROX_CELL_LAT!r}) AS BIGINT) AS cx,
+         cast(floor(((value * 3.7) % 160.0) / {_PROX_CELL_LON!r}) AS BIGINT) AS cy,
+         epoch_us(ts) // 3600000000 AS tb
+  FROM events
+), offs AS (
+  SELECT x.a AS dx, y.a AS dy, t.a AS dt
+  FROM (VALUES (-1),(0),(1)) x(a), (VALUES (-1),(0),(1)) y(a), (VALUES (-1),(0),(1)) t(a)
+), aexp AS (
+  SELECT c.user_id, c.tus, c.lat, c.lon,
+         c.cx + o.dx AS jx, c.cy + o.dy AS jy, c.tb + o.dt AS jt
+  FROM cells c CROSS JOIN offs o
+), contacts AS (
+  SELECT a.user_id AS id_a, b.user_id AS id_b,
+         {_PROX_HAVERSINE} AS dist_m
+  FROM aexp a JOIN cells b
+    ON a.jx = b.cx AND a.jy = b.cy AND a.jt = b.tb
+   AND a.user_id < b.user_id
+  WHERE abs(a.tus - b.tus) <= 3600000000
+)
+SELECT id_a, id_b,
+       cast(count(*) AS BIGINT) AS n_contacts,
+       min(dist_m) AS min_dist_m
+FROM contacts WHERE dist_m <= {_PROX_RADIUS_M!r}
+GROUP BY id_a, id_b
+ORDER BY id_a, id_b
+""",
+    doc="spatiotemporal co-location (operators/trajectory.co_location_pairs): "
+    "entity pairs within 50 km AND 1 h of each other across full histories, "
+    "per-pair contact count + closest approach — 3x3x3 neighbor-bucket "
+    "equi-join on (lat cell, lon cell, time bucket), exact distance/|dt| "
+    "verify; the contact-tracing / encounter-mining primitive, linear in "
+    "observations + true contacts",
+    tags=("mobility", "join", "spatial", "time"),
+)
+def co_location_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import co_location_pairs
+
+    ev = t(spark, sf_dir, "events")
+    fixes = ev.select(
+        "user_id",
+        "ts",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    out = co_location_pairs(
+        fixes,
+        _PROX_RADIUS_M,
+        3600,
+        id_col="user_id",
+        ts_col="ts",
+        cell_lat_deg=_PROX_CELL_LAT,
+        cell_lon_deg=_PROX_CELL_LON,
+    )
+    return out.select("id_a", "id_b", "n_contacts", "min_dist_m").orderBy(
+        "id_a", "id_b"
+    )

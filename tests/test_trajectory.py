@@ -248,3 +248,50 @@ class TestProximityPairs:
         # 1-2 share a cell; 3-4 straddle the lat-cell boundary (found via
         # neighbor expansion); 1/2 vs 3/4 are ~54 km apart — outside radius
         assert set(pairs) == {(1, 2), (3, 4)}
+
+
+class TestCoLocation:
+    def test_matches_brute_force(self, spark):
+        import itertools
+        import math
+        import random
+
+        rng = random.Random(23)
+        base = dt.datetime(2024, 5, 1, 12, 0, 0)
+        rows = [
+            (
+                i % 12,
+                base + dt.timedelta(seconds=rng.randint(0, 7200)),
+                rng.uniform(0.0, 1.2),
+                rng.uniform(0.0, 2.5),
+            )
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "uuid long, ts timestamp, lat double, lon double")
+        radius, window = 40000.0, 1800
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_contacts"], r["min_dist_m"])
+            for r in trajectory.co_location_pairs(df, radius, window).collect()
+        }
+
+        def hav(a, b):
+            dlat = math.radians(b[2] - a[2])
+            dlon = math.radians(b[3] - a[3])
+            x = (
+                math.sin(dlat / 2) ** 2
+                + math.cos(math.radians(a[2]))
+                * math.cos(math.radians(b[2]))
+                * math.sin(dlon / 2) ** 2
+            )
+            return round(2 * 6371008.8 * math.asin(math.sqrt(x)), 2)
+
+        want: dict = {}
+        for a, b in itertools.combinations(rows, 2):
+            if a[0] == b[0]:
+                continue
+            lo, hi = (a, b) if a[0] < b[0] else (b, a)
+            d = hav(lo, hi)
+            if d <= radius and abs((lo[1] - hi[1]).total_seconds()) <= window:
+                n, m = want.get((lo[0], hi[0]), (0, float("inf")))
+                want[(lo[0], hi[0])] = (n + 1, min(m, d))
+        assert got == want and len(want) > 0
