@@ -360,3 +360,51 @@ def co_location_pairs(
         F.count("*").alias("n_contacts"),
         F.min("dist_m").alias("min_dist_m"),
     )
+
+
+def od_matrix(
+    df: DataFrame,
+    gap_s: int = 300,
+    cell_lat_deg: float = 1.0,
+    cell_lon_deg: float = 1.0,
+    id_col: str = "uuid",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Origin-destination matrix: segment tracks into trips at gaps >
+    ``gap_s`` (the same sessionization as `trip_segments`), take each
+    trip's first and last fix, bucket both into a lat/lon grid and count
+    trips per (origin cell, destination cell) — the flow-aggregation
+    primitive behind OD demand studies.
+
+    Shuffle shape: one entity-keyed window pass to number trips, then the
+    per-trip endpoints are struct-min/max aggregates (combinable — no
+    second sort), and the final count groups by the 4-part cell key whose
+    cardinality is bounded by the grid, not the data. ``tiebreak_cols``
+    break equal-timestamp fixes deterministically."""
+    order_cols = [ts_col, *tiebreak_cols]
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    dt_s = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    new_trip = F.when(dt_s.isNull() | (dt_s > gap_s), 1).otherwise(0)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    endpoint = F.struct(
+        *[F.col(c) for c in order_cols], F.col(lat_col), F.col(lon_col)
+    )
+    trips = (
+        df.withColumn("_trip", F.sum(new_trip).over(w_cum))
+        .groupBy(id_col, "_trip")
+        .agg(F.min(endpoint).alias("_o"), F.max(endpoint).alias("_d"))
+    )
+    cell = lambda c, size: F.floor(c / size).cast("long")  # noqa: E731
+    return (
+        trips.select(
+            cell(F.col(f"_o.{lat_col}"), cell_lat_deg).alias("o_cx"),
+            cell(F.col(f"_o.{lon_col}"), cell_lon_deg).alias("o_cy"),
+            cell(F.col(f"_d.{lat_col}"), cell_lat_deg).alias("d_cx"),
+            cell(F.col(f"_d.{lon_col}"), cell_lon_deg).alias("d_cy"),
+        )
+        .groupBy("o_cx", "o_cy", "d_cx", "d_cy")
+        .agg(F.count("*").alias("n_trips"))
+    )

@@ -425,3 +425,73 @@ def co_location_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "n_contacts", "min_dist_m").orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "od_matrix_trips",
+    oracle="""
+WITH fixes AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS tsec,
+         value % 80.0 AS lat, (value * 3.7) % 160.0 AS lon
+  FROM events
+), stepped AS (
+  SELECT *, CASE WHEN (tsec - lag(tsec) OVER w) IS NULL
+                   OR (tsec - lag(tsec) OVER w) > 86400 THEN 1 ELSE 0 END AS new_trip
+  FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), trips AS (
+  SELECT *, sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS trip_id
+  FROM stepped
+), ranked AS (
+  SELECT user_id, trip_id, lat, lon,
+         row_number() OVER (PARTITION BY user_id, trip_id
+                            ORDER BY ts, event_id) AS rka,
+         row_number() OVER (PARTITION BY user_id, trip_id
+                            ORDER BY ts DESC, event_id DESC) AS rkd
+  FROM trips
+), ends AS (
+  SELECT user_id, trip_id,
+         max(CASE WHEN rka = 1 THEN lat END) AS o_lat,
+         max(CASE WHEN rka = 1 THEN lon END) AS o_lon,
+         max(CASE WHEN rkd = 1 THEN lat END) AS d_lat,
+         max(CASE WHEN rkd = 1 THEN lon END) AS d_lon
+  FROM ranked GROUP BY user_id, trip_id
+)
+SELECT cast(floor(o_lat / 20.0) AS BIGINT) AS o_cx,
+       cast(floor(o_lon / 20.0) AS BIGINT) AS o_cy,
+       cast(floor(d_lat / 20.0) AS BIGINT) AS d_cx,
+       cast(floor(d_lon / 20.0) AS BIGINT) AS d_cy,
+       cast(count(*) AS BIGINT) AS n_trips
+FROM ends GROUP BY o_cx, o_cy, d_cx, d_cy
+ORDER BY o_cx, o_cy, d_cx, d_cy
+""",
+    doc="origin-destination trip matrix (operators/trajectory.od_matrix): "
+    "gap-sessionized trips, per-trip first/last fix as combinable "
+    "struct-min/max (no second sort), endpoints bucketed into a 20-degree "
+    "grid and counted — OD flow aggregation whose output cardinality is "
+    "bounded by the grid, not the data",
+    tags=("mobility", "trajectory", "agg"),
+)
+def od_matrix_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import od_matrix
+
+    ev = t(spark, sf_dir, "events")
+    fixes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    out = od_matrix(
+        fixes,
+        gap_s=86400,
+        cell_lat_deg=20.0,
+        cell_lon_deg=20.0,
+        id_col="user_id",
+        ts_col="ts",
+        tiebreak_cols=("event_id",),
+    )
+    return out.select(
+        "o_cx", "o_cy", "d_cx", "d_cy", "n_trips"
+    ).orderBy("o_cx", "o_cy", "d_cx", "d_cy")

@@ -295,3 +295,43 @@ class TestCoLocation:
                 n, m = want.get((lo[0], hi[0]), (0, float("inf")))
                 want[(lo[0], hi[0])] = (n + 1, min(m, d))
         assert got == want and len(want) > 0
+
+
+class TestODMatrix:
+    def test_trip_endpoints_and_counts(self, spark):
+        rows = [
+            # user 1, trip 1: cell (0,0) -> (1,1)
+            (1, at(0), 0.5, 0.5),
+            (1, at(60), 0.7, 0.9),
+            (1, at(120), 1.5, 1.5),
+            # gap > 300 s -> trip 2: (1,1) -> (0,0)
+            (1, at(1000), 1.2, 1.8),
+            (1, at(1060), 0.1, 0.4),
+            # user 2, single-fix trip: (0,0) -> (0,0)
+            (2, at(0), 0.2, 0.2),
+        ]
+        df = spark.createDataFrame(rows, "uuid long, ts timestamp, lat double, lon double")
+        out = {
+            (r["o_cx"], r["o_cy"], r["d_cx"], r["d_cy"]): r["n_trips"]
+            for r in trajectory.od_matrix(
+                df, gap_s=300, cell_lat_deg=1.0, cell_lon_deg=1.0
+            ).collect()
+        }
+        assert out == {(0, 0, 1, 1): 1, (1, 1, 0, 0): 1, (0, 0, 0, 0): 1}
+
+    def test_equal_timestamps_break_by_tiebreak_col(self, spark):
+        rows = [
+            (1, at(0), 7, 0.5, 0.5),
+            (1, at(0), 3, 2.5, 2.5),  # same ts, lower event_id -> origin
+            (1, at(60), 9, 1.5, 1.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "uuid long, ts timestamp, event_id long, lat double, lon double"
+        )
+        out = trajectory.od_matrix(
+            df, gap_s=300, cell_lat_deg=1.0, cell_lon_deg=1.0,
+            tiebreak_cols=("event_id",),
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["o_cx"], r["o_cy"], r["d_cx"], r["d_cy"]) == (2, 2, 1, 1)
