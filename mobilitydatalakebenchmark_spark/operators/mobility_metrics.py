@@ -1,0 +1,113 @@
+"""Per-entity mobility metrics (beyond-reference depth: the standard
+human/fleet-mobility statistics literature — visit entropy, radius of
+gyration, frequent-location detection — over the flat observation table).
+
+Every metric is one or two entity-keyed aggregations: the shuffle key is
+the entity id (uniformly distributed at fleet scale), all math is built-in
+column expressions, and intermediate cardinality is |entities| x |cells|
+at worst — never the raw observation count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .trajectory import haversine_m
+
+
+def cell_visits(
+    df: DataFrame,
+    cell_lat_deg: float = 1.0,
+    cell_lon_deg: float = 1.0,
+    id_col: str = "uuid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(entity, cell, n_visits): observations bucketed into a lat/lon grid
+    and counted — the shared input of entropy and frequent-location
+    detection. One shuffle on (entity, cell)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.floor(F.col(lat_col) / cell_lat_deg).cast("long").alias("cx"),
+            F.floor(F.col(lon_col) / cell_lon_deg).cast("long").alias("cy"),
+        )
+        .groupBy(id_col, "cx", "cy")
+        .agg(F.count("*").alias("n_visits"))
+    )
+
+
+def location_entropy(
+    visits: DataFrame, id_col: str = "uuid"
+) -> DataFrame:
+    """Shannon entropy (nats) of each entity's cell-visit distribution:
+    H = -sum p ln p over its visited cells. 0 = perfectly predictable
+    (one cell); ln(k) = uniform over k cells. Input is `cell_visits`
+    output; this adds only an entity-keyed re-aggregation of the already
+    cell-collapsed rows."""
+    per_entity = visits.groupBy(id_col).agg(
+        F.sum("n_visits").alias("_total"),
+        F.sum(
+            F.col("n_visits").cast("double")
+            * F.log(F.col("n_visits").cast("double"))
+        ).alias("_sum_n_ln_n"),
+    )
+    # -sum (n/T) ln(n/T) = ln T - (sum n ln n)/T  — one pass, no per-cell
+    # division, numerically identical across engines after rounding
+    return per_entity.select(
+        id_col,
+        F.col("_total").alias("n_obs"),
+        F.round(
+            F.log(F.col("_total").cast("double"))
+            - F.col("_sum_n_ln_n") / F.col("_total"),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
+def radius_of_gyration(
+    df: DataFrame,
+    id_col: str = "uuid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Radius of gyration per entity: sqrt(mean squared great-circle
+    distance from the entity's centroid of visited positions) — the
+    standard travel-range statistic (Gonzalez et al. 2008 form). Two
+    entity-keyed aggregations (centroid, then mean squared distance to
+    it), joined back — the centroid side is |entities| rows and
+    broadcast-joins onto the observations."""
+    cent = df.groupBy(id_col).agg(
+        F.avg(F.col(lat_col)).alias("_clat"),
+        F.avg(F.col(lon_col)).alias("_clon"),
+    )
+    d = haversine_m(
+        F.col(lat_col), F.col(lon_col), F.col("_clat"), F.col("_clon")
+    )
+    return (
+        df.join(F.broadcast(cent), id_col)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.sqrt(F.avg(d * d)), 2).alias("rg_m"),
+        )
+    )
+
+
+def frequent_locations(
+    visits: DataFrame, k: int = 2, id_col: str = "uuid"
+) -> DataFrame:
+    """Top-k visited cells per entity (rank 1 ~ home, rank 2 ~ work in the
+    classic interpretation), deterministic tie-break by cell key. Window
+    rank over the cell-collapsed table — per-entity group size is the
+    entity's visited-cell count, already far smaller than its raw
+    observations."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("n_visits"), F.asc("cx"), F.asc("cy")
+    )
+    return (
+        visits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "rk", "cx", "cy", "n_visits")
+    )

@@ -495,3 +495,111 @@ def od_matrix_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_cx", "o_cy", "d_cx", "d_cy", "n_trips"
     ).orderBy("o_cx", "o_cy", "d_cx", "d_cy")
+
+
+_CELL10 = """cast(floor((value % 80.0) / 10.0) AS BIGINT) AS cx,
+         cast(floor(((value * 3.7) % 160.0) / 10.0) AS BIGINT) AS cy"""
+
+
+@register(
+    "mobility_location_entropy",
+    oracle=f"""
+WITH visits AS (
+  SELECT user_id, {_CELL10}, count(*) AS n
+  FROM events GROUP BY user_id, cx, cy
+), per AS (
+  SELECT user_id, sum(n) AS total,
+         sum(cast(n AS DOUBLE) * ln(cast(n AS DOUBLE))) AS s
+  FROM visits GROUP BY user_id
+)
+SELECT user_id, cast(total AS BIGINT) AS n_obs,
+       round(ln(cast(total AS DOUBLE)) - s / total, 4) AS entropy_nats
+FROM per ORDER BY user_id
+""",
+    doc="per-entity Shannon entropy of the cell-visit distribution "
+    "(operators/mobility_metrics.location_entropy): the location-"
+    "predictability statistic, computed as ln T - (sum n ln n)/T so both "
+    "engines evaluate the identical expression tree",
+    tags=("mobility", "agg"),
+)
+def mobility_location_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mobility_metrics import cell_visits, location_entropy
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    visits = cell_visits(ev, 10.0, 10.0, id_col="user_id")
+    return location_entropy(visits, id_col="user_id").orderBy("user_id")
+
+
+@register(
+    "mobility_radius_of_gyration",
+    oracle="""
+WITH fixes AS (
+  SELECT user_id, value % 80.0 AS lat, (value * 3.7) % 160.0 AS lon
+  FROM events
+), cent AS (
+  SELECT user_id, avg(lat) AS clat, avg(lon) AS clon
+  FROM fixes GROUP BY user_id
+)
+SELECT f.user_id, cast(count(*) AS BIGINT) AS n_obs,
+       round(sqrt(avg(pow(2 * 6371008.8 * asin(sqrt(
+           sin(radians(c.clat - f.lat) / 2) ^ 2
+           + cos(radians(f.lat)) * cos(radians(c.clat))
+             * sin(radians(c.clon - f.lon) / 2) ^ 2)), 2))), 2) AS rg_m
+FROM fixes f JOIN cent c USING (user_id)
+GROUP BY f.user_id ORDER BY f.user_id
+""",
+    doc="radius of gyration per entity (operators/mobility_metrics."
+    "radius_of_gyration): sqrt of mean squared great-circle distance to "
+    "the entity's position centroid — the travel-range statistic; "
+    "centroid side is |entities| rows, broadcast back onto observations",
+    tags=("mobility", "agg", "join"),
+)
+def mobility_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mobility_metrics import radius_of_gyration
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    return radius_of_gyration(ev, id_col="user_id").orderBy("user_id")
+
+
+@register(
+    "mobility_frequent_locations",
+    oracle=f"""
+WITH visits AS (
+  SELECT user_id, {_CELL10}, count(*) AS n
+  FROM events GROUP BY user_id, cx, cy
+), ranked AS (
+  SELECT user_id, cx, cy, n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, cx, cy) AS rk
+  FROM visits
+)
+SELECT user_id, cast(rk AS BIGINT) AS rk, cx, cy, cast(n AS BIGINT) AS n_visits
+FROM ranked WHERE rk <= 2
+ORDER BY user_id, rk
+""",
+    doc="top-2 visited cells per entity (operators/mobility_metrics."
+    "frequent_locations): the home/work-detection primitive — window rank "
+    "over the cell-collapsed visit table, deterministic cell tie-break",
+    tags=("mobility", "window"),
+)
+def mobility_frequent_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mobility_metrics import cell_visits, frequent_locations
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    visits = cell_visits(ev, 10.0, 10.0, id_col="user_id")
+    out = frequent_locations(visits, k=2, id_col="user_id")
+    return out.select(
+        "user_id", F.col("rk").cast("long").alias("rk"), "cx", "cy", "n_visits"
+    ).orderBy("user_id", "rk")

@@ -1,0 +1,73 @@
+"""Mobility-metric operator tests: entropy on known distributions, radius
+of gyration on planted geometry, frequent-location ranking."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mobilitydatalakebenchmark_spark.operators import mobility_metrics as mm
+
+
+def _fixes(spark, rows):
+    return spark.createDataFrame(rows, "uuid long, lat double, lon double")
+
+
+class TestEntropy:
+    def test_single_cell_is_zero(self, spark):
+        df = _fixes(spark, [(1, 0.1, 0.1), (1, 0.2, 0.2), (1, 0.3, 0.3)])
+        v = mm.cell_visits(df, 1.0, 1.0)
+        out = mm.location_entropy(v).collect()[0]
+        assert out["entropy_nats"] == 0.0 and out["n_obs"] == 3
+
+    def test_uniform_over_k_cells_is_ln_k(self, spark):
+        rows = [(1, c + 0.5, 0.5) for c in range(4) for _ in range(5)]
+        df = _fixes(spark, rows)
+        out = mm.location_entropy(mm.cell_visits(df, 1.0, 1.0)).collect()[0]
+        assert out["entropy_nats"] == pytest.approx(round(math.log(4), 4))
+
+    def test_skewed_distribution_matches_definition(self, spark):
+        # 3 visits in one cell, 1 in another: H = -(3/4 ln 3/4 + 1/4 ln 1/4)
+        rows = [(1, 0.5, 0.5)] * 3 + [(1, 1.5, 0.5)]
+        df = _fixes(spark, rows)
+        out = mm.location_entropy(mm.cell_visits(df, 1.0, 1.0)).collect()[0]
+        want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert out["entropy_nats"] == pytest.approx(round(want, 4))
+
+
+class TestRadiusOfGyration:
+    def test_stationary_entity_is_zero(self, spark):
+        df = _fixes(spark, [(1, 10.0, 20.0)] * 4)
+        out = mm.radius_of_gyration(df).collect()[0]
+        assert out["rg_m"] == 0.0
+
+    def test_symmetric_two_point_commuter(self, spark):
+        # equator, +/- 0.5 deg lon around centroid: every fix is ~55597 m out
+        df = _fixes(spark, [(1, 0.0, 0.0), (1, 0.0, 1.0)] * 3)
+        out = mm.radius_of_gyration(df).collect()[0]
+        assert out["rg_m"] == pytest.approx(111195 / 2, rel=1e-3)
+
+    def test_entities_independent(self, spark):
+        df = _fixes(spark, [(1, 0.0, 0.0), (1, 0.0, 1.0), (2, 5.0, 5.0)])
+        out = {r["uuid"]: r["rg_m"] for r in mm.radius_of_gyration(df).collect()}
+        assert out[2] == 0.0 and out[1] > 50000
+
+
+class TestFrequentLocations:
+    def test_rank_by_visits_then_cell(self, spark):
+        rows = (
+            [(1, 0.5, 0.5)] * 3      # home cell (0,0)
+            + [(1, 1.5, 1.5)] * 2    # work cell (1,1)
+            + [(1, 2.5, 2.5)]        # rare cell
+        )
+        v = mm.cell_visits(_fixes(spark, rows), 1.0, 1.0)
+        out = {r["rk"]: (r["cx"], r["cy"], r["n_visits"])
+               for r in mm.frequent_locations(v, k=2).collect()}
+        assert out == {1: (0, 0, 3), 2: (1, 1, 2)}
+
+    def test_tie_breaks_deterministically(self, spark):
+        rows = [(1, 0.5, 0.5), (1, 1.5, 1.5)]
+        v = mm.cell_visits(_fixes(spark, rows), 1.0, 1.0)
+        out = mm.frequent_locations(v, k=1).collect()
+        assert len(out) == 1 and (out[0]["cx"], out[0]["cy"]) == (0, 0)
