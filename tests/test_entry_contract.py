@@ -34,6 +34,7 @@ def test_queries_and_oracles_consistent(spark):
         "approx_distinct_users",
         "dedup_simhash",
         "knn_ivf",
+        "sketch_percentiles",
     }
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
