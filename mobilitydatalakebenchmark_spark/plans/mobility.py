@@ -603,3 +603,50 @@ def mobility_frequent_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.col("rk").cast("long").alias("rk"), "cx", "cy", "n_visits"
     ).orderBy("user_id", "rk")
+
+
+@register(
+    "rollup_hourly_to_daily",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       cast(count(value) AS BIGINT) AS n,
+       cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+           / count(value) AS vavg
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+""",
+    doc="continuous-aggregate rollup (operators/rollup.py): hourly "
+    "mergeable partial states (sum/count/min/max) re-aggregated to daily "
+    "per event type — the hypertable rollup pattern; the oracle aggregates "
+    "the RAW table directly, asserting the two-level merge is exact, "
+    "while the engine's daily pass touches only the hourly rollup",
+    tags=("mobility", "time", "agg", "rollup"),
+)
+def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import build_rollup, merge_rollup
+
+    # sum in DECIMAL so the two-level merge is order-independent and the
+    # rounded doubles agree with the oracle's single-pass sum
+    # (spark-engine-parity-conventions: .xx5 boundary rule)
+    ev = t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    hourly = build_rollup(ev, "ts", "value", keys=("event_type",), bucket="hour")
+    daily = merge_rollup(hourly, bucket="day", keys=("event_type",))
+    # no rounding anywhere: the decimal sum is exact and order-independent,
+    # its double cast and the IEEE division are bit-identical across
+    # engines — rounded doubles would reintroduce .xx5-boundary flakiness
+    return daily.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+        (F.col("total").cast("double") / F.col("n")).alias("vavg"),
+    ).orderBy("day", "event_type")

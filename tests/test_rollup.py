@@ -1,0 +1,71 @@
+"""Continuous-aggregate rollup tests: the merge of partial states must be
+exactly the direct aggregation of the raw table, at any grain."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators.rollup import build_rollup, merge_rollup
+
+
+def _events(spark, n=300, seed=9):
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 2, 1)
+    rows = [
+        (
+            base + dt.timedelta(minutes=rng.randint(0, 60 * 24 * 5)),
+            rng.choice(["a", "b", "c"]),
+            round(rng.uniform(-50, 50), 6),
+        )
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, k string, value double")
+
+
+def _direct(df, bucket, keys):
+    return {
+        tuple(r[c] for c in ["bucket_ts", *keys]): (r["n"], round(r["total"], 6), r["vmin"], r["vmax"])
+        for r in df.groupBy(
+            F.date_trunc(bucket, "ts").alias("bucket_ts"), *keys
+        )
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+
+
+class TestRollupMerge:
+    def test_day_from_hour_equals_direct(self, spark):
+        df = _events(spark)
+        hourly = build_rollup(df, "ts", "value", keys=("k",), bucket="hour")
+        daily = merge_rollup(hourly, bucket="day", keys=("k",))
+        got = {
+            (r["bucket_ts"], r["k"]): (r["n"], round(r["total"], 6), r["vmin"], r["vmax"])
+            for r in daily.collect()
+        }
+        assert got == _direct(df, "day", ["k"])
+
+    def test_key_subset_merge_drops_dimension(self, spark):
+        df = _events(spark)
+        hourly = build_rollup(df, "ts", "value", keys=("k",), bucket="hour")
+        daily_all = merge_rollup(hourly, bucket="day")
+        got = {
+            (r["bucket_ts"],): (r["n"], round(r["total"], 6), r["vmin"], r["vmax"])
+            for r in daily_all.collect()
+        }
+        assert got == _direct(df, "day", [])
+
+    def test_avg_is_derived_not_stored(self, spark):
+        df = _events(spark, n=50)
+        hourly = build_rollup(df, "ts", "value", bucket="hour")
+        assert "vavg" not in hourly.columns
+        merged = merge_rollup(hourly, bucket="day")
+        for r in merged.collect():
+            assert abs(r["vavg"] - r["total"] / r["n"]) < 1e-12
