@@ -111,3 +111,33 @@ def frequent_locations(
         .filter(F.col("rk") <= k)
         .select(id_col, "rk", "cx", "cy", "n_visits")
     )
+
+
+def k_anonymous_cells(
+    df: DataFrame,
+    k: int = 5,
+    cell_lat_deg: float = 1.0,
+    cell_lon_deg: float = 1.0,
+    id_col: str = "uuid",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Location k-anonymity audit: per grid cell, the distinct-entity
+    count and a `suppressed` flag for cells observed by fewer than ``k``
+    entities — the pre-publication privacy gate for location datasets
+    (publishing a cell seen by one user re-identifies them). One shuffle
+    keyed by cell; distinct-entity counting is the only expensive part
+    and is exact (count_distinct), since under-counting k would leak."""
+    return (
+        df.select(
+            F.floor(F.col(lat_col) / cell_lat_deg).cast("long").alias("cx"),
+            F.floor(F.col(lon_col) / cell_lon_deg).cast("long").alias("cy"),
+            F.col(id_col),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.countDistinct(id_col).alias("n_entities"),
+            F.count("*").alias("n_obs"),
+        )
+        .withColumn("suppressed", F.col("n_entities") < k)
+    )

@@ -650,3 +650,39 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vmax").cast("double").alias("vmax"),
         (F.col("total").cast("double") / F.col("n")).alias("vavg"),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "k_anonymity_cells",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id, {_CELL10}
+  FROM events
+)
+SELECT cx, cy,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+       cast(count(*) AS BIGINT) AS n_obs,
+       count(DISTINCT user_id) < 5 AS suppressed
+FROM obs GROUP BY cx, cy
+ORDER BY cx, cy
+""",
+    doc="location k-anonymity audit (operators/mobility_metrics."
+    "k_anonymous_cells): per grid cell, exact distinct-entity count and a "
+    "suppression flag for cells seen by fewer than k entities — the "
+    "privacy gate applied before publishing location aggregates",
+    tags=("mobility", "agg", "privacy"),
+)
+def k_anonymity_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mobility_metrics import k_anonymous_cells
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    out = k_anonymous_cells(
+        ev, k=5, cell_lat_deg=10.0, cell_lon_deg=10.0, id_col="user_id"
+    )
+    return out.select("cx", "cy", "n_entities", "n_obs", "suppressed").orderBy(
+        "cx", "cy"
+    )

@@ -677,3 +677,54 @@ def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, sum(n) AS total FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type,
+       cast(p.n AS BIGINT) AS n,
+       cast(p.n AS DOUBLE) / t.total AS p
+FROM pairs p JOIN totals t USING (from_type)
+ORDER BY from_type, to_type
+""",
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lead window pairs consecutive event types, pair counts "
+    "normalize per from-state — probabilities are exact bigint ratios "
+    "(no rounding needed for cross-engine equality); the "
+    "behavioral-model primitive behind next-action prediction",
+    tags=("window", "agg", "events"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    # per-from-state totals are |event types| rows — broadcast back
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("total")).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

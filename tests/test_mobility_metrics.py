@@ -71,3 +71,22 @@ class TestFrequentLocations:
         v = mm.cell_visits(_fixes(spark, rows), 1.0, 1.0)
         out = mm.frequent_locations(v, k=1).collect()
         assert len(out) == 1 and (out[0]["cx"], out[0]["cy"]) == (0, 0)
+
+
+class TestKAnonymity:
+    def test_sparse_cell_is_suppressed(self, spark):
+        rows = (
+            [(u, 0.5, 0.5) for u in range(5)]   # cell (0,0): 5 users -> kept
+            + [(1, 1.5, 1.5), (1, 1.5, 1.6)]    # cell (1,1): 1 user -> suppressed
+        )
+        out = {
+            (r["cx"], r["cy"]): (r["n_entities"], r["n_obs"], r["suppressed"])
+            for r in mm.k_anonymous_cells(_fixes(spark, rows), k=5).collect()
+        }
+        assert out == {(0, 0): (5, 5, False), (1, 1): (1, 2, True)}
+
+    def test_repeat_visits_do_not_fake_anonymity(self, spark):
+        # one user visiting 10 times is still 1 distinct entity
+        rows = [(7, 0.5, 0.5)] * 10
+        out = mm.k_anonymous_cells(_fixes(spark, rows), k=2).collect()[0]
+        assert out["n_entities"] == 1 and out["n_obs"] == 10 and out["suppressed"]
