@@ -728,3 +728,78 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "scd2_state_intervals",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events WHERE user_id < 40
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM seq
+), grouped AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+), intervals AS (
+  SELECT user_id, event_type, grp,
+         min(ts) AS valid_from, cast(count(*) AS BIGINT) AS n_events
+  FROM grouped GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY valid_from, grp), '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id
+            ORDER BY valid_from, grp) IS NULL AS is_current,
+       n_events
+FROM intervals
+ORDER BY user_id, valid_from, grp
+""",
+    doc="SCD type-2 interval build: collapse each user's consecutive "
+    "identical states into validity intervals (change-flag + running-sum "
+    "islands, one entity-keyed window pass), then close each interval at "
+    "the next one's start via lead — open intervals flagged current; the "
+    "slowly-changing-dimension maintenance primitive",
+    tags=("window", "scd", "time"),
+)
+def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    intervals = grouped.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("_from"), F.count("*").alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("_from", "grp")
+    nxt = F.lead("_from").over(w2)
+    return (
+        intervals.select(
+            "user_id",
+            "event_type",
+            F.date_format("_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("")
+            ).alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "n_events",
+            "grp",
+        )
+        .orderBy("user_id", "valid_from", "grp")
+        .drop("grp")
+    )
