@@ -803,3 +803,60 @@ def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "valid_from", "grp")
         .drop("grp")
     )
+
+
+@register(
+    "anomaly_zscore_outliers",
+    oracle="""
+WITH moments AS (
+  SELECT event_type,
+         cast(count(value) AS BIGINT) AS n,
+         cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         cast(sum(cast(value AS DECIMAL(18,6))
+                  * cast(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+), stats AS (
+  SELECT event_type, n, s1 / n AS mean,
+         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+  FROM moments
+)
+SELECT s.event_type, s.n, s.mean, s.std,
+       cast(count(*) FILTER (abs(e.value - s.mean) > 3 * s.std) AS BIGINT)
+           AS n_outliers
+FROM events e JOIN stats s USING (event_type)
+GROUP BY s.event_type, s.n, s.mean, s.std
+ORDER BY s.event_type
+""",
+    doc="per-group anomaly screen: mean/std from exact decimal moments "
+    "(sum x, sum x² — order-independent, so sqrt and the 3-sigma "
+    "comparisons are bit-identical across engines, no rounding anywhere), "
+    "then count observations beyond 3 sigma via a broadcast of the "
+    "|groups|-row stats table back onto the fact — two narrow shuffles "
+    "total, the streaming-friendly two-pass outlier shape",
+    tags=("agg", "stats", "events"),
+)
+def anomaly_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,6)")
+    moments = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    stats = moments.select(
+        "event_type",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.col("s2") / F.col("n") - mean * mean).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1)
+            ).alias("n_outliers")
+        )
+        .orderBy("event_type")
+    )
