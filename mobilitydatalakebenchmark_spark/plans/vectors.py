@@ -338,9 +338,7 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "vec_nearest_centroid_confusion",
-    oracle="""
+_CONFUSION_ORACLE = """
 WITH pos AS (
   SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
   FROM embeddings
@@ -362,7 +360,12 @@ WITH pos AS (
 SELECT label, c_label AS assigned_label, count(*) AS n_vectors
 FROM best WHERE rk = 1
 GROUP BY label, c_label ORDER BY label, assigned_label
-""",
+"""
+
+
+@register(
+    "vec_nearest_centroid_confusion",
+    oracle=_CONFUSION_ORACLE,
     doc="nearest-centroid assignment confusion matrix: per-label mean "
     "vectors (one label-keyed shuffle) broadcast against every embedding, "
     "cosine argmax per vector — the cluster-assignment / classification "
@@ -374,6 +377,29 @@ def vec_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFram
 
     e = t(spark, sf_dir, "embeddings")
     assigned = assign_nearest_centroid(e, label_centroids(e), keep_cols=("label",))
+    return (
+        assigned.groupBy("label", "assigned_label")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("label", "assigned_label")
+    )
+
+
+@register(
+    "vec_nearest_centroid_confusion_numpy",
+    oracle=_CONFUSION_ORACLE,
+    doc="same semantics as vec_nearest_centroid_confusion through the "
+    "mapInPandas blocked-matmul kernel (similarity."
+    "assign_nearest_centroid_numpy) — the wide-vector scale path, "
+    "oracle-checked against the identical SQL",
+    tags=("vector", "kernel"),
+)
+def vec_nearest_centroid_confusion_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import assign_nearest_centroid_numpy, label_centroids
+
+    e = t(spark, sf_dir, "embeddings")
+    assigned = assign_nearest_centroid_numpy(
+        e, label_centroids(e), keep_cols=("label",)
+    )
     return (
         assigned.groupBy("label", "assigned_label")
         .agg(F.count("*").alias("n_vectors"))
