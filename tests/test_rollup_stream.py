@@ -1,0 +1,85 @@
+"""Incremental streaming rollup: the maintained table must equal the
+batch rollup of everything ingested, across micro-batches, restarts and
+late data that reopens an old bucket."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators.rollup import build_rollup
+from mobilitydatalakebenchmark_spark.streaming.rollup_stream import (
+    read_rollup,
+    stream_rollup,
+)
+
+SCHEMA = "ts timestamp, k string, value double"
+T0 = dt.datetime(2024, 4, 1, 10, 0, 0)
+
+
+def _rows(shift_min, n, k="a"):
+    return [
+        (T0 + dt.timedelta(minutes=shift_min + i * 7), k, float(i) + 0.25)
+        for i in range(n)
+    ]
+
+
+def _snapshot(df):
+    return {
+        (r["bucket_ts"], r["k"]): (r["n"], round(r["total"], 6), r["vmin"], r["vmax"])
+        for r in df.collect()
+    }
+
+
+def _drain(spark, data_dir, table, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(data_dir)
+    )
+    q = stream_rollup(stream, table, ckpt, "ts", "value", keys=("k",))
+    q.awaitTermination(120)
+
+
+def test_streamed_rollup_equals_batch(spark, tmp_path):
+    data_dir, table, ckpt = (
+        str(tmp_path / "data"),
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+    )
+    batch1 = spark.createDataFrame(_rows(0, 12, "a") + _rows(3, 9, "b"), SCHEMA)
+    batch2 = spark.createDataFrame(_rows(90, 10, "a"), SCHEMA)
+    batch1.coalesce(1).write.mode("append").parquet(data_dir)
+    batch2.coalesce(1).write.mode("append").parquet(data_dir)
+
+    _drain(spark, data_dir, table, ckpt)
+
+    everything = spark.read.parquet(data_dir)
+    want = _snapshot(build_rollup(everything, "ts", "value", keys=("k",)))
+    assert _snapshot(read_rollup(spark, table)) == want
+
+
+def test_late_data_reopens_only_its_bucket(spark, tmp_path):
+    data_dir, table, ckpt = (
+        str(tmp_path / "data"),
+        str(tmp_path / "rollup"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(_rows(0, 12, "a"), SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(data_dir)
+    _drain(spark, data_dir, table, ckpt)
+
+    # a late row for the FIRST hour arrives after the stream drained
+    late = spark.createDataFrame([(T0 + dt.timedelta(minutes=1), "a", 999.5)], SCHEMA)
+    late.coalesce(1).write.mode("append").parquet(data_dir)
+    _drain(spark, data_dir, table, ckpt)  # same checkpoint: only new file
+
+    everything = spark.read.parquet(data_dir)
+    want = _snapshot(build_rollup(everything, "ts", "value", keys=("k",)))
+    got = _snapshot(read_rollup(spark, table))
+    assert got == want
+    # the late max is visible in its bucket
+    first_bucket = [v for (b, _), v in got.items() if b.hour == 10]
+    assert any(vmax == 999.5 for (_, _, _, vmax) in first_bucket)
