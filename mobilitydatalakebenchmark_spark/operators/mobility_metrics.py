@@ -141,3 +141,41 @@ def k_anonymous_cells(
         )
         .withColumn("suppressed", F.col("n_entities") < k)
     )
+
+
+def cell_pyramid(
+    visits: DataFrame,
+    n_levels: int = 4,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Multi-resolution tile pyramid from the finest-level visit table:
+    level 0 is the input grid; each coarser level halves the resolution
+    by integer-dividing the cell key (floor(lat/s)//2 == floor(lat/2s),
+    so level k's cells are exactly the direct bucketing at 2^k x the base
+    cell size). Every level aggregates the PREVIOUS level — |cells_k|
+    rows, never the raw observations — the same mergeable-state idea as
+    the time rollup applied spatially (the map-tile / dashboard
+    pre-aggregation pattern). Output: (level, cx, cy, n_obs)."""
+    level = (
+        visits.groupBy("cx", "cy")
+        .agg(F.sum("n_visits").alias("n_obs"))
+        .withColumn("level", F.lit(0))
+    )
+    out = [level]
+    for k in range(1, n_levels):
+        level = (
+            out[-1]
+            .select(
+                F.floor(F.col("cx") / 2).cast("long").alias("cx"),
+                F.floor(F.col("cy") / 2).cast("long").alias("cy"),
+                "n_obs",
+            )
+            .groupBy("cx", "cy")
+            .agg(F.sum("n_obs").alias("n_obs"))
+            .withColumn("level", F.lit(k))
+        )
+        out.append(level)
+    result = out[0]
+    for lvl in out[1:]:
+        result = result.unionByName(lvl)
+    return result.select("level", "cx", "cy", "n_obs")

@@ -686,3 +686,48 @@ def k_anonymity_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cx", "cy", "n_entities", "n_obs", "suppressed").orderBy(
         "cx", "cy"
     )
+
+
+@register(
+    "spatial_tile_pyramid",
+    oracle="""
+WITH obs AS (
+  SELECT value % 80.0 AS lat, (value * 3.7) % 160.0 AS lon FROM events
+)
+SELECT 0 AS level,
+       cast(floor(lat / 2.5) AS BIGINT) AS cx,
+       cast(floor(lon / 2.5) AS BIGINT) AS cy,
+       cast(count(*) AS BIGINT) AS n_obs
+FROM obs GROUP BY cx, cy
+UNION ALL
+SELECT 1, cast(floor(lat / 5.0) AS BIGINT), cast(floor(lon / 5.0) AS BIGINT),
+       cast(count(*) AS BIGINT)
+FROM obs GROUP BY 2, 3
+UNION ALL
+SELECT 2, cast(floor(lat / 10.0) AS BIGINT), cast(floor(lon / 10.0) AS BIGINT),
+       cast(count(*) AS BIGINT)
+FROM obs GROUP BY 2, 3
+UNION ALL
+SELECT 3, cast(floor(lat / 20.0) AS BIGINT), cast(floor(lon / 20.0) AS BIGINT),
+       cast(count(*) AS BIGINT)
+FROM obs GROUP BY 2, 3
+ORDER BY level, cx, cy
+""",
+    doc="multi-resolution tile pyramid (operators/mobility_metrics."
+    "cell_pyramid): each coarser level aggregates the PREVIOUS level by "
+    "integer cell division (floor-division identity makes it exactly the "
+    "direct bucketing, which the oracle computes from raw data) — the "
+    "map-tile pre-aggregation pattern; level-k work is |cells_k| rows, "
+    "never the raw observations",
+    tags=("mobility", "agg", "rollup"),
+)
+def spatial_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mobility_metrics import cell_pyramid, cell_visits
+
+    ev = t(spark, sf_dir, "events").select(
+        F.lit(0).alias("uuid"),
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    visits = cell_visits(ev, 2.5, 2.5, id_col="uuid").drop("uuid")
+    return cell_pyramid(visits, n_levels=4).orderBy("level", "cx", "cy")

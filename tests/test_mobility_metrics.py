@@ -90,3 +90,27 @@ class TestKAnonymity:
         rows = [(7, 0.5, 0.5)] * 10
         out = mm.k_anonymous_cells(_fixes(spark, rows), k=2).collect()[0]
         assert out["n_entities"] == 1 and out["n_obs"] == 10 and out["suppressed"]
+
+
+class TestCellPyramid:
+    def test_levels_match_direct_bucketing_and_conserve_mass(self, spark):
+        import random
+
+        rng = random.Random(31)
+        rows = [(0, rng.uniform(0, 40), rng.uniform(0, 40)) for _ in range(200)]
+        df = _fixes(spark, rows)
+        visits = mm.cell_visits(df, 2.5, 2.5).drop("uuid")
+        pyr = mm.cell_pyramid(visits, n_levels=3).collect()
+        by_level = {}
+        for r in pyr:
+            by_level.setdefault(r["level"], {})[(r["cx"], r["cy"])] = r["n_obs"]
+        # mass conservation at every level
+        assert all(sum(d.values()) == 200 for d in by_level.values())
+        # level 2 (cell size 10) equals direct bucketing of the raw points
+        import math
+
+        direct = {}
+        for _, lat, lon in rows:
+            key = (math.floor(lat / 10.0), math.floor(lon / 10.0))
+            direct[key] = direct.get(key, 0) + 1
+        assert by_level[2] == direct
