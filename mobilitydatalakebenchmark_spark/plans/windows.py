@@ -478,10 +478,13 @@ FROM events ORDER BY user_id, event_id
 )
 def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
+    # order the range frame in MICROSECONDS: cast("long") truncates to
+    # seconds, which silently widens the frame for event pairs exactly
+    # ~1h apart at sub-second offsets (first such pair appears at sf0.1)
     w_range = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
