@@ -42,5 +42,6 @@ def load_registry() -> dict[str, Q]:
     from . import mobility  # noqa: F401
     from . import text  # noqa: F401
     from . import vectors  # noqa: F401
+    from . import advanced  # noqa: F401
 
     return REGISTRY

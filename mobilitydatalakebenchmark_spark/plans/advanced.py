@@ -1,0 +1,419 @@
+"""Advanced analytics gates: CDC merge, histograms, regression, int8
+quantization, polygon containment, integer PageRank.
+
+These extend the registry beyond SURVEY.md §2 parity toward the
+training-data-pipeline north star: changelog application (ingest
+maintenance), distribution profiling (histogram), per-entity trend
+screens, embedding compression (int8), spatial containment filters, and
+link-graph quality priors (PageRank).
+
+Parity design: every gate avoids cross-engine float drift by construction —
+exact integer/decimal arithmetic wherever a sum crosses rows (histogram
+totals, regression moments, PageRank), and order-identical list folds for
+per-vector math (the ``list_sum`` ↔ ``F.aggregate`` pattern proven by
+``vectors.py``). Division happens once, at the end, on identical operands →
+bit-identical IEEE doubles on both engines, no rounding needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from .relational import t
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins upsert with tombstones (operators/cdc.py).
+# The events table is treated as a changelog of per-user profile upserts;
+# an 'error' event tombstones the key. Split at a mid-range cutoff so the
+# gate exercises the base-snapshot + changelog merge path, whose result
+# must equal the single-pass latest-row query the oracle runs.
+# Scale: ONE hash shuffle on the merge key; O(base+changes) per batch.
+# ---------------------------------------------------------------------------
+
+_CDC_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "cdc_upsert_latest_wins",
+    oracle=f"""
+SELECT user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS state_ts,
+       event_type AS last_event,
+       value AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+""",
+    doc="J8/J9 set-based form: changelog merge, latest-wins + tombstones "
+    "(reference mobility_db.py:69-93 update-else-insert; Delta MERGE "
+    "pattern on plain tables via operators/cdc.apply_changes)",
+    tags=("cdc", "merge"),
+)
+def cdc_upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import apply_changes
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "is_del", F.col("event_type") == "error"
+    )
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    # base snapshot: latest state per key before the cutoff (itself built
+    # with the merge operator against an empty base — degenerate path)
+    before, changes = ev.filter(F.col("ts") < cutoff), ev.filter(F.col("ts") >= cutoff)
+    base = apply_changes(
+        before.limit(0), before, ["user_id"], ["ts", "event_id"], delete_col=None
+    )
+    merged = apply_changes(
+        base, changes, ["user_id"], ["ts", "event_id"], delete_col="is_del"
+    )
+    return merged.select(
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("state_ts"),
+        F.col("event_type").alias("last_event"),
+        F.col("value").alias("last_value"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (distribution profiling). Bit-stable: the bin edges
+# are IEEE-identical on both engines (min/max + one division), bin index is
+# floor of identical doubles, per-bin totals are exact decimal sums.
+# Scale: two scans (bounds, then bins) with map-side combine; the bounds
+# row broadcasts. At 100 TB use a sampled/sketched bounds pass instead.
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 20
+
+
+@register(
+    "hist_equiwidth_price",
+    oracle=f"""
+WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+           FROM lineitem),
+binned AS (
+  SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / {_HIST_BINS}))
+               AS INT), {_HIST_BINS - 1}) AS bin,
+         lo, hi, l_extendedprice
+  FROM lineitem, b
+)
+SELECT bin,
+       lo + bin * ((hi - lo) / {_HIST_BINS}) AS bin_lo,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM binned GROUP BY bin, lo, hi ORDER BY bin
+""",
+    doc="equi-width histogram over l_extendedprice (20 bins, max value "
+    "clamped into the last bin); distribution-profiling primitive",
+    tags=("agg", "profiling"),
+)
+def hist_equiwidth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / _HIST_BINS
+    binned = li.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+        "l_extendedprice",
+    )
+    return (
+        binned.groupBy("bin", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "bin",
+            (F.col("lo") + F.col("bin") * width).alias("bin_lo"),
+            "n",
+            "total",
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity linear trend (closed-form least squares). All five moments are
+# exact bigint sums (x = whole-second offset from the entity's first event,
+# y = cents); slope/intercept are single IEEE divisions of identical
+# integers → bit-identical, no rounding. The per-group screen a training
+# pipeline runs to find drifting metrics.
+# Scale: one window (min per key) + one groupBy on the same key — AQE
+# coalesces to a single shuffle stage pipeline.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linreg_trend_per_entity",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+             // 1000000 AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           AS slope_cents_per_s,
+       (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) AS intercept_cents
+FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0
+ORDER BY user_id
+""",
+    doc="closed-form per-entity least squares (value-vs-time drift screen); "
+    "exact integer moments, division last",
+    tags=("agg", "regression"),
+)
+def linreg_trend_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - min(unix_micros(ts)) "
+            "OVER (PARTITION BY user_id)) div 1000000"
+        ).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return (
+        m.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            slope.alias("slope_cents_per_s"),
+            (
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+            ).alias("intercept_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-vector int8 quantization + reconstruction error (embedding
+# compression for ANN shipping). scale = max|x|/127; q = clamp(floor(x/s
+# + .5)); everything per-row list math in identical fold order (the
+# vectors.py list_sum ↔ F.aggregate pattern) → raw doubles hash-match.
+# Scale: embarrassingly parallel map; no shuffle at all.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vec_int8_quantization",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), s AS (
+  SELECT vec_id, vec,
+         list_max(list_transform(vec, x -> abs(x))) / 127 AS scale
+  FROM v
+), ex AS (
+  SELECT vec_id, scale, generate_subscripts(vec, 1) AS i, unnest(vec) AS x
+  FROM s
+), qe AS (
+  SELECT vec_id, scale, i, x,
+         greatest(-127.0, least(127.0, floor(x / scale + 0.5))) AS q
+  FROM ex
+), agg AS (
+  SELECT vec_id, any_value(scale) AS scale,
+         list(q ORDER BY i) AS qv,
+         list((x - q * scale) * (x - q * scale) ORDER BY i) AS errs
+  FROM qe GROUP BY vec_id
+)
+SELECT vec_id, scale, list_sum(qv) AS q_sum, list_sum(errs) AS sq_err
+FROM agg ORDER BY vec_id
+""",
+    doc="int8 embedding quantization: per-vector symmetric scale, clamped "
+    "round-half-up codes, exact reconstruction SSE (ordered fold)",
+    tags=("vector", "compression"),
+)
+def vec_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    df = e.select("vec_id", vec.alias("vec")).withColumn(
+        "scale", F.array_max(F.transform("vec", F.abs)) / 127
+    )
+    scale = F.col("scale")
+    q = F.transform(
+        "vec",
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / scale + 0.5).cast("double")),
+        ),
+    )
+    df = df.withColumn("qv", q)
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    errs = F.zip_with("vec", "qv", lambda x, qq: (x - qq * scale) * (x - qq * scale))
+    return df.select(
+        "vec_id",
+        "scale",
+        fold(F.col("qv")).alias("q_sum"),
+        fold(errs).alias("sq_err"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Convex-polygon containment (geofence filter) via unrolled cross-product
+# signs — pure comparisons on identical doubles, no trig, no library.
+# Scale: predicate fuses into the scan (whole-stage codegen); at 100 TB
+# pre-filter with the polygon's bounding box to unlock min/max row-group
+# skipping before the exact test.
+# ---------------------------------------------------------------------------
+
+_HEX = [(10.0, 80.0), (25.0, 30.0), (55.0, 30.0), (70.0, 80.0), (55.0, 130.0), (25.0, 130.0)]
+
+
+def _edges() -> list[tuple[float, float, float, float]]:
+    n = len(_HEX)
+    return [(*_HEX[i], *_HEX[(i + 1) % n]) for i in range(n)]
+
+
+def _cross_sql(lat: str, lon: str) -> list[str]:
+    return [
+        f"(({x2} - {x1}) * ({lon} - {y1}) - ({y2} - {y1}) * ({lat} - {x1}))"
+        for (x1, y1, x2, y2) in _edges()
+    ]
+
+
+@register(
+    "point_in_polygon_convex",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_type, value % 80.0 AS lat, (value * 3.7) % 160.0 AS lon
+  FROM events
+)
+SELECT event_type, count(*) AS n_total,
+       CAST(sum(CASE WHEN {" AND ".join(c + " <= 0" for c in _cross_sql("lat", "lon"))}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+FROM pts GROUP BY event_type ORDER BY event_type
+""",
+    doc="geofence containment: convex hexagon point-in-polygon via "
+    "cross-product signs (same pseudo lat/lon as the trajectory gates)",
+    tags=("spatial", "filter"),
+)
+def point_in_polygon_convex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    inside = None
+    for x1, y1, x2, y2 in _edges():
+        cross = (F.lit(x2) - F.lit(x1)) * (F.col("lon") - F.lit(y1)) - (
+            F.lit(y2) - F.lit(y1)
+        ) * (F.col("lat") - F.lit(x1))
+        term = cross <= 0
+        inside = term if inside is None else (inside & term)
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(inside, 1).otherwise(0)).alias("n_inside"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank over the part↔supplier co-occurrence graph
+# (operators/graph.py). Link-graph centrality as a corpus-quality prior;
+# exact scaled-integer recurrence so the oracle replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_BASE = (15 * _PR_SCALE) // 100
+
+
+def _pr_oracle(iterations: int = 3) -> str:
+    parts = [
+        f"""
+WITH pairs AS (
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS pn,
+                  's' || CAST(l_suppkey AS VARCHAR) AS sn
+  FROM lineitem
+), edges AS (
+  SELECT pn AS src, sn AS dst FROM pairs
+  UNION ALL SELECT sn AS src, pn AS dst FROM pairs
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nodes AS (SELECT src AS node FROM deg),
+r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+s{k} AS (
+  SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS s
+  FROM edges e JOIN deg d ON e.src = d.src JOIN r{k - 1} r ON r.node = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT n.node,
+         CAST({_PR_BASE} + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, pr FROM r{iterations} ORDER BY pr DESC, node LIMIT 25"
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_part_supplier",
+    oracle=_pr_oracle(3),
+    doc="3-iteration PageRank (damping .85) over the symmetrized "
+    "part↔supplier graph in exact scaled-integer arithmetic; top-25 hubs",
+    tags=("graph", "iterative"),
+)
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_integer, symmetrize
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = symmetrize(
+        li.select(
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    ranks = pagerank_integer(edges, iterations=3, scale=_PR_SCALE)
+    return (
+        ranks.select("node", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(25)
+    )
