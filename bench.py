@@ -63,8 +63,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        first = run(name)  # warm-up: JIT, file listing, shuffle dirs
-        timings[name] = round(min(first, run(name)), 3)
+        # First rep is warm-up (JIT, file listing, shuffle dirs); C2
+        # compilation keeps landing through the second rep, so time two
+        # more and keep the min — run-to-run drift at these sub-second
+        # scales is JVM warmup, not the query.
+        run(name)
+        timings[name] = round(min(run(name), run(name)), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
