@@ -417,3 +417,167 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), "node")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (the TimescaleDB `time_weight` hypertable op the
+# reference's timescaledb_store.py:53-71 ecosystem implies). Each sample
+# holds until the next one (LOCF weighting); weights are exact microsecond
+# gaps, values exact cents → bigint moment sums, one division last.
+# Scale: a lead() window + groupBy on the same (entity, day) key — the
+# window's shuffle is reused by the aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH stepped AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) - epoch_us(ts)
+             AS dt_us
+  FROM events
+), m AS (
+  SELECT user_id, day, count(*) AS n,
+         CAST(sum(cents * dt_us) AS BIGINT) AS wsum,
+         CAST(sum(dt_us) AS BIGINT) AS tsum
+  FROM stepped WHERE dt_us IS NOT NULL GROUP BY user_id, day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+       n + 1 AS n_samples,
+       CAST(wsum AS DOUBLE) / CAST(tsum AS DOUBLE) / 100 AS twa
+FROM m WHERE tsum > 0 ORDER BY user_id, day
+""",
+    doc="TimescaleDB-style time_weight(LOCF) average per entity-day: exact "
+    "µs×cents moments, division last (hypertable op family of S14)",
+    tags=("window", "time", "hypertable"),
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    stepped = ev.withColumn("day", day).select(
+        "user_id",
+        "day",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+    )
+    m = (
+        stepped.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("cents") * F.col("dt_us")).alias("wsum"),
+            F.sum("dt_us").alias("tsum"),
+        )
+    )
+    return (
+        m.filter(F.col("tsum") > 0)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("n") + 1).alias("n_samples"),
+            (F.col("wsum").cast("double") / F.col("tsum").cast("double") / 100)
+            .alias("twa"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows — native F.window(ts, 2h, 1h), the streaming-
+# compatible form. Each row lands in exactly two epoch-aligned windows; the
+# oracle unnests the same two starts. Exact decimal totals.
+# Scale: Expand (×2 rows) then partial-agg — no extra shuffle beyond the
+# final groupBy; in Structured Streaming the identical expression is
+# incremental with watermark-bounded state.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hopping_window_2h_1h",
+    oracle=f"""
+WITH wins AS (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+         event_type, value
+  FROM events
+)
+SELECT strftime(w_start, '{TS_FMT_DUCK}') AS w_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM wins GROUP BY 1, 2 ORDER BY w_start, event_type
+""",
+    doc="W1 extension: 2h windows hopping by 1h via native F.window — the "
+    "expression Structured Streaming runs incrementally",
+    tags=("window", "time", "streaming-compatible"),
+)
+def hopping_window_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.date_format("w.start", TS_FMT_SPARK).alias("w_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (wide→long restructuring; inverse of agg_pivot_manual).
+# Spark's native unpivot lowers to Expand — a map-side row multiplier, no
+# shuffle, no UDF. Exact decimal totals per measure.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+WITH long_form AS (
+  SELECT l_returnflag, 'l_quantity' AS measure,
+         CAST(l_quantity AS DECIMAL(18,2)) AS val FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_extendedprice',
+         CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount',
+         CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax',
+         CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+)
+SELECT l_returnflag, measure, count(*) AS n,
+       CAST(sum(val) AS DOUBLE) AS total
+FROM long_form GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure
+""",
+    doc="wide→long unpivot of four lineitem measures (Expand node — the "
+    "no-shuffle inverse of the pivot gate) with exact per-measure totals",
+    tags=("restructure",),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_returnflag",
+        *[
+            F.col(c).cast("decimal(18,2)").alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        ],
+    )
+    long_form = wide.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long_form.groupBy("l_returnflag", "measure")
+        .agg(F.count("*").alias("n"), F.sum("val").cast("double").alias("total"))
+        .orderBy("l_returnflag", "measure")
+    )
