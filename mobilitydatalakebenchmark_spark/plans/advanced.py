@@ -581,3 +581,148 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("val").cast("double").alias("total"))
         .orderBy("l_returnflag", "measure")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality suite (operators/quality.py — dbt-test/Deequ pattern). Six
+# declarative checks over three tables compiled into one unioned report;
+# each check is a scan-aggregate with map-side combine. The oracle
+# recomputes every violation count from scratch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_check_suite",
+    oracle="""
+WITH raw AS (
+  SELECT 'accepted_values(lang)' AS "check",
+         count(*) AS n_checked,
+         CAST(sum(CASE WHEN lang IS NULL
+                       OR lang NOT IN ('en','de','fr','es','zh')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM documents
+  UNION ALL
+  SELECT 'consistent(n_chars=len)', count(*),
+         CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'in_range(l_quantity,1,50)', count(*),
+         CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                       OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'not_null(text)', count(*),
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'referential(l_orderkey->o_orderkey)',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'unique(doc_id)', count(*),
+         count(*) - count(DISTINCT doc_id)
+  FROM documents
+)
+SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
+FROM raw ORDER BY "check"
+""",
+    doc="declarative DQ assertions (A7 generalized): not-null, unique, "
+    "accepted-values, range, row-consistency, referential integrity — "
+    "one unioned report frame via operators/quality.run_suite",
+    tags=("quality",),
+)
+def dq_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as q
+
+    docs = t(spark, sf_dir, "documents")
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders")
+    return q.run_suite(
+        [
+            # each table's checks ride ONE scan-aggregate
+            q.table_report(
+                docs,
+                [
+                    q.not_null("text"),
+                    q.unique(["doc_id"]),
+                    q.accepted_values("lang", ["en", "de", "fr", "es", "zh"]),
+                    q.expression(
+                        "consistent(n_chars=len)",
+                        F.col("n_chars") == F.length("text"),
+                    ),
+                ],
+            ),
+            q.table_report(li, [q.in_range("l_quantity", 1, 50)]),
+            q.check_referential(li, od, "l_orderkey", "o_orderkey"),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Click-path trigram mining (sequence pattern analysis over sessionized
+# event streams — the funnel/journey primitive). Same 30-min gap
+# sessionization as w5_sessionize; trigrams via two leads inside the
+# session. Both window passes share the user_id shuffle. Exact counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "path_trigrams_topk",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 30 * 60 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM seq
+), tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+""",
+    doc="sessionized click-path trigram mining (top-20 3-step journeys; "
+    "w5's gap sessionization + two leads sharing one user_id shuffle)",
+    tags=("window", "sequence"),
+)
+def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_ord)
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w_sess).alias("e2"),
+        F.lead("event_type", 2).over(w_sess).alias("e3"),
+    )
+    return (
+        tri.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
