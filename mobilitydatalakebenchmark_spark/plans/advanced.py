@@ -726,3 +726,58 @@ def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session windows — F.session_window(ts, gap), the operator
+# Structured Streaming runs with watermark-bounded state. Boundary
+# semantics verified empirically: an exactly-30:00 gap MERGES (new session
+# only when gap > threshold), matching w5's gap convention, so the oracle
+# replays the same strict inequality.
+# Scale: one shuffle on (user_id); session merge is a sort within the
+# partition — no per-probe state, unbounded keys distribute.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS session_last,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+""",
+    doc="native session_window(30m) sessionization (the streaming-stateful "
+    "operator, batch-verified against explicit gap-island SQL)",
+    tags=("window", "session", "streaming-compatible"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.date_format("mn", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("mx", TS_FMT_SPARK).alias("session_last"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
