@@ -38,6 +38,7 @@ def pagerank_integer(
     edges: DataFrame,
     iterations: int = 3,
     scale: int = DEFAULT_SCALE,
+    persist: bool = True,
 ) -> DataFrame:
     """PageRank with damping 0.85 in exact scaled-integer arithmetic.
 
@@ -50,7 +51,14 @@ def pagerank_integer(
         contrib(u)  = rank(u) div deg(u)
         rank'(v)    = (15*scale) div 100  +  (85 * Σ contrib(u→v)) div 100
     """
+    # edges and degrees are static across iterations — persist them so each
+    # iteration's join reuses the materialized shuffle instead of re-deriving
+    # the (distinct) edge list from the source scan every time
+    if persist:
+        edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    if persist:
+        deg = deg.persist()
     nodes = deg.select(F.col("src").alias("node"))
     base = (15 * scale) // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
