@@ -14,7 +14,7 @@ Scale posture (the point of this module):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
@@ -736,4 +736,250 @@ def tpch_q20_style_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q2_style_min_cost_supplier",
+    oracle="""
+SELECT p_partkey, p_name, s_name, n_name,
+       round(s_acctbal, 2) AS s_acctbal,
+       unit_cost
+FROM (
+  SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal,
+         l.l_extendedprice / l.l_quantity AS unit_cost,
+         min(l.l_extendedprice / l.l_quantity)
+           OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_type = 'PROMO' AND p.p_size <= 10 AND r.r_name = 'ASIA'
+) o
+WHERE unit_cost = min_cost
+GROUP BY ALL
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+    doc="TPC-H Q2 shape: cheapest supplier per part (correlated-min "
+    "subquery as a window min over the part key — one shuffle, no "
+    "self-join recompute), region-filtered snowflake dims broadcast. "
+    "unit_cost is a single IEEE division so the min-equality match is "
+    "bit-stable across engines.",
+    tags=("join", "subquery", "window", "tpch"),
+)
+def tpch_q2_style_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 10)
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # nation/region collapse onto supplier as one broadcast side; the only
+    # shuffle is the window partition on p_partkey.
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "unit_cost",
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q4_style_priority_exists",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS correlated on the fact (a line shipped "
+    ">60 days after the order) -> left-semi join with an equi key plus a "
+    "non-equi residual; order-date filter pushed to the orders scan.",
+    tags=("join", "subquery", "tpch"),
+)
+def tpch_q4_style_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q12_style_priority_by_flag",
+    oracle="""
+SELECT l.l_returnflag,
+       cast(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       cast(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""",
+    doc="TPC-H Q12 shape: conditional split-count aggregation over the "
+    "order-line join (l_returnflag standing in for l_shipmode); the "
+    "ship-date window is the only fact filter and reaches the scan.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q12_style_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q21_style_sole_late_supplier",
+    oracle="""
+SELECT s.s_name, numwait
+FROM (
+  SELECT late_supp AS suppkey, count(*) AS numwait
+  FROM (
+    SELECT l.l_orderkey,
+           count(DISTINCT l.l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                               THEN l.l_suppkey END) AS n_late,
+           max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    THEN l.l_suppkey END) AS late_supp
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY l.l_orderkey
+  ) per_order
+  WHERE n_supp > 1 AND n_late = 1
+  GROUP BY late_supp
+) w
+JOIN supplier s ON s.s_suppkey = w.suppkey
+ORDER BY numwait DESC, s.s_name
+LIMIT 50
+""",
+    doc="TPC-H Q21 shape: the sole late supplier on a multi-supplier order "
+    "(EXISTS another supplier / NOT EXISTS another LATE supplier), "
+    "decorrelated into one per-order aggregate — n_late = 1 pins the "
+    "unique late supplier so max() recovers it exactly; one shuffle on "
+    "l_orderkey instead of two correlated probes of the fact table.",
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def tpch_q21_style_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    waits = per_order.groupBy("late_supp").agg(F.count("*").alias("numwait"))
+    return (
+        waits.join(F.broadcast(s), waits.late_supp == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(50)
+    )
+
+
+@register(
+    "tpch_q22_style_idle_balance",
+    oracle="""
+SELECT c.c_mktsegment,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    doc="TPC-H Q22 shape: above-average balances with no recent orders "
+    "(scalar avg subquery broadcast as a single-row cross join + "
+    "left-anti against the date-filtered orders scan), grouped by "
+    "market segment (standing in for the phone country code).",
+    tags=("join", "subquery", "agg", "tpch"),
+)
+def tpch_q22_style_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    recent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
     )
