@@ -85,3 +85,67 @@ def pagerank_integer(
             )
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle + wedge count over a canonical undirected edge list
+    (``a < b``, distinct).
+
+    Degree-ordering algorithm (the MapReduce-era standard for distributed
+    triangle counting): orient every edge from its lower-degree endpoint to
+    the higher (ties by id), so each node's out-degree is O(sqrt(m)) and
+    every triangle has exactly ONE pivot — the vertex whose two oriented
+    out-edges span it. Wedges are generated per pivot from the collected
+    out-neighbor list (bounded by the sqrt(m) cap, so the array stays
+    small no matter how skewed the raw degree distribution is — this is
+    the skew story: a celebrity node of degree 10^6 still emits only its
+    low-degree-side wedges), then closed against the canonical edge set
+    with one equi-join.
+
+    Shuffle posture: degree agg + orientation joins (degree table is tiny
+    — broadcast), one groupBy(pivot) collect, one closure equi-join on
+    (v, w). No O(d^2) blowup on hub nodes, no driver collect.
+    """
+    raw = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+    deg = (
+        raw.select(F.col("a").alias("node"))
+        .unionAll(raw.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        raw.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    # per-pivot out-neighbor array (id-sorted) -> all id-ordered pairs
+    wedges = (
+        oriented.groupBy("u")
+        .agg(F.sort_array(F.collect_list("v")).alias("ns"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ns, (x, i) -> "
+                        "transform(slice(ns, i + 2, size(ns)), "
+                        "y -> struct(x AS v, y AS w)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    )
+    closed = wedges.join(
+        raw, (wedges.v == raw.a) & (wedges.w == raw.b), "left_semi"
+    )
+    return wedges.agg(F.count("*").alias("n_wedges")).crossJoin(
+        closed.agg(F.count("*").alias("n_triangles"))
+    ).select("n_triangles", "n_wedges")

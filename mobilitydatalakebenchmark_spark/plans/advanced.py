@@ -781,3 +781,60 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered pivot algorithm). Graph: lineitem
+# part/supp keys folded into one 2003-slot node space (the natural
+# part-supplier graph is bipartite, hence triangle-free; the fold makes a
+# general sparse graph while keeping construction deterministic). Each
+# triangle is counted at its unique lowest-degree pivot; out-neighbor
+# arrays are bounded O(sqrt(m)) by the orientation, so hub skew cannot
+# blow up the wedge stage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH ids AS (
+  SELECT l_partkey % 2003 AS pa, l_suppkey % 2003 AS pb FROM lineitem
+  WHERE l_partkey % 2003 <> l_suppkey % 2003
+), raw AS (
+  SELECT DISTINCT least(pa, pb) AS a, greatest(pa, pb) AS b FROM ids
+), deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM raw UNION ALL SELECT b AS node FROM raw)
+  GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND r.a < r.b)
+              THEN r.a ELSE r.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND r.a < r.b)
+              THEN r.b ELSE r.a END AS v
+  FROM raw r JOIN deg da ON da.node = r.a JOIN deg db ON db.node = r.b
+), wedges AS (
+  SELECT e1.v AS v, e2.v AS w
+  FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT)
+   FROM wedges w JOIN raw r ON r.a = w.v AND r.b = w.w) AS n_triangles,
+  (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges
+""",
+    doc="exact distributed triangle count (degree-ordered pivots, "
+    "sqrt(m)-bounded wedge generation, one closure equi-join) over the "
+    "folded lineitem graph",
+    tags=("graph", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem")
+    ids = li.select(
+        (F.col("l_partkey") % 2003).alias("pa"),
+        (F.col("l_suppkey") % 2003).alias("pb"),
+    ).filter(F.col("pa") != F.col("pb"))
+    edges = ids.select(
+        F.least("pa", "pb").alias("a"), F.greatest("pa", "pb").alias("b")
+    )
+    return triangle_count(edges)

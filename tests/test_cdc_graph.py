@@ -93,3 +93,33 @@ class TestPageRankInteger:
         a = self._ranks(pagerank_integer(edges.repartition(1), iterations=2))
         b = self._ranks(pagerank_integer(edges.repartition(13), iterations=2))
         assert a == b
+
+
+class TestTriangleCount:
+    def _count(self, spark, pairs):
+        from mobilitydatalakebenchmark_spark.operators.graph import triangle_count
+
+        df = spark.createDataFrame(pairs, "a INT, b INT")
+        return triangle_count(df).collect()[0]
+
+    def test_two_triangles_with_bridge(self, spark):
+        # {1,2,3}, {3,4,5}, and {2,3,4} (closed by the 2-4 bridge)
+        r = self._count(
+            spark, [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (3, 5), (2, 4)]
+        )
+        assert r.n_triangles == 3
+
+    def test_k4_clique(self, spark):
+        # K4 has C(4,3)=4 triangles and every pair connected
+        edges = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+        r = self._count(spark, edges)
+        assert r.n_triangles == 4
+
+    def test_triangle_free_star(self, spark):
+        r = self._count(spark, [(1, 2), (1, 3), (1, 4), (1, 5)])
+        assert r.n_triangles == 0
+        assert r.n_wedges == 6  # C(4,2) pairs around the hub
+
+    def test_duplicate_edges_do_not_double_count(self, spark):
+        r = self._count(spark, [(1, 2), (1, 2), (1, 3), (2, 3), (2, 3)])
+        assert r.n_triangles == 1
