@@ -146,6 +146,13 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     closed = wedges.join(
         raw, (wedges.v == raw.a) & (wedges.w == raw.b), "left_semi"
     )
-    return wedges.agg(F.count("*").alias("n_wedges")).crossJoin(
-        closed.agg(F.count("*").alias("n_triangles"))
+    # n_wedges is the TOTAL wedge count Σ_v C(deg(v), 2) — the global
+    # clustering-coefficient denominator (3·triangles / wedges) — computed
+    # from the degree table alone; the oriented pairs above are only the
+    # triangle-candidate subset and are never materialized beyond the join.
+    total_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    return closed.agg(F.count("*").alias("n_triangles")).crossJoin(
+        total_wedges
     ).select("n_triangles", "n_wedges")
