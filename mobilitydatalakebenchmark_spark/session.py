@@ -90,6 +90,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Newer driver generations store ts as TIMESTAMP(isAdjustedToUTC=false),
+    # which Spark 4 reads as TIMESTAMP_NTZ — a type that supports neither
+    # cast("long") nor unix_micros(). The session timezone is pinned UTC, so
+    # casting NTZ -> TIMESTAMP preserves every value bit-for-bit and keeps
+    # DuckDB-oracle parity. Applied to any NTZ column so all tables and both
+    # data generations (nanos-as-bigint and NTZ-micros) read identically.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     if name in _PER_ROW_HEAVY:
         try:
             size = (
