@@ -44,6 +44,37 @@ def parse_ts(timestamp: Column) -> Column:
     return F.to_timestamp(timestamp)
 
 
+# -- epoch helpers: one tolerant path for every ts-arithmetic site.
+#
+# The driver's events table has shipped in two generations — parquet
+# TIMESTAMP(NANOS) (read as bigint nanos under nanosAsLong) and
+# TIMESTAMP(isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). session.read_table
+# normalizes both to TIMESTAMP, but every epoch site routes through these
+# helpers as defense-in-depth: the inner cast("timestamp") is a no-op on
+# TIMESTAMP, converts TIMESTAMP_NTZ losslessly (session tz pinned UTC), and
+# keeps working if a future generation changes again. Pass dtype="bigint"
+# (from df.dtypes) for raw nanos columns that bypassed read_table.
+
+
+def epoch_us(col: Column | str, dtype: str | None = None) -> Column:
+    """Microseconds since epoch from TIMESTAMP / TIMESTAMP_NTZ / bigint-nanos.
+
+    The bigint branch divides in Decimal(38,0) — double division would lose
+    sub-microsecond precision for 2024-era nano values (~1.7e18 > 2^53)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if dtype == "bigint":
+        return (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def epoch_s(col: Column | str, dtype: str | None = None) -> Column:
+    """Whole seconds since epoch (truncated), same input tolerance."""
+    c = F.col(col) if isinstance(col, str) else col
+    if dtype == "bigint":
+        return (c.cast("decimal(38,0)") / F.lit(1_000_000_000)).cast("long")
+    return F.unix_seconds(c.cast("timestamp"))
+
+
 # -- P11: fixed-point scaling (postgresql_velocity_split.py:121-122/176-179)
 
 FIXED_POINT_SCALE = 10**8

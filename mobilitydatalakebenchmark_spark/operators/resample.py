@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.codecs import epoch_us
+
 
 def resample_linear(
     df: DataFrame,
@@ -27,7 +29,7 @@ def resample_linear(
     between the nearest real observations (exact at grid points that
     coincide with observations; edge grid points clamp to the boundary
     observation). Output: id, grid_ts, <val>_interp per value column."""
-    us = F.unix_micros(F.col(ts_col))
+    us = epoch_us(ts_col)
     bounds = df.groupBy(id_col).agg(
         F.min(us).alias("_t0"), F.max(us).alias("_t1")
     )

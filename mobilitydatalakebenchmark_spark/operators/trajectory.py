@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.codecs import epoch_s, epoch_us
+
 EARTH_RADIUS_M = 6371008.8
 
 
@@ -46,7 +48,7 @@ def step_metrics(
     w = Window.partitionBy(id_col).orderBy(ts_col)
     prev_lat = F.lag(F.col(lat_col)).over(w)
     prev_lon = F.lag(F.col(lon_col)).over(w)
-    dt_s = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    dt_s = epoch_s(ts_col) - F.lag(epoch_s(ts_col)).over(w)
     dist = haversine_m(prev_lat, prev_lon, F.col(lat_col), F.col(lon_col))
     return df.withColumns(
         {
@@ -130,8 +132,7 @@ def detect_stops(
             F.round(F.avg(lat_col), 6).alias("stop_lat"),
         )
         .filter(
-            F.col("stop_end").cast("long") - F.col("stop_start").cast("long")
-            >= min_duration_s
+            epoch_s("stop_end") - epoch_s("stop_start") >= min_duration_s
         )
         .drop("run_key")
     )
@@ -304,7 +305,7 @@ def co_location_pairs(
 
         cell_lon_deg = radius_m / (111320.0 * math.cos(math.radians(80.0))) * 1.1
 
-    tus = F.unix_micros(F.col(ts_col))
+    tus = epoch_us(ts_col)
     pts = df.select(
         F.col(id_col),
         F.col(lat_col),
@@ -314,7 +315,9 @@ def co_location_pairs(
         F.floor(F.col(lon_col) / cell_lon_deg).cast("long").alias("_cy"),
         # integer division (SQL `div`) — exact at epoch-micro magnitudes,
         # where a double-divide-then-floor can land on the wrong bucket
-        F.expr(f"unix_micros({ts_col}) div {window_s * 1_000_000}").alias("_tb"),
+        F.expr(
+            f"unix_micros(cast({ts_col} as timestamp)) div {window_s * 1_000_000}"
+        ).alias("_tb"),
     )
     neighbors = F.array(
         *[
@@ -386,7 +389,7 @@ def od_matrix(
     break equal-timestamp fixes deterministically."""
     order_cols = [ts_col, *tiebreak_cols]
     w = Window.partitionBy(id_col).orderBy(*order_cols)
-    dt_s = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    dt_s = epoch_s(ts_col) - F.lag(epoch_s(ts_col)).over(w)
     new_trip = F.when(dt_s.isNull() | (dt_s > gap_s), 1).otherwise(0)
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     endpoint = F.struct(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.codecs import epoch_us
 from . import register
 from .relational import t
 
@@ -193,7 +194,8 @@ def linreg_trend_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.select(
         "user_id",
         F.expr(
-            "(unix_micros(ts) - min(unix_micros(ts)) "
+            "(unix_micros(cast(ts as timestamp)) "
+            "- min(unix_micros(cast(ts as timestamp))) "
             "OVER (PARTITION BY user_id)) div 1000000"
         ).alias("x"),
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
@@ -462,7 +464,7 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "day",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
-        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dt_us"),
+        (F.lead(epoch_us("ts")).over(w) - epoch_us("ts")).alias("dt_us"),
     )
     m = (
         stepped.filter(F.col("dt_us").isNotNull())
@@ -704,7 +706,7 @@ GROUP BY 1 ORDER BY n DESC, path LIMIT 20
 def path_trigrams_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_ord)
+    gap_us = epoch_us("ts") - F.lag(epoch_us("ts")).over(w_ord)
     new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("new_session", new_session).withColumn(
         "session_id",

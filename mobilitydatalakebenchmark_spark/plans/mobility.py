@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.codecs import decode_fixed_point, encode_fixed_point
+from ..functions.codecs import decode_fixed_point, encode_fixed_point, epoch_us
 from . import register
 from .relational import t
 
@@ -210,7 +210,7 @@ def trajectory_step_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "plat": F.lag("lat").over(w),
             "plon": F.lag("lon").over(w),
             "dt_s": (
-                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                epoch_us("ts") - F.lag(epoch_us("ts")).over(w)
             )
             / 1000000.0,
         }

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.codecs import epoch_s, epoch_us
 from . import register
 from .relational import t
 
@@ -223,7 +224,7 @@ FROM s GROUP BY user_id ORDER BY user_id
 def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_ord)
+    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w_ord)
     new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -483,7 +484,7 @@ def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1h apart at sub-second offsets (first such pair appears at sf0.1)
     w_range = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(epoch_us("ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -108,3 +108,37 @@ def test_asof_matches_bruteforce(spark):
     ).collect()[0]
     assert math.isclose(got.v, seq[7]["value"], rel_tol=1e-12)
     assert got.c is True
+
+
+def test_epoch_helpers_tolerate_all_ts_dtypes(spark):
+    """epoch_us/epoch_s must return identical values whether the source
+    column arrived as TIMESTAMP, TIMESTAMP_NTZ (new driver data), or raw
+    bigint nanos (legacy nanosAsLong read) — the three generations of the
+    events.ts column."""
+    from pyspark.sql import functions as F
+
+    from mobilitydatalakebenchmark_spark.functions.codecs import epoch_s, epoch_us
+
+    iso = ["2024-03-21 13:52:00.123456", "1999-12-31 23:59:59.999999",
+           "2024-03-21 00:00:00"]
+    base = spark.createDataFrame([(s,) for s in iso], "iso string")
+    as_ts = base.select(F.col("iso").cast("timestamp").alias("ts"))
+    as_ntz = base.select(F.col("iso").cast("timestamp_ntz").alias("ts"))
+    as_nanos = base.select(
+        (F.unix_micros(F.col("iso").cast("timestamp")) * 1000).alias("ts")
+    )
+    assert dict(as_ntz.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(as_nanos.dtypes)["ts"] == "bigint"
+
+    def vals(df, fn, dtype=None):
+        return [r.v for r in df.select(fn("ts", dtype=dtype).alias("v")).collect()]
+
+    us_ts = vals(as_ts, epoch_us)
+    assert us_ts == vals(as_ntz, epoch_us)
+    assert us_ts == vals(as_nanos, epoch_us, dtype="bigint")
+    assert us_ts[0] == 1711029120123456  # 2024-03-21T13:52:00.123456Z
+
+    s_ts = vals(as_ts, epoch_s)
+    assert s_ts == vals(as_ntz, epoch_s)
+    assert s_ts == vals(as_nanos, epoch_s, dtype="bigint")
+    assert s_ts[0] == 1711029120
