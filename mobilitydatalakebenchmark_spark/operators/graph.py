@@ -62,7 +62,7 @@ def pagerank_integer(
     nodes = deg.select(F.col("src").alias("node"))
     base = (15 * scale) // 100
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             edges.join(deg, "src")
             .join(ranks, edges["src"] == ranks["node"])
@@ -84,6 +84,12 @@ def pagerank_integer(
                 ).cast("long").alias("rank"),
             )
         )
+        # cut lineage on long chains — each round otherwise nests the whole
+        # prior plan inside the next join, and 10+ rounds overwhelm the
+        # optimizer (see module docstring); every-4 keeps at most 4 joins
+        # of un-truncated plan while costing one materialization job
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -150,8 +156,11 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # clustering-coefficient denominator (3·triangles / wedges) — computed
     # from the degree table alone; the oriented pairs above are only the
     # triangle-candidate subset and are never materialized beyond the join.
+    # coalesce: on an empty edge set sum() is NULL; the contract is 0 wedges
     total_wedges = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges")
     )
     return closed.agg(F.count("*").alias("n_triangles")).crossJoin(
         total_wedges

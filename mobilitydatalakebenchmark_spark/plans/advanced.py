@@ -821,7 +821,7 @@ WITH ids AS (
 SELECT
   (SELECT CAST(count(*) AS BIGINT)
    FROM wedges w JOIN raw r ON r.a = w.v AND r.b = w.w) AS n_triangles,
-  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges
+  (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM deg) AS n_wedges
 """,
     doc="exact distributed triangle count (degree-ordered pivots, "
     "sqrt(m)-bounded wedge generation, one closure equi-join) over the "

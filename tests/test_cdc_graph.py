@@ -123,3 +123,31 @@ class TestTriangleCount:
     def test_duplicate_edges_do_not_double_count(self, spark):
         r = self._count(spark, [(1, 2), (1, 2), (1, 3), (2, 3), (2, 3)])
         assert r.n_triangles == 1
+
+
+class TestPageRankLineage:
+    def test_long_chain_bounded_plan_exact_values(self, spark):
+        """9 iterations crosses two checkpoint boundaries (every 4). Values
+        must equal the pure-python replay of the integer recurrence, and
+        the final plan must be bounded (lineage truncated)."""
+        arcs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 2)]
+        edges = spark.createDataFrame(arcs, "src int, dst int")
+        scale = 10**12
+        ranks = pagerank_integer(edges, iterations=9, scale=scale)
+        got = {r.node: r["rank"] for r in ranks.collect()}
+
+        deg = {}
+        for s, _ in arcs:
+            deg[s] = deg.get(s, 0) + 1
+        nodes = sorted(deg)
+        r = {n: scale for n in nodes}
+        base = (15 * scale) // 100
+        for _ in range(9):
+            s = {n: 0 for n in nodes}
+            for u, v in arcs:
+                if v in s:
+                    s[v] += r[u] // deg[u]
+            r = {n: base + (85 * s[n]) // 100 for n in nodes}
+        assert got == r
+        plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < 50_000, f"lineage not truncated: {len(plan)} chars"

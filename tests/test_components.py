@@ -48,3 +48,32 @@ def test_drop_near_duplicates_end_to_end(spark):
     assert 4 in ids and 5 in ids
     survivors_of_cluster = [i for i in ids if i in (1, 2, 3)]
     assert survivors_of_cluster == [1]  # min-id keeper, transitive closure
+
+
+def test_components_lineage_bounded_deep_diameter(spark):
+    """A 30-node path needs ~15 label-propagation rounds; without periodic
+    localCheckpoint the physical plan doubles per round. Assert both the
+    answer (one component, min label 0) and that the final plan string is
+    bounded — i.e. lineage was actually truncated, not just survived."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "doc_a int, doc_b int"
+    )
+    labels = connected_components(edges, max_iter=20)
+    rows = labels.collect()
+    assert len(rows) == 30
+    assert {r.component for r in rows} == {0}
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    # an un-checkpointed 15-round plan is hundreds of KB; checkpointed it
+    # bottoms out at the last <=3 rounds over a scan of the checkpoint RDD
+    assert len(plan) < 50_000, f"lineage not truncated: plan is {len(plan)} chars"
+
+
+def test_empty_edges_triangle_contract(spark):
+    """Degenerate-input contract: empty edge set -> 0 triangles, 0 wedges
+    (not NULL)."""
+    from mobilitydatalakebenchmark_spark.operators.graph import triangle_count
+
+    empty = spark.createDataFrame([], "a int, b int")
+    row = triangle_count(empty).collect()[0]
+    assert row.n_triangles == 0
+    assert row.n_wedges == 0
