@@ -238,10 +238,51 @@ def wkt_point(lon: Column, lat: Column) -> Column:
 
 
 def surrogate_key(order_col: str):
-    """row_number over a global ordering. NOTE: single-partition window —
-    fine for dimension tables / per-bucket document ids; for fact-scale data
-    use zipWithIndex-style (monotonically_increasing_id + offset fix) or key
-    by the natural key instead. Callers at scale pass a partition column."""
+    """row_number over a global ordering. WARNING: single-partition window —
+    the whole input is sorted on ONE task. Only for dimension tables / per-
+    bucket document ids (≲ a few million rows). For anything fact-scale use
+    :func:`surrogate_keys`, which produces the identical numbering without
+    the single-partition sort."""
     from pyspark.sql import Window
 
     return F.row_number().over(Window.orderBy(order_col))
+
+
+def surrogate_keys(df, order_col: str, out_col: str = "surrogate_id", num_ranges: int | None = None):
+    """Dense 1-based ids in global ``order_col`` order — scale-safe.
+
+    Same numbering as ``row_number() OVER (ORDER BY order_col)`` but
+    without a global single-partition sort: range-repartition on the key
+    (the same sampled range exchange ``orderBy`` uses), rank within each
+    range, then shift each range by the row count of all earlier ranges.
+    The range offsets come from one tiny count job collected to the
+    driver — ONE ROW PER RANGE, exactly RDD.zipWithIndex's design, never
+    data-proportional — and re-enter the plan as a literal map, so no
+    no-partition window appears anywhere. Equal keys co-locate in one
+    range, so ties are broken deterministically by the within-range sort.
+    Input is scanned twice (counts + ranks) — cheap next to the global
+    single-task sort it replaces."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_rng", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_rng").agg(F.count("*").alias("_n")).collect()
+    offsets, acc = {}, 0
+    for row in sorted(counts, key=lambda r: r._rng):
+        offsets[row._rng] = acc
+        acc += row._n
+    off_map = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    )
+    w_in = Window.partitionBy("_rng").orderBy(order_col)
+    return (
+        ranged.withColumn("_rk", F.row_number().over(w_in))
+        .withColumn(
+            out_col,
+            F.coalesce(off_map.getItem(F.col("_rng")), F.lit(0)) + F.col("_rk"),
+        )
+        .drop("_rng", "_rk")
+    )

@@ -448,11 +448,14 @@ FROM part ORDER BY p_partkey
     tags=("project",),
 )
 def p18_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Single-partition window is fine for a dimension table; fact-scale
-    # surrogate keys use the natural key (hashcons) instead (see p14).
+    # Range-partitioned dense numbering: identical output to a global
+    # row_number() but the sort never lands on a single task, so the same
+    # plan holds on a fact-scale input (see codecs.surrogate_keys).
+    from ..functions.codecs import surrogate_keys
+
     return (
-        t(spark, sf_dir, "part")
-        .withColumn("surrogate_id", F.row_number().over(Window.orderBy("p_partkey")))
+        surrogate_keys(t(spark, sf_dir, "part"), "p_partkey")
+        .withColumn("surrogate_id", F.col("surrogate_id").cast("int"))
         .select("surrogate_id", "p_partkey", "p_name")
         .orderBy("p_partkey")
     )

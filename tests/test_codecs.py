@@ -142,3 +142,27 @@ def test_epoch_helpers_tolerate_all_ts_dtypes(spark):
     assert s_ts == vals(as_ntz, epoch_s)
     assert s_ts == vals(as_nanos, epoch_s, dtype="bigint")
     assert s_ts[0] == 1711029120
+
+
+def test_surrogate_keys_matches_global_row_number(spark):
+    """Range-partitioned numbering must equal row_number() OVER (ORDER BY k)
+    regardless of input partitioning, including duplicate keys (ties take
+    distinct consecutive ids) and a num_ranges larger than the row count."""
+    from pyspark.sql import functions as F
+
+    from mobilitydatalakebenchmark_spark.functions.codecs import surrogate_keys
+
+    rows = [(k, f"v{k}_{i}") for k in (5, 1, 9, 3, 5, 7, 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "k int, payload string").repartition(7)
+    out = surrogate_keys(df, "k").orderBy("surrogate_id").collect()
+    assert [r.surrogate_id for r in out] == list(range(1, len(rows) + 1))
+    ks = [r.k for r in out]
+    assert ks == sorted(ks)  # ids dense and ordered by key
+    # ids are a permutation-stable function of k-order: re-run with
+    # different partitioning and num_ranges
+    out2 = (
+        surrogate_keys(df.repartition(3), "k", num_ranges=50)
+        .orderBy("surrogate_id")
+        .collect()
+    )
+    assert [r.k for r in out2] == ks
