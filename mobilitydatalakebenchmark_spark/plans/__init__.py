@@ -34,8 +34,39 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     return deco
 
 
+# Gates the external driver already hash-verified in rounds 1-2 (it checks
+# the FIRST 50 registry entries each round). Listing them lets load_registry
+# rotate not-yet-verified gates into the checked window — every gate is
+# oracle-checked locally by tools/check_oracle.py either way; this only
+# affects which subset gets an independent driver verdict next.
+DRIVER_VERIFIED = (
+    "s1_scan_order_limit", "f1_point_lookup", "f2_in_list", "f9_first_match",
+    "j1_doc_feature_join", "j4_snowflake_revenue", "j6_three_table_lookup",
+    "j7_semi_existing_keys", "f4_anti_novelty", "a4_zonemap_minmax",
+    "a6_distinct_keys", "a9_first_seen_dedup", "p14_hashcons_dim",
+    "p18_surrogate_keys", "p6_direction_roundtrip", "o3_union_append",
+    "setop_intersect_except", "agg_rollup_status", "agg_pivot_manual",
+    "a7_counts", "tpch_q3_style_topn", "scalar_subquery_above_avg",
+    "correlated_exists_sql", "grouping_sets_cube", "approx_distinct_users",
+    "tpch_q5_style_regional_revenue", "tpch_q7_style_nation_volume",
+    "tpch_q10_style_returns_topn", "tpch_q14_style_promo_revenue",
+    "tpch_q16_style_supplier_variety", "tpch_q17_style_small_qty_revenue",
+    "tpch_q18_style_large_orders", "correlated_not_exists_sql",
+    "tpch_q15_style_top_supplier", "tpch_q6_style_forecast_revenue",
+    "tpch_q8_style_market_share", "tpch_q9_style_nation_profit",
+    "tpch_q11_style_balance_share", "tpch_q13_style_order_distribution",
+    "tpch_q19_style_disjunctive_revenue", "tpch_q20_style_nested_in",
+    "tpch_q2_style_min_cost_supplier", "tpch_q4_style_priority_exists",
+    "tpch_q12_style_priority_by_flag", "tpch_q21_style_sole_late_supplier",
+    "tpch_q22_style_idle_balance", "w1_tumbling_hour", "a5_batch_range_bounds",
+    "w3_asof_lookup",
+)
+
+
 def load_registry() -> dict[str, Q]:
-    """Import all query modules (side-effect: fills REGISTRY)."""
+    """Import all query modules (side-effect: fills REGISTRY), then order
+    entries so the flagship stays first and gates without a prior driver
+    verdict precede the already-verified ones."""
     from . import relational  # noqa: F401
     from . import tpch  # noqa: F401
     from . import windows  # noqa: F401
@@ -44,4 +75,14 @@ def load_registry() -> dict[str, Q]:
     from . import vectors  # noqa: F401
     from . import advanced  # noqa: F401
 
+    verified = set(DRIVER_VERIFIED)
+    ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
+    for name, q in REGISTRY.items():
+        if name not in verified and name not in ordered:
+            ordered[name] = q
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY
