@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schemas, partition strategy,
-Arrow-batched mapInPandas kernels with correct batch shapes. The actual
-codec calls (PIL/ffmpeg/soundfile) are NOT in this container, so the decode
-kernel is swappable: ``decoder=None`` uses a deterministic fake (content-
-addressed pseudo-pixels) and a real implementation drops in behind the same
-signature without touching any Spark code.
+Arrow-batched mapInPandas kernels with correct batch shapes. The decode
+kernel is swappable behind one signature: ``wav_decode`` (stdlib ``wave``)
+and ``ppm_decode`` (hand-parsed binary PPM) are REAL codecs that run
+end-to-end in this container; richer formats (JPEG/MP3/H264) need
+PIL/ffmpeg, which are NOT installed, so ``decoder=None`` falls back to a
+deterministic content-addressed fake and a real implementation drops in
+without touching any Spark code.
 
 Scale design: binary payloads never pass through Python row-at-a-time —
 mapInPandas streams Arrow record batches; metadata-only queries prune the
@@ -63,6 +65,120 @@ def _fake_decode(payload: bytes, modality: str) -> list[float]:
     only."""
     digest = hashlib.md5(payload).digest()
     return [b / 255.0 for b in digest]
+
+
+def wav_decode(payload: bytes, modality: str = "audio") -> list[float]:
+    """REAL audio decoder — pure stdlib ``wave`` + numpy, no external libs.
+
+    Parses an actual RIFF/WAVE container and returns 8 features from the
+    PCM16 samples: [n_channels, sample_rate, n_samples, duration_s, mean,
+    rms, peak, zero_crossing_rate]. This is the proof that the
+    decode_features plumbing carries a true codec, not only the
+    deterministic fake."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        sr = w.getframerate()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:  # downmix for the stats
+        x = x.reshape(-1, nch).mean(axis=1)
+    n = len(x)
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    return [
+        float(nch),
+        float(sr),
+        float(n),
+        n / sr if sr else 0.0,
+        float(x.mean()) if n else 0.0,
+        float(np.sqrt((x**2).mean())) if n else 0.0,
+        float(np.abs(x).max()) if n else 0.0,
+        zcr,
+    ]
+
+
+def ppm_decode(payload: bytes, modality: str = "image") -> list[float]:
+    """REAL image decoder — binary PPM (P6), parsed by hand + numpy.
+
+    Returns 8 features: [width, height, maxval, mean_r, mean_g, mean_b,
+    luma_mean, luma_std]."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    img = px.reshape(height, width, 3).astype(np.float64) / maxval
+    luma = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]
+    return [
+        float(width),
+        float(height),
+        float(maxval),
+        float(img[..., 0].mean()),
+        float(img[..., 1].mean()),
+        float(img[..., 2].mean()),
+        float(luma.mean()),
+        float(luma.std()),
+    ]
+
+
+def stdlib_decode(payload: bytes, modality: str) -> list[float]:
+    """Dispatching decoder: real WAV for audio, real PPM for image; video
+    frame decode genuinely needs ffmpeg (absent from this container) and
+    stays on the declared deterministic fake."""
+    if modality == "audio":
+        return wav_decode(payload, modality)
+    if modality == "image":
+        return ppm_decode(payload, modality)
+    return _fake_decode(payload, modality)
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Fixture helper: float samples in [-1, 1] -> real PCM16 WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def encode_ppm(pixels) -> bytes:
+    """Fixture helper: uint8 array (h, w, 3) -> real binary PPM bytes."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
 def decode_features(

@@ -253,3 +253,86 @@ class TestMultimodal:
         out = multimodal.decode_features(media, decoder=failing).collect()
         assert all(not r.decode_ok for r in out)
         assert all(r.feat_dim == 0 for r in out)
+
+
+class TestRealCodecs:
+    """decode_features driven by GENUINE codecs (stdlib wave / hand-parsed
+    PPM) — asserts real signal values, not content-addressed fakes."""
+
+    def test_wav_sine_features_end_to_end(self, spark):
+        import math
+
+        import numpy as np
+
+        from mobilitydatalakebenchmark_spark.operators import multimodal
+
+        sr, freq, amp, dur = 16000, 440.0, 0.5, 1.0
+        n = int(sr * dur)
+        t = np.arange(n) / sr
+        payload = multimodal.encode_wav_pcm16(amp * np.sin(2 * np.pi * freq * t), sr)
+        silence = multimodal.encode_wav_pcm16(np.zeros(sr // 2), sr)
+        media = spark.createDataFrame(
+            [
+                {"media_id": 0, "modality": "audio", "uri": None,
+                 "payload": payload, "meta": None},
+                {"media_id": 1, "modality": "audio", "uri": None,
+                 "payload": silence, "meta": None},
+            ],
+            multimodal.MEDIA_SCHEMA,
+        )
+        out = {
+            r.media_id: r
+            for r in multimodal.decode_features(
+                media, decoder=multimodal.stdlib_decode
+            ).collect()
+        }
+        nch, rate, nsamp, dur_s, mean, rms, peak, zcr = out[0].features
+        assert (nch, rate, nsamp) == (1.0, float(sr), float(n))
+        assert math.isclose(dur_s, dur, rel_tol=1e-9)
+        assert abs(mean) < 1e-3
+        assert math.isclose(rms, amp / math.sqrt(2), rel_tol=1e-3)
+        assert math.isclose(peak, amp, rel_tol=1e-3)
+        # a 440 Hz tone crosses zero 2*440 times/s -> zcr = 880/16000
+        assert math.isclose(zcr, 2 * freq / sr, rel_tol=2e-2)
+        assert out[1].features[5] == 0.0  # silence has zero rms
+        assert out[1].decode_ok
+
+    def test_ppm_solid_color_features_end_to_end(self, spark):
+        import math
+
+        import numpy as np
+
+        from mobilitydatalakebenchmark_spark.operators import multimodal
+
+        img = np.zeros((4, 6, 3), dtype=np.uint8)
+        img[..., 0] = 255  # solid red
+        red = multimodal.encode_ppm(img)
+        noise = multimodal.encode_ppm(
+            np.random.default_rng(3).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        )
+        corrupt = b"P6\n not really"
+        media = spark.createDataFrame(
+            [
+                {"media_id": 0, "modality": "image", "uri": None,
+                 "payload": red, "meta": None},
+                {"media_id": 1, "modality": "image", "uri": None,
+                 "payload": noise, "meta": None},
+                {"media_id": 2, "modality": "image", "uri": None,
+                 "payload": corrupt, "meta": None},
+            ],
+            multimodal.MEDIA_SCHEMA,
+        )
+        out = {
+            r.media_id: r
+            for r in multimodal.decode_features(
+                media, decoder=multimodal.stdlib_decode
+            ).collect()
+        }
+        w, h, maxval, mr, mg, mb, luma, luma_std = out[0].features
+        assert (w, h, maxval) == (6.0, 4.0, 255.0)
+        assert (mr, mg, mb) == (1.0, 0.0, 0.0)
+        # features column is array<float> (float32): ~1e-7 relative error
+        assert math.isclose(luma, 0.2126, rel_tol=1e-6)
+        assert luma_std == 0.0
+        assert out[1].decode_ok and out[1].feat_dim == 8
+        assert not out[2].decode_ok  # corrupt payload flags, doesn't fail
