@@ -6,6 +6,12 @@ every entry point degrades with a clear DeltaUnavailable error; the code
 paths are written for when the package is present (``pip install
 delta-spark`` + the two session configs in ``delta_session_builder``).
 
+Enablement re-checked 2026-08-13 (round 3): no ``delta`` module, no
+delta jars under ``/opt/spark/jars``, and ``pip download delta-spark``
+finds no distribution (the image has no package index access). Blocked
+by the environment, not the code — nothing to un-gate until the image
+ships the jars.
+
 Without Delta, the same upsert semantics run on plain parquet via the
 recompute path (see VelocityParquetStore.write(mode="append") and
 TemporalStore.append_batch) — those are the canonical engines; this module

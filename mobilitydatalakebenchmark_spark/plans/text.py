@@ -800,3 +800,230 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("test_doc", F.col("split"), "n_shared_shingles", "n_train_docs")
         .orderBy("test_doc")
     )
+
+
+# -- PII scrubbing (operators/pii.py). The synthetic documents contain no
+# real PII, so each gate decorates the text DETERMINISTICALLY from doc_id —
+# the identical construction in Spark and DuckDB — and then runs genuine
+# regex detection/masking on the result. Pattern literals are shared via
+# PII_PATTERNS (Java-regex/RE2 common subset).
+
+_PII_DECOR_SQL = """
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' id 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def _pii_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" call 415-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" id 078-05-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _pii_oracle_counts() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    cols = ",\n       ".join(
+        f"cast(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    return f"""
+WITH decorated AS ({_PII_DECOR_SQL})
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN len(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) > 0
+                  OR len(regexp_extract_all(text, '{PII_PATTERNS["ssn"]}')) > 0
+                  OR len(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) > 0
+                  OR len(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       {cols}
+FROM decorated GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "pii_detect_counts",
+    oracle=None,  # set below — needs PII_PATTERNS at import time
+    doc="PII detection rollup: per-source document counts + per-category "
+    "match totals over deterministically decorated text (pure regexp_count "
+    "expressions — zero-shuffle per-row scan + one combinable aggregate)",
+    tags=("text", "pii"),
+)
+def pii_detect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import PII_PATTERNS, detect_pii
+
+    prof = detect_pii(_pii_decorated(spark, sf_dir), "text")
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum(F.col("has_pii").cast("int")).cast("long").alias("n_docs_with_pii")]
+    aggs += [
+        F.sum(f"pii_{name}").cast("long").alias(f"n_{name}") for name in PII_PATTERNS
+    ]
+    return prof.groupBy("source").agg(*aggs).orderBy("source")
+
+
+# patch the oracle in after definition (needs the pattern dict)
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["pii_detect_counts"].oracle = _pii_oracle_counts()
+
+
+def _pii_oracle_scrub() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    masked = "text"
+    for name, pat in PII_PATTERNS.items():
+        masked = f"regexp_replace({masked}, '{pat}', '[{name.upper()}]', 'g')"
+    residual = " + ".join(
+        f"len(regexp_extract_all({masked}, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+WITH decorated AS ({_PII_DECOR_SQL})
+SELECT doc_id,
+       length({masked}) AS masked_len,
+       cast(len(regexp_extract_all({masked}, '\\[(EMAIL|SSN|PHONE|IPV4)\\]')) AS BIGINT)
+           AS n_redactions,
+       cast({residual} AS BIGINT) AS n_residual_pii
+FROM decorated ORDER BY doc_id
+"""
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=None,
+    doc="PII redaction: chained global regexp_replace masks every span; "
+    "n_residual_pii must be 0 everywhere (the gate re-scans the masked "
+    "text with the same patterns)",
+    tags=("text", "pii"),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pii import PII_PATTERNS, pii_counts, scrub_pii
+
+    masked = scrub_pii(_pii_decorated(spark, sf_dir), "text")
+    residual = None
+    for c in pii_counts(F.col("text")):
+        residual = c if residual is None else residual + c
+    return masked.select(
+        "doc_id",
+        F.length("text").alias("masked_len"),
+        F.regexp_count("text", F.lit(r"\[(EMAIL|SSN|PHONE|IPV4)\]"))
+        .cast("long")
+        .alias("n_redactions"),
+        residual.cast("long").alias("n_residual_pii"),
+    ).orderBy("doc_id")
+
+
+_REG["pii_scrub_stats"].oracle = _pii_oracle_scrub()
+
+
+@register(
+    "url_domain_topk",
+    oracle=f"""
+WITH decorated AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/page/' || CAST(doc_id AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN ' cdn http://static.cdn-host.net/a' || CAST(doc_id AS VARCHAR) ELSE '' END
+         AS text
+  FROM documents
+), urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[a-z0-9.-]+')) AS url
+  FROM decorated
+)
+SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain,
+       count(*) AS n_urls,
+       count(DISTINCT doc_id) AS n_docs
+FROM urls
+GROUP BY domain
+ORDER BY n_urls DESC, domain
+LIMIT 10
+""",
+    doc="URL extraction + per-domain rollup (regexp_extract_all -> explode "
+    "-> one aggregate; the crawl-curation 'top domains' profile)",
+    tags=("text", "url"),
+)
+def url_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (did % 20).cast("string"),
+                    F.lit(".example.com/page/"),
+                    did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 0,
+                F.concat(
+                    F.lit(" cdn http://static.cdn-host.net/a"), did.cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = decorated.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text", F.lit(r"https?://[a-z0-9.-]+"), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.regexp_extract("url", r"https?://([a-z0-9.-]+)", 1).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_urls"), "domain")
+        .limit(10)
+    )

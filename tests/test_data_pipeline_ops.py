@@ -336,3 +336,43 @@ class TestRealCodecs:
         assert luma_std == 0.0
         assert out[1].decode_ok and out[1].feat_dim == 8
         assert not out[2].decode_ok  # corrupt payload flags, doesn't fail
+
+
+class TestPII:
+    def test_detect_and_scrub_crafted_text(self, spark):
+        from mobilitydatalakebenchmark_spark.operators import pii
+
+        rows = [
+            (0, "reach me at jane.doe+spam@sub.example.co.uk thanks"),
+            (1, "call 415-555-0134 or 212-555-9876 now"),
+            (2, "server at 192.168.1.254 and 10.0.0.1"),
+            (3, "ssn 078-05-1120 on file"),
+            (4, "clean text with no sensitive spans 12345"),
+            (5, "mixed: a@b.io 1.2.3.4 999-99-9999 307-555-1212"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        prof = {r.doc_id: r for r in pii.detect_pii(df).collect()}
+        assert prof[0].pii_email == 1 and prof[0].has_pii
+        assert prof[1].pii_phone == 2
+        assert prof[2].pii_ipv4 == 2
+        assert prof[3].pii_ssn == 1
+        assert not prof[4].has_pii
+        assert (prof[5].pii_email, prof[5].pii_ipv4, prof[5].pii_ssn,
+                prof[5].pii_phone) == (1, 1, 1, 1)
+
+        masked = {r.doc_id: r.text for r in pii.scrub_pii(df).collect()}
+        assert masked[0] == "reach me at [EMAIL] thanks"
+        assert masked[1] == "call [PHONE] or [PHONE] now"
+        assert masked[2] == "server at [IPV4] and [IPV4]"
+        assert masked[3] == "ssn [SSN] on file"
+        assert masked[4] == rows[4][1]  # untouched
+        # no category survives its own re-scan
+        residual = pii.detect_pii(pii.scrub_pii(df)).filter("has_pii").count()
+        assert residual == 0
+
+    def test_phone_is_not_misread_as_ssn(self, spark):
+        from mobilitydatalakebenchmark_spark.operators import pii
+
+        df = spark.createDataFrame([(0, "415-555-0134")], "doc_id int, text string")
+        r = pii.detect_pii(df).collect()[0]
+        assert r.pii_phone == 1 and r.pii_ssn == 0
