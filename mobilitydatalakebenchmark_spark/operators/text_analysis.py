@@ -148,6 +148,36 @@ def idf_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log2-probability under the corpus's own
+    unigram LM — the classic cheap quality/surprisal filter (very negative
+    = rare-token-heavy gibberish; near zero = high-frequency boilerplate).
+
+    Shape: token explode -> corpus frequency agg -> broadcast join back ->
+    per-doc avg. The frequency table is vocabulary-sized (bounded, not
+    corpus-sized) so the join stays broadcast at any corpus scale; the
+    single-row total joins the same way. Output: (id, n_tokens,
+    lm_logprob) rounded to 6 dp for cross-engine float parity."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log2(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("lm_logprob"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,

@@ -1027,3 +1027,31 @@ def url_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_urls"), "domain")
         .limit(10)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT cast(sum(c) AS DOUBLE) AS t FROM freq
+)
+SELECT tok.doc_id,
+       count(*) AS n_tokens,
+       round(avg(log2(cast(freq.c AS DOUBLE) / tot.t)), 6) AS lm_logprob
+FROM tok JOIN freq USING (token) CROSS JOIN tot
+GROUP BY tok.doc_id
+ORDER BY tok.doc_id
+""",
+    doc="per-doc mean unigram log2-prob under the corpus's own LM (cheap "
+    "surprisal/quality filter; vocabulary-bounded broadcast join, never "
+    "corpus-sized)",
+    tags=("text", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import unigram_logprob
+
+    return unigram_logprob(t(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -376,3 +376,35 @@ class TestPII:
         df = spark.createDataFrame([(0, "415-555-0134")], "doc_id int, text string")
         r = pii.detect_pii(df).collect()[0]
         assert r.pii_phone == 1 and r.pii_ssn == 0
+
+
+class TestUnigramLM:
+    def test_logprob_exact_small_corpus(self, spark):
+        import math
+
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            unigram_logprob,
+        )
+
+        # corpus: 8 tokens total; freq: a=4, b=2, c=1, d=1
+        df = spark.createDataFrame(
+            [(0, "a a b c"), (1, "a a b d")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+        exp0 = (2 * math.log2(4 / 8) + math.log2(2 / 8) + math.log2(1 / 8)) / 4
+        exp1 = exp0  # symmetric: d has same freq as c
+        assert out[0].n_tokens == 4
+        assert math.isclose(out[0].lm_logprob, round(exp0, 6), abs_tol=1e-6)
+        assert math.isclose(out[1].lm_logprob, round(exp1, 6), abs_tol=1e-6)
+
+    def test_rare_token_doc_scores_lower(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            unigram_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "x x x x x x x x"), (1, "q w e r t y u i")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.lm_logprob for r in unigram_logprob(df).collect()}
+        assert out[1] < out[0]  # all-rare doc is more surprising
