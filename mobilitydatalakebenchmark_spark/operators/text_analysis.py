@@ -178,6 +178,47 @@ def unigram_logprob(
     )
 
 
+def line_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style line-level repetition/format signals per document:
+    n_lines, fraction of duplicate lines, fraction of characters inside
+    duplicate lines, fraction of bullet-prefixed lines, fraction of
+    ellipsis-terminated lines. The standard web-corpus filter set
+    (boilerplate menus and nav bars show up as repeated lines).
+
+    Shape: explode lines -> (doc, line) count agg -> per-doc rollup. Both
+    aggregates are map-side combinable; grain is bounded by line count,
+    never quadratic in lines per doc."""
+    lines = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("n"))
+    chars = F.col("n") * F.length("line")
+    dup = F.col("n") > 1
+    return per_line.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_lines"),
+        F.round(1 - F.count("*") / F.sum("n").cast("double"), 6).alias(
+            "frac_dup_lines"
+        ),
+        F.round(
+            F.sum(F.when(dup, chars).otherwise(0))
+            / F.greatest(F.sum(chars), F.lit(1)).cast("double"),
+            6,
+        ).alias("frac_chars_dup_lines"),
+        F.round(
+            F.sum(F.when(F.col("line").startswith("- "), F.col("n")).otherwise(0))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("frac_bullet_lines"),
+        F.round(
+            F.sum(F.when(F.col("line").endswith("..."), F.col("n")).otherwise(0))
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("frac_ellipsis_lines"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,

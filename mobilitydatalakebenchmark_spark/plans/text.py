@@ -1055,3 +1055,48 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import unigram_logprob
 
     return unigram_logprob(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "text_line_repetition",
+    oracle=r"""
+WITH decorated AS (
+  SELECT doc_id,
+         regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g') AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM decorated
+), per_line AS (
+  SELECT doc_id, line, count(*) AS n FROM lines GROUP BY doc_id, line
+)
+SELECT doc_id,
+       cast(sum(n) AS BIGINT) AS n_lines,
+       round(1 - count(*) / cast(sum(n) AS DOUBLE), 6) AS frac_dup_lines,
+       round(sum(CASE WHEN n > 1 THEN n * length(line) ELSE 0 END)
+             / cast(greatest(sum(n * length(line)), 1) AS DOUBLE), 6)
+           AS frac_chars_dup_lines,
+       round(sum(CASE WHEN starts_with(line, '- ') THEN n ELSE 0 END)
+             / cast(sum(n) AS DOUBLE), 6) AS frac_bullet_lines,
+       round(sum(CASE WHEN line LIKE '%...' THEN n ELSE 0 END)
+             / cast(sum(n) AS DOUBLE), 6) AS frac_ellipsis_lines
+FROM per_line GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="Gopher-style line-repetition filter signals (dup-line and "
+    "dup-char fractions over text re-lined every 7 tokens — boilerplate "
+    "detection; two combinable aggregates, linear in line count)",
+    tags=("text", "quality"),
+)
+def text_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import line_stats
+
+    d = t(spark, sf_dir, "documents")
+    # re-line the single-line synthetic docs deterministically: newline
+    # after every 7th token (identical construction in the DuckDB oracle;
+    # Java regex uses $1 where RE2 uses \1 — same output)
+    decorated = d.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\S+ \S+ \S+ \S+ \S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return line_stats(decorated).orderBy("doc_id")

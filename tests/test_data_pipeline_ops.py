@@ -408,3 +408,40 @@ class TestUnigramLM:
         )
         out = {r.doc_id: r.lm_logprob for r in unigram_logprob(df).collect()}
         assert out[1] < out[0]  # all-rare doc is more surprising
+
+
+class TestLineStats:
+    def test_gopher_signals_crafted_doc(self, spark):
+        import math
+
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            line_stats,
+        )
+
+        text = "\n".join(
+            ["nav home about", "unique content here", "nav home about",
+             "- bullet one", "trailing thought...", "nav home about"]
+        )
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        r = line_stats(df).collect()[0]
+        assert r.n_lines == 6
+        # 'nav home about' x3 -> 6 lines, 4 distinct -> 1 - 4/6
+        assert math.isclose(r.frac_dup_lines, round(1 - 4 / 6, 6), abs_tol=1e-6)
+        dup_chars = 3 * len("nav home about")
+        total = sum(len(l) for l in text.split("\n"))
+        assert math.isclose(
+            r.frac_chars_dup_lines, round(dup_chars / total, 6), abs_tol=1e-6
+        )
+        assert math.isclose(r.frac_bullet_lines, round(1 / 6, 6), abs_tol=1e-6)
+        assert math.isclose(r.frac_ellipsis_lines, round(1 / 6, 6), abs_tol=1e-6)
+
+    def test_no_duplicates_all_zero(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            line_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "one line\ntwo line\nred line")], "doc_id long, text string"
+        )
+        r = line_stats(df).collect()[0]
+        assert r.frac_dup_lines == 0.0 and r.frac_chars_dup_lines == 0.0
