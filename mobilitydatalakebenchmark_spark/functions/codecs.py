@@ -269,6 +269,13 @@ def surrogate_keys(df, order_col: str, out_col: str = "surrogate_id", num_ranges
     ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
         "_rng", F.spark_partition_id()
     )
+    # PIN the range boundaries: RangePartitioning samples its bounds with a
+    # seed derived from the RDD id, so the counts job and the final job
+    # would otherwise draw DIFFERENT boundaries and the offsets map would
+    # be wrong (caught at sf0.1 — 20k rows resample differently, 200
+    # don't). persist() materializes the shuffle once; both consumers
+    # reuse the same partitioner.
+    ranged = ranged.persist()
     counts = ranged.groupBy("_rng").agg(F.count("*").alias("_n")).collect()
     offsets, acc = {}, 0
     for row in sorted(counts, key=lambda r: r._rng):
