@@ -219,6 +219,42 @@ def line_stats(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic corpus-mixing downsample: keep each row of stratum s
+    with probability ``weights[s]`` — the pretraining data-mixing step
+    (e.g. upweight books, cap web crawl). Membership is a pure function of
+    the row id (md5 prefix vs a per-stratum hex threshold), so the sample
+    is reproducible across runs, engines, and partitionings, and composes
+    with :func:`hash_split` (independent hash salts).
+
+    Scale: one broadcastable CASE expression, zero shuffles. Thresholds
+    are quantized to 4 hex digits (65536 buckets): keep-rate error ≤
+    1/65536, exactness of the comparison is what makes the DuckDB oracle
+    replayable."""
+    def hex4(p: float) -> str:
+        q = int(p * 65536)
+        if q >= 65536:
+            return "g"  # sorts above every 4-hex-digit prefix: keep all
+        return format(max(0, q), "04x")
+
+    expr = None
+    h = F.substring(F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 4)
+    for stratum, p in sorted(weights.items()):
+        cond = F.col(strata_col) == stratum
+        keep = h < hex4(p)
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    expr = expr.otherwise(h < hex4(default_weight)) if expr is not None else F.lit(
+        default_weight >= 1.0
+    )
+    return df.filter(expr)
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int = 512,

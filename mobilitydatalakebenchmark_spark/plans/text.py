@@ -1100,3 +1100,52 @@ def text_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return line_stats(decorated).orderBy("doc_id")
+
+
+_MIX_WEIGHTS = {"en": 0.5, "fr": 1.0, "de": 0.25, "es": 0.75, "zh": 0.125}
+
+
+def _mix_oracle() -> str:
+    def hex4(p: float) -> str:
+        q = int(p * 65536)
+        return "g" if q >= 65536 else format(max(0, q), "04x")
+
+    cases = "\n         ".join(
+        f"WHEN lang = '{s}' THEN substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{hex4(p)}'"
+        for s, p in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH kept AS (
+  SELECT * FROM documents
+  WHERE CASE {cases}
+        ELSE FALSE END
+)
+SELECT lang, count(*) AS n_kept,
+       cast(sum(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+@register(
+    "sample_corpus_mixture",
+    oracle=None,
+    doc="deterministic data-mixing downsample (per-language keep "
+    "probabilities via md5-prefix thresholds — reproducible across "
+    "engines/partitionings; zero-shuffle filter + one rollup)",
+    tags=("text", "sampling"),
+)
+def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import mixture_sample
+
+    kept = mixture_sample(t(spark, sf_dir, "documents"), _MIX_WEIGHTS, "lang")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_REG["sample_corpus_mixture"].oracle = _mix_oracle()

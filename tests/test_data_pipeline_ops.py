@@ -445,3 +445,37 @@ class TestLineStats:
         )
         r = line_stats(df).collect()[0]
         assert r.frac_dup_lines == 0.0 and r.frac_chars_dup_lines == 0.0
+
+
+class TestMixtureSample:
+    def test_rates_and_determinism(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            mixture_sample,
+        )
+
+        rows = [(i, "a" if i % 2 == 0 else "b", f"t{i}") for i in range(4000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        kept = mixture_sample(df, {"a": 0.25, "b": 1.0}, "lang")
+        counts = {r.lang: r.n for r in kept.groupBy("lang").agg(
+            F.count("*").alias("n")).collect()}
+        assert counts["b"] == 2000  # weight 1.0 keeps everything
+        assert abs(counts["a"] - 500) < 80  # ~25% of 2000, hash-binomial
+        # reproducible under different partitioning
+        ids1 = sorted(r.doc_id for r in kept.select("doc_id").collect())
+        ids2 = sorted(
+            r.doc_id
+            for r in mixture_sample(df.repartition(13), {"a": 0.25, "b": 1.0}, "lang")
+            .select("doc_id")
+            .collect()
+        )
+        assert ids1 == ids2
+
+    def test_unlisted_stratum_dropped_by_default(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            mixture_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "x", "t"), (1, "y", "t")], "doc_id long, lang string, text string"
+        )
+        assert mixture_sample(df, {"x": 1.0}, "lang").count() == 1
