@@ -39,7 +39,9 @@ def _drain(spark, data_dir, table, ckpt):
         .parquet(data_dir)
     )
     q = stream_rollup(stream, table, ckpt, "ts", "value", keys=("k",))
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
 
 
 def test_streamed_rollup_equals_batch(spark, tmp_path):

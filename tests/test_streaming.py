@@ -36,7 +36,9 @@ def test_stream_ingest_roundtrip(spark, stream_dirs, snapshots):
     stream = read_snapshot_stream(spark, stream_dirs["data"])
     assert stream.isStreaming
     q = stream_to_flat_store(stream, stream_dirs["table"], stream_dirs["ckpt"])
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
 
     flat = spark.read.parquet(stream_dirs["table"])
     n_features_expected = sum(len(d["features"]) for _, d in snapshots)
@@ -59,7 +61,9 @@ def test_stream_restart_is_incremental(spark, stream_dirs, snapshots):
         stream_dirs["table"],
         stream_dirs["ckpt"],
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
     flat = spark.read.parquet(stream_dirs["table"])
     n_features_expected = sum(len(d["features"]) for _, d in snapshots)
     assert flat.count() == n_features_expected
@@ -74,7 +78,9 @@ def test_windowed_counts_memory_sink(spark, stream_dirs, snapshots):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
     # append mode only emits windows the watermark has closed; with
     # availableNow the final watermark closes all but the last window
     out = spark.sql("SELECT * FROM win_counts").collect()

@@ -76,7 +76,9 @@ def _run(spark, root, how, out):
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(240)
+    if not q.awaitTermination(240):
+        q.processAllAvailable()
+        q.stop()
     return spark.read.parquet(f"{root}/{out}")
 
 

@@ -66,7 +66,9 @@ def test_streamed_sessions_match_batch(spark, session_dirs):
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.processAllAvailable()
+        q.stop()
 
     flush_cut = BASE + dt.timedelta(days=1)
     streamed = {
@@ -107,7 +109,9 @@ def test_dedup_within_watermark_drops_cross_batch_duplicate(spark, session_dirs)
         .outputMode("append")
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.processAllAvailable()
+        q.stop()
 
     out = spark.read.parquet(f"{root}/dedup_out")
     total = spark.read.parquet(f"{root}/data")
