@@ -35,15 +35,21 @@ def connected_components(
     """-> (node, component) where component = min node id reachable.
     Only nodes that appear in edges are returned (isolated nodes are their
     own component by definition and never need relabeling)."""
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    labels = nodes.withColumn("component", F.col("node"))
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # materialize the edge list ONCE: every iteration joins against sym, so
+    # leaving it lazy re-embeds its entire upstream pipeline (e.g. the LSH
+    # candidate generation) in the plan of every round — at 2 joins/round
+    # that alone took the drop-near-duplicates gate to 200+ static
+    # exchanges. The edge list is the small candidate output by contract.
+    sym = sym.localCheckpoint(eager=True)
+    nodes = (
+        sym.select(F.col("u").alias("node"))
+        .unionByName(sym.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("node"))
 
     for it in range(max_iter):
         neighbor_min = (
@@ -84,11 +90,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-        # truncate lineage every few rounds: without this the physical plan
-        # doubles per iteration (labels feeds both the join and the next
-        # round's convergence diff) and deep-diameter graphs hit
-        # analyzer/codegen blowup long before any data-size limit
-        if (it + 1) % 3 == 0:
+        # truncate lineage every other round: each round references labels
+        # THREE times (hop join, pointer-jump self-join, convergence diff),
+        # so the plan roughly triples per un-checkpointed iteration and
+        # deep-diameter graphs hit analyzer/codegen blowup long before any
+        # data-size limit
+        if (it + 1) % 2 == 0:
             labels = labels.localCheckpoint(eager=True)
     return labels
 
