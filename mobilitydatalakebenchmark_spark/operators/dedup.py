@@ -297,3 +297,80 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level duplication (longest shared token runs between doc pairs)
+# ---------------------------------------------------------------------------
+
+
+def shared_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_shingles: int = 1,
+) -> DataFrame:
+    """Cross-document repeated PASSAGES, not whole-document similarity:
+    for every doc pair sharing at least ``min_shingles`` positional
+    ``shingle_n``-token shingles, report the longest contiguous shared run
+    (in tokens) and the total shared-shingle count. This is the
+    passage-granular dedup signal (boilerplate headers, quoted blocks,
+    licence stubs) that whole-doc MinHash misses.
+
+    Shape: positional shingle hashes (md5 of the joined window — pure
+    expressions, no UDF) -> keep only hashes seen in >1 document (the
+    LSH-style frequency gate that prevents quadratic pair expansion on
+    common-but-unique-to-one-doc text) -> same-hash pair join -> runs via
+    gaps-and-islands on each pair's match diagonal (pos_a - pos_b): R
+    consecutive matching tokens appear as R - n + 1 consecutive shingle
+    positions on one diagonal, so longest_run_tokens = max island size
+    + n - 1. Shuffles: one hash agg, one equi-join keyed by hash, one
+    window + one final agg keyed by pair — all linear in match count."""
+    toks = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(1))
+    pos_shingles = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_n), " ")),
+            )
+        ).alias("pos", "h"),
+    )
+    repeated = (
+        pos_shingles.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    hits = pos_shingles.join(repeated, "h")
+    a, b = hits.alias("a"), hits.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = matches.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("run_shingles"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (F.max("run_shingles") + F.lit(shingle_n - 1))
+            .cast("long")
+            .alias("longest_run_tokens"),
+            F.sum("run_shingles").cast("long").alias("n_shared_shingles"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shingles)
+    )

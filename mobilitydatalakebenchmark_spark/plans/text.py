@@ -1149,3 +1149,46 @@ def sample_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["sample_corpus_mixture"].oracle = _mix_oracle()
+
+
+@register(
+    "dedup_shared_passages",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ps AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h
+  FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS t(i)
+), rep AS (
+  SELECT h FROM ps GROUP BY h HAVING count(DISTINCT doc_id) > 1
+), m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+         a.pos - b.pos AS diag
+  FROM ps a JOIN rep USING (h) JOIN ps b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS island
+  FROM m
+), runs AS (
+  SELECT doc_a, doc_b, diag, island, count(*) AS run_shingles
+  FROM isl GROUP BY doc_a, doc_b, diag, island
+)
+SELECT doc_a, doc_b,
+       CAST(max(run_shingles) + 7 AS BIGINT) AS longest_run_tokens,
+       CAST(sum(run_shingles) AS BIGINT) AS n_shared_shingles
+FROM runs GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+""",
+    doc="passage-level duplication: longest contiguous shared 8-token runs "
+    "per doc pair (positional shingle hashes -> repeated-hash gate -> "
+    "diagonal gaps-and-islands; linear in match count, never all-pairs)",
+    tags=("text", "dedup"),
+)
+def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shared_passages
+
+    return (
+        shared_passages(t(spark, sf_dir, "documents"), shingle_n=8)
+        .orderBy("doc_a", "doc_b")
+    )

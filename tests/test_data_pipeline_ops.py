@@ -479,3 +479,38 @@ class TestMixtureSample:
             [(0, "x", "t"), (1, "y", "t")], "doc_id long, lang string, text string"
         )
         assert mixture_sample(df, {"x": 1.0}, "lang").count() == 1
+
+
+class TestSharedPassages:
+    def test_planted_passage_exact_run_length(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.dedup import shared_passages
+
+        passage = " ".join(f"p{i}" for i in range(20))  # 20 shared tokens
+        docs = [
+            (0, "x0 x1 x2 " + passage + " y0 y1"),
+            (1, "z0 z1 z2 z3 " + passage + " w0"),
+            (2, " ".join(f"u{i}" for i in range(30))),  # no overlap
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = shared_passages(df, shingle_n=8).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_a, r.doc_b) == (0, 1)
+        # 20 shared tokens -> 13 consecutive 8-shingles -> run = 13+7 = 20
+        assert r.longest_run_tokens == 20
+        assert r.n_shared_shingles == 13
+
+    def test_two_separate_passages_counted_separately(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.dedup import shared_passages
+
+        p1 = " ".join(f"a{i}" for i in range(10))
+        p2 = " ".join(f"b{i}" for i in range(8))
+        docs = [
+            (0, p1 + " q0 q1 q2 q3 q4 q5 " + p2),
+            (1, p2 + " r0 r1 r2 r3 r4 r5 " + p1),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        r = shared_passages(df, shingle_n=8).collect()[0]
+        # p1: 10 tokens -> 3 shingles (run 10); p2: 8 -> 1 shingle (run 8)
+        assert r.longest_run_tokens == 10
+        assert r.n_shared_shingles == 4
