@@ -116,6 +116,38 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_rowwise(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Same signatures as :func:`minhash_signatures`, computed entirely
+    per-row (array_min over a transformed grain array) — no explode, no
+    groupBy. Slower per hash than the exploded/codegen path (higher-order
+    lambdas are interpreted), but ZERO shuffle and therefore legal inside
+    a streaming query in append mode, where a groupBy aggregation without
+    a watermark is rejected. Values are bit-identical to the batch path
+    (same md5/slice/min formula over the same grain set) — asserted by
+    the streaming-vs-batch equivalence test."""
+    grains = shingles(F.col(text_col), shingle_n) if shingle_n else tokenize(F.col(text_col))
+
+    def slice_hash(g: int, off: int):
+        # one-arg closure: pyspark infers transform's lambda arity from the
+        # python signature, so default-arg capture would read as 3 args
+        return lambda x: F.substring(F.md5(F.concat(F.lit(f"g{g}"), x)), off, 8)
+
+    sig_cols = []
+    for k in range(n_hashes):
+        g = k // _SLICES_PER_MD5  # same digest-slice layout as the batch path
+        off = 1 + 8 * (k % _SLICES_PER_MD5)
+        sig_cols.append(
+            F.array_min(F.transform(grains, slice_hash(g, off))).alias(f"mh_{k}")
+        )
+    return df.select(F.col(id_col), *sig_cols)
+
+
 def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
     """Signature columns -> (id, band_idx, band_hash), r = k/bands rows per
     doc. Band hash = md5 of the concatenated band slice."""

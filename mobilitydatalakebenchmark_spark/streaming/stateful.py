@@ -147,3 +147,84 @@ def streaming_odometer(documents: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSH near-duplicate candidates: the dedup pipeline as data
+# ARRIVES rather than as a batch sweep. Signatures and band keys are pure
+# expressions (stateless, identical to operators/dedup.py); the state is
+# the bucket membership — per (band_idx, band_hash) the doc ids already
+# seen — so a new document emits one candidate pair per co-bucketed
+# predecessor, exactly once, across any micro-batch boundary.
+#
+# Scale posture: state is sharded by the uniform 128-bit band hash (no hot
+# keys by construction); each bucket's member list is small for real
+# corpora (the same boundedness argument as batch lsh_candidate_pairs).
+# Pairs may surface from several bands — consumers dedup on (doc_a,
+# doc_b), which the batch twin does with .distinct(); a streaming global
+# distinct would need its own keyed state and is left to the sink.
+# ---------------------------------------------------------------------------
+
+LSH_CANDIDATE_OUTPUT = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType()),
+        T.StructField("doc_b", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+    ]
+)
+
+_LSH_STATE = T.StructType([T.StructField("ids", T.ArrayType(T.LongType()))])
+
+
+def _lsh_bucket_fn(
+    key: Tuple[int, str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if batch.empty:
+        return
+    (known,) = state.get if state.exists else ([],)
+    known = list(known)
+    new_ids = sorted(set(int(i) for i in batch["doc_id"]) - set(known))
+    a_out, b_out = [], []
+    for nid in new_ids:
+        for old in known:
+            lo, hi = (old, nid) if old < nid else (nid, old)
+            a_out.append(lo)
+            b_out.append(hi)
+        known.append(nid)
+    state.update((known,))
+    if a_out:
+        yield pd.DataFrame(
+            {
+                "doc_a": a_out,
+                "doc_b": b_out,
+                "band_idx": [int(key[0])] * len(a_out),
+            }
+        )
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Streaming twin of dedup.lsh_candidate_pairs: emits (doc_a, doc_b,
+    band_idx) the moment the second member of a bucket arrives. The union
+    of emissions over any arrival order equals the batch candidate set
+    (pairs sharing >=1 band) — asserted by the equivalence test."""
+    from ..operators.dedup import lsh_band_keys, minhash_signatures_rowwise
+
+    # rowwise signatures: bit-identical to the batch path but with no
+    # groupBy, which streaming append mode rejects without a watermark
+    sig = minhash_signatures_rowwise(docs, text_col, id_col, n_hashes, shingle_n)
+    bands_df = lsh_band_keys(sig, id_col, bands)
+    return bands_df.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _lsh_bucket_fn,
+        outputStructType=LSH_CANDIDATE_OUTPUT,
+        stateStructType=_LSH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -514,3 +514,21 @@ class TestSharedPassages:
         # p1: 10 tokens -> 3 shingles (run 10); p2: 8 -> 1 shingle (run 8)
         assert r.longest_run_tokens == 10
         assert r.n_shared_shingles == 4
+
+
+class TestRowwiseSignatures:
+    def test_rowwise_equals_batch_signatures(self, corpus):
+        from mobilitydatalakebenchmark_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_rowwise,
+        )
+
+        a = {r.doc_id: tuple(r[c] for c in r.asDict() if c.startswith("mh_"))
+             for r in minhash_signatures(corpus).collect()}
+        b = {r.doc_id: tuple(r[c] for c in r.asDict() if c.startswith("mh_"))
+             for r in minhash_signatures_rowwise(corpus).collect()}
+        assert a == b
+        # and with shingles
+        a2 = {r.doc_id: r.mh_0 for r in minhash_signatures(corpus, shingle_n=3).collect()}
+        b2 = {r.doc_id: r.mh_0 for r in minhash_signatures_rowwise(corpus, shingle_n=3).collect()}
+        assert a2 == b2

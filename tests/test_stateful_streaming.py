@@ -171,3 +171,67 @@ def test_stream_static_enrichment(spark, tmp_path, snapshots):
     uncovered = got.filter(F.col("lineId") == line_ids[-1])
     assert uncovered.count() > 0
     assert uncovered.filter(F.col("route_name").isNotNull()).count() == 0
+
+
+def test_streaming_lsh_candidates_equal_batch(spark, tmp_path):
+    """Streaming LSH candidates accumulated over 5 micro-batches must
+    equal the batch candidate set (pairs sharing >= 1 band), regardless
+    of which batch each member of a pair arrived in."""
+    import random
+
+    from mobilitydatalakebenchmark_spark.operators.dedup import (
+        lsh_band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from mobilitydatalakebenchmark_spark.streaming.stateful import (
+        streaming_lsh_candidates,
+    )
+
+    rng = random.Random(17)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = [(i, " ".join(rng.choice(words) for _ in range(40))) for i in range(60)]
+    # planted dups split ACROSS batches (copy arrives 3 batches later)
+    docs.append((200, docs[0][1]))
+    docs.append((201, docs[7][1]))
+
+    data_dir = tmp_path / "docs_stream"
+    data_dir.mkdir()
+    chunk = (len(docs) + 4) // 5
+    for b in range(5):
+        part = docs[b * chunk : (b + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(str(data_dir / f"batch_{b}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(data_dir / "batch_*"))
+    )
+    q = (
+        streaming_lsh_candidates(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.processAllAvailable()
+        q.stop()
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql("SELECT DISTINCT doc_a, doc_b FROM lsh_stream").collect()
+    }
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = minhash_signatures(batch_df)
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(lsh_band_keys(sig)).collect()
+    }
+    assert (0, 200) in got and (7, 201) in got  # cross-batch dups found
+    assert got == want
