@@ -76,7 +76,17 @@ def load_registry() -> dict[str, Q]:
     from . import advanced  # noqa: F401
 
     verified = set(DRIVER_VERIFIED)
+    # newest operators first within the unverified block, so the round that
+    # introduces an operator also gets it an independent driver verdict
+    newest = (
+        "pii_detect_counts", "pii_scrub_stats", "url_domain_topk",
+        "text_unigram_logprob", "text_line_repetition",
+        "sample_corpus_mixture", "dedup_shared_passages",
+    )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
+    for name in newest:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
         if name not in verified and name not in ordered:
             ordered[name] = q
