@@ -65,3 +65,63 @@ def test_fingerprint_permutation_invariant_property(spark, texts):
     fps = {r.doc_id: r.fp for r in df.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect()}
     for i in range(len(texts)):
         assert fps[i] == fps[i + 10000]
+
+
+class TestRound3Properties:
+    def test_pii_scrub_idempotent(self, spark):
+        """scrub(scrub(x)) == scrub(x) for decorated corpus text."""
+        from pyspark.sql import functions as F
+
+        from mobilitydatalakebenchmark_spark.operators.pii import scrub
+
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(100)
+            .select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" a@b.io 10.0.0.1 415-555-0134 078-05-1120"),
+                ).alias("text"),
+            )
+        )
+        once = df.select("doc_id", scrub(F.col("text")).alias("t1"))
+        twice = once.select("doc_id", F.col("t1"), scrub(F.col("t1")).alias("t2"))
+        assert twice.filter(F.col("t1") != F.col("t2")).count() == 0
+
+    def test_mixture_sample_monotone_in_weight(self, spark):
+        """Raising a stratum's keep probability never drops a previously
+        kept row (threshold comparison is monotone in p)."""
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            mixture_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "s", "t") for i in range(2000)], "doc_id long, lang string, text string"
+        )
+        kept_lo = {
+            r.doc_id for r in mixture_sample(df, {"s": 0.2}, "lang").collect()
+        }
+        kept_hi = {
+            r.doc_id for r in mixture_sample(df, {"s": 0.6}, "lang").collect()
+        }
+        assert kept_lo <= kept_hi
+        assert len(kept_lo) < len(kept_hi)
+
+    def test_shared_passages_invariant_under_doc_order(self, spark):
+        """Passage runs are a function of content, not input order or ids:
+        swapping which doc gets which id flips (doc_a, doc_b) only."""
+        from mobilitydatalakebenchmark_spark.operators.dedup import shared_passages
+
+        shared = " ".join(f"s{i}" for i in range(12))
+        t1 = "x1 x2 x3 " + shared
+        t2 = shared + " y1 y2 y3"
+        df1 = spark.createDataFrame([(1, t1), (2, t2)], "doc_id long, text string")
+        df2 = spark.createDataFrame([(2, t1), (1, t2)], "doc_id long, text string")
+        r1 = shared_passages(df1, shingle_n=8).collect()[0]
+        r2 = shared_passages(df2, shingle_n=8).collect()[0]
+        assert (r1.longest_run_tokens, r1.n_shared_shingles) == (
+            r2.longest_run_tokens,
+            r2.n_shared_shingles,
+        )
+        assert r1.longest_run_tokens == 12
