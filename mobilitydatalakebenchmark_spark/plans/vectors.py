@@ -405,3 +405,133 @@ def vec_nearest_centroid_confusion_numpy(spark: SparkSession, sf_dir: str) -> Da
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("label", "assigned_label")
     )
+
+
+_IVF_K = 8       # seed centroids
+_IVF_NPROBE = 2  # inverted lists scanned per probe
+
+
+@register(
+    "knn_ivf_seeded",
+    oracle=f"""
+WITH seeds AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) - 1
+             AS centroid_id
+  FROM embeddings
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, s.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, s.cvec)
+                      / (sqrt(list_dot_product(e.embedding, e.embedding))
+                         * sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                      s.centroid_id) AS ark
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE ark = 1
+), probe_lists AS (
+  SELECT probe_id, probe_vec, centroid_id FROM (
+    SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, s.centroid_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.embedding, s.cvec)
+                      / (sqrt(list_dot_product(p.embedding, p.embedding))
+                         * sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                      s.centroid_id) AS prk
+    FROM embeddings p CROSS JOIN seeds s
+    WHERE p.vec_id IN ({", ".join(map(str, PROBE_IDS))})
+  ) WHERE prk <= {_IVF_NPROBE}
+), scored AS (
+  SELECT pl.probe_id, a.vec_id,
+         round(list_dot_product(pl.probe_vec, a.embedding)
+               / (sqrt(list_dot_product(pl.probe_vec, pl.probe_vec))
+                  * sqrt(list_dot_product(a.embedding, a.embedding))), 4)
+             AS cos_sim
+  FROM probe_lists pl JOIN assigned a USING (centroid_id)
+  WHERE a.vec_id != pl.probe_id
+)
+SELECT probe_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY probe_id, cos_sim DESC, vec_id
+""",
+    doc="IVF ANN with md5-seeded centroids (lloyd_iters=0), fully value-"
+    "checked: the deterministic seeding makes the whole index replayable "
+    "in SQL, closing the rows-only gap of the Lloyd-refined knn_ivf. "
+    "Assignment + probe routing + re-rank all in expressions (sequential "
+    "f64 dot product, same fold order as the oracle)",
+    tags=("vector", "knn"),
+)
+def knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    # deterministic seed centroids: first K vectors by md5(id); tiny ->
+    # driver-side enumerate (bounded by K), same as ivf_index's seeding
+    seeds_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(_IVF_K)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds_rows)],
+        "centroid_id int, cvec array<float>",
+    )
+    # assignment: combinable max-struct argmax (no per-vec window sort)
+    sims = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        cosine(F.col("embedding"), F.col("cvec")).alias("_cs"),
+    )
+    assigned = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_cs"), (-F.col("centroid_id")).alias("_nc"))
+            ).alias("_m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id", "embedding", (-F.col("_m._nc")).cast("int").alias("centroid_id")
+        )
+    )
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    prk_w = Window.partitionBy("probe_id").orderBy(
+        F.desc("_cs"), F.asc("centroid_id")
+    )
+    probe_lists = (
+        probes.crossJoin(F.broadcast(seeds))
+        .select(
+            "probe_id",
+            "probe_vec",
+            "centroid_id",
+            cosine(F.col("probe_vec"), F.col("cvec")).alias("_cs"),
+        )
+        .withColumn("prk", F.row_number().over(prk_w))
+        .filter(F.col("prk") <= _IVF_NPROBE)
+        .drop("_cs", "prk")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_lists), "centroid_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine(F.col("probe_vec"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id", "cos_sim")
+        .orderBy("probe_id", F.desc("cos_sim"), "vec_id")
+    )
