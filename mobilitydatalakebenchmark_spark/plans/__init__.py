@@ -81,7 +81,7 @@ def load_registry() -> dict[str, Q]:
     newest = (
         "pii_detect_counts", "pii_scrub_stats", "url_domain_topk",
         "text_unigram_logprob", "text_line_repetition",
-        "sample_corpus_mixture", "dedup_shared_passages",
+        "sample_corpus_mixture", "dedup_shared_passages", "knn_ivf_seeded",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest:
