@@ -60,18 +60,25 @@ def epoch_us(col: Column | str, dtype: str | None = None) -> Column:
     """Microseconds since epoch from TIMESTAMP / TIMESTAMP_NTZ / bigint-nanos.
 
     The bigint branch divides in Decimal(38,0) — double division would lose
-    sub-microsecond precision for 2024-era nano values (~1.7e18 > 2^53)."""
+    sub-microsecond precision for 2024-era nano values (~1.7e18 > 2^53).
+    floor() before the long cast: Spark decimal division rounds HALF_UP,
+    which would bump any .5+ fractional remainder to the next unit and
+    diverge from the floor semantics of unix_micros/unix_seconds. The
+    operand must be decimal(20,0), not (38,0): a 38-precision dividend
+    overflows the result precision, and Spark then rounds INSIDE the
+    division before floor can see the fraction. Nanos since epoch fit in
+    19 digits through year 2261."""
     c = F.col(col) if isinstance(col, str) else col
     if dtype == "bigint":
-        return (c.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        return F.floor(c.cast("decimal(20,0)") / F.lit(1000)).cast("long")
     return F.unix_micros(c.cast("timestamp"))
 
 
 def epoch_s(col: Column | str, dtype: str | None = None) -> Column:
-    """Whole seconds since epoch (truncated), same input tolerance."""
+    """Whole seconds since epoch (floored), same input tolerance."""
     c = F.col(col) if isinstance(col, str) else col
     if dtype == "bigint":
-        return (c.cast("decimal(38,0)") / F.lit(1_000_000_000)).cast("long")
+        return F.floor(c.cast("decimal(20,0)") / F.lit(1_000_000_000)).cast("long")
     return F.unix_seconds(c.cast("timestamp"))
 
 
@@ -273,9 +280,11 @@ def surrogate_keys(df, order_col: str, out_col: str = "surrogate_id", num_ranges
     # seed derived from the RDD id, so the counts job and the final job
     # would otherwise draw DIFFERENT boundaries and the offsets map would
     # be wrong (caught at sf0.1 — 20k rows resample differently, 200
-    # don't). persist() materializes the shuffle once; both consumers
-    # reuse the same partitioner.
-    ranged = ranged.persist()
+    # don't). Eager localCheckpoint materializes the partitioning once for
+    # both consumers AND releases its blocks when the DataFrame is GC'd —
+    # a persist() here would pin the cache for the session lifetime since
+    # this helper has no post-consumption unpersist hook.
+    ranged = ranged.localCheckpoint(eager=True)
     counts = ranged.groupBy("_rng").agg(F.count("*").alias("_n")).collect()
     offsets, acc = {}, 0
     for row in sorted(counts, key=lambda r: r._rng):

@@ -145,7 +145,10 @@ def minhash_signatures_rowwise(
         sig_cols.append(
             F.array_min(F.transform(grains, slice_hash(g, off))).alias(f"mh_{k}")
         )
-    return df.select(F.col(id_col), *sig_cols)
+    # NULL text: the batch path's explode emits no row for it; match that
+    # here, otherwise NULL signatures all band-hash to md5(NULL) and every
+    # null-text doc pairs with every other in one streaming LSH bucket
+    return df.filter(F.col(text_col).isNotNull()).select(F.col(id_col), *sig_cols)
 
 
 def lsh_band_keys(sig: DataFrame, id_col: str = "doc_id", bands: int = 4) -> DataFrame:
@@ -346,9 +349,12 @@ def shared_passages(
     """Cross-document repeated PASSAGES, not whole-document similarity:
     for every doc pair sharing at least ``min_shingles`` positional
     ``shingle_n``-token shingles, report the longest contiguous shared run
-    (in tokens) and the total shared-shingle count. This is the
-    passage-granular dedup signal (boilerplate headers, quoted blocks,
-    licence stubs) that whole-doc MinHash misses.
+    (in tokens) and the shared-shingle coverage (DISTINCT matched doc_a
+    positions — bounded by doc_a's length, deliberately NOT the raw join
+    match count, which inflates m*p on boilerplate repeated m times in one
+    doc and p in the other). This is the passage-granular dedup signal
+    (boilerplate headers, quoted blocks, licence stubs) that whole-doc
+    MinHash misses. Docs shorter than ``shingle_n`` produce no shingles.
 
     Shape: positional shingle hashes (md5 of the joined window — pure
     expressions, no UDF) -> keep only hashes seen in >1 document (the
@@ -360,12 +366,14 @@ def shared_passages(
     + n - 1. Shuffles: one hash agg, one equi-join keyed by hash, one
     window + one final agg keyed by pair — all linear in match count."""
     toks = F.split(F.col(text_col), " ")
-    k = F.greatest(F.size(toks) - F.lit(shingle_n - 1), F.lit(1))
-    pos_shingles = df.select(
+    # docs shorter than shingle_n produce NO shingles (a truncated window
+    # would otherwise match as a full shingle_n-token run and report runs
+    # longer than the document itself)
+    pos_shingles = df.filter(F.size(toks) >= shingle_n).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), k),
+                F.sequence(F.lit(1), F.size(toks) - F.lit(shingle_n - 1)),
                 lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_n), " ")),
             )
         ).alias("pos", "h"),
@@ -394,15 +402,23 @@ def shared_passages(
     islands = matches.withColumn(
         "island", F.col("pos_a") - F.row_number().over(w)
     )
-    return (
+    longest = (
         islands.groupBy("doc_a", "doc_b", "diag", "island")
         .agg(F.count("*").alias("run_shingles"))
         .groupBy("doc_a", "doc_b")
         .agg(
             (F.max("run_shingles") + F.lit(shingle_n - 1))
             .cast("long")
-            .alias("longest_run_tokens"),
-            F.sum("run_shingles").cast("long").alias("n_shared_shingles"),
+            .alias("longest_run_tokens")
         )
-        .filter(F.col("n_shared_shingles") >= min_shingles)
+    )
+    # coverage, not match count: a shingle at m positions in doc_a and p in
+    # doc_b yields m*p join rows — counting DISTINCT doc_a positions keeps
+    # the metric bounded by doc_a's length instead of inflating
+    # quadratically on repeated boilerplate
+    coverage = matches.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("pos_a").cast("long").alias("n_shared_shingles")
+    )
+    return longest.join(coverage, ["doc_a", "doc_b"]).filter(
+        F.col("n_shared_shingles") >= min_shingles
     )

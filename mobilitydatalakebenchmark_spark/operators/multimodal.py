@@ -128,6 +128,11 @@ def ppm_decode(payload: bytes, modality: str = "image") -> list[float]:
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     width, height, maxval = tokens
+    if not 0 < maxval <= 255:
+        # 2-byte-per-sample PPMs (maxval > 255) store 6 bytes/pixel; reading
+        # them as uint8 would return garbage flagged as a good decode —
+        # raise so the kernel routes the row to decode_ok=False instead
+        raise ValueError(f"unsupported PPM maxval {maxval} (PCM8 only)")
     px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
     img = px.reshape(height, width, 3).astype(np.float64) / maxval
     luma = 0.2126 * img[..., 0] + 0.7152 * img[..., 1] + 0.0722 * img[..., 2]

@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 # Ordered dict: masking applies in this order (email first so its digits
 # are gone before the phone/IP passes scan the remainder).
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    # (?i): real-world emails are mixed-case; the flag is in the Java/RE2
+    # common subset so the oracle runs the identical pattern
+    "email": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\d{3}-\d{3}-\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",

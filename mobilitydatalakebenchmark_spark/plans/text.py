@@ -1158,7 +1158,7 @@ WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), ps AS (
   SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h
-  FROM tok, LATERAL unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS t(i)
+  FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS t(i)
 ), rep AS (
   SELECT h FROM ps GROUP BY h HAVING count(DISTINCT doc_id) > 1
 ), m AS (
@@ -1173,11 +1173,17 @@ WITH tok AS (
 ), runs AS (
   SELECT doc_a, doc_b, diag, island, count(*) AS run_shingles
   FROM isl GROUP BY doc_a, doc_b, diag, island
+), agg_long AS (
+  SELECT doc_a, doc_b,
+         CAST(max(run_shingles) + 7 AS BIGINT) AS longest_run_tokens
+  FROM runs GROUP BY doc_a, doc_b
+), agg_cov AS (
+  SELECT doc_a, doc_b,
+         CAST(count(DISTINCT pos_a) AS BIGINT) AS n_shared_shingles
+  FROM m GROUP BY doc_a, doc_b
 )
-SELECT doc_a, doc_b,
-       CAST(max(run_shingles) + 7 AS BIGINT) AS longest_run_tokens,
-       CAST(sum(run_shingles) AS BIGINT) AS n_shared_shingles
-FROM runs GROUP BY doc_a, doc_b
+SELECT doc_a, doc_b, longest_run_tokens, n_shared_shingles
+FROM agg_long JOIN agg_cov USING (doc_a, doc_b)
 ORDER BY doc_a, doc_b
 """,
     doc="passage-level duplication: longest contiguous shared 8-token runs "

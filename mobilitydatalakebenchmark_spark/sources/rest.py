@@ -67,8 +67,13 @@ def poll_to_dir(
         ts = _snapshot_ts(doc, fallback)
         payload = doc.get("data", doc) if isinstance(doc, dict) else doc
         fname = os.path.join(out_dir, f"{ts.replace(':', '_')}.json")
-        with open(fname, "w") as fh:
+        # atomic landing: the directory is tailed by a Structured Streaming
+        # file source, which may list a file the instant it appears — write
+        # to a temp name and rename so no micro-batch sees a partial JSON
+        tmp = fname + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(payload, fh)
+        os.replace(tmp, fname)
         written.append(fname)
         if i + 1 < n_polls:
             sleep(interval_s)

@@ -532,3 +532,81 @@ class TestRowwiseSignatures:
         a2 = {r.doc_id: r.mh_0 for r in minhash_signatures(corpus, shingle_n=3).collect()}
         b2 = {r.doc_id: r.mh_0 for r in minhash_signatures_rowwise(corpus, shingle_n=3).collect()}
         assert a2 == b2
+
+
+class TestReviewFixes:
+    """Regression tests for the round-3 code-review findings."""
+
+    def test_epoch_floor_semantics_on_fractional_nanos(self, spark):
+        from pyspark.sql import functions as F
+
+        from mobilitydatalakebenchmark_spark.functions.codecs import epoch_s, epoch_us
+
+        # 1.999999999 s in nanos: floor must give 1 s / 1999999 us, and the
+        # timestamp path must agree (decimal HALF_UP would have said 2)
+        df = spark.createDataFrame([(1_999_999_999,)], "ns long")
+        r = df.select(
+            epoch_s("ns", dtype="bigint").alias("s"),
+            epoch_us("ns", dtype="bigint").alias("us"),
+            epoch_s(F.timestamp_micros(F.lit(1_999_999))).alias("s_ts"),
+        ).collect()[0]
+        assert r.s == 1 and r.s_ts == 1
+        assert r.us == 1_999_999
+
+    def test_pii_mixed_case_email(self, spark):
+        from mobilitydatalakebenchmark_spark.operators import pii
+
+        df = spark.createDataFrame(
+            [(0, "contact John.Doe@Example.COM today")], "doc_id int, text string"
+        )
+        r = pii.detect_pii(df).collect()[0]
+        assert r.pii_email == 1 and r.has_pii
+        assert pii.scrub_pii(df).collect()[0].text == "contact [EMAIL] today"
+
+    def test_ppm_16bit_flags_not_garbage(self, spark):
+        from mobilitydatalakebenchmark_spark.operators import multimodal
+
+        payload = b"P6\n2 2\n65535\n" + b"\x00\x01" * 12
+        media = spark.createDataFrame(
+            [{"media_id": 0, "modality": "image", "uri": None,
+              "payload": payload, "meta": None}],
+            multimodal.MEDIA_SCHEMA,
+        )
+        r = multimodal.decode_features(
+            media, decoder=multimodal.stdlib_decode
+        ).collect()[0]
+        assert not r.decode_ok
+
+    def test_rowwise_signatures_drop_null_text(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.dedup import (
+            minhash_signatures,
+            minhash_signatures_rowwise,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, None), (2, None)], "doc_id long, text string"
+        )
+        assert minhash_signatures(df).count() == 1
+        assert minhash_signatures_rowwise(df).count() == 1
+
+    def test_shared_passages_short_docs_no_phantom_runs(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.dedup import shared_passages
+
+        df = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b c")], "doc_id long, text string"
+        )
+        assert shared_passages(df, shingle_n=8).count() == 0
+
+    def test_shared_passages_coverage_not_match_count(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.dedup import shared_passages
+
+        block = " ".join(f"b{i}" for i in range(8))
+        filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+        # block appears 3x in doc 0, 2x in doc 1 -> 6 join matches but only
+        # 3 distinct matched positions in doc_a
+        d0 = " ".join([block, filler("x", 8), block, filler("y", 8), block])
+        d1 = " ".join([block, filler("z", 8), block])
+        df = spark.createDataFrame([(0, d0), (1, d1)], "doc_id long, text string")
+        r = shared_passages(df, shingle_n=8).collect()[0]
+        assert r.n_shared_shingles == 3
+        assert r.longest_run_tokens == 8
