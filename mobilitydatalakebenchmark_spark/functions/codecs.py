@@ -298,7 +298,7 @@ def surrogate_keys(df, order_col: str, out_col: str = "surrogate_id", num_ranges
         ranged.withColumn("_rk", F.row_number().over(w_in))
         .withColumn(
             out_col,
-            F.coalesce(off_map.getItem(F.col("_rng")), F.lit(0)) + F.col("_rk"),
+            F.coalesce(F.element_at(off_map, F.col("_rng")), F.lit(0)) + F.col("_rk"),
         )
         .drop("_rng", "_rk")
     )
