@@ -102,3 +102,49 @@ def test_http_fetch_is_stdlib_get(tmp_path):
         assert body["timestamp"] == snaps[0][0]
     finally:
         srv.shutdown()
+
+
+def test_pii_scrub_composes_with_streaming_ingest(spark, tmp_path):
+    """PII scrubbing is pure expressions, so it drops into a streaming
+    query unchanged: land documents as JSON, stream them, scrub, and
+    assert no PII survives in the sink."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from mobilitydatalakebenchmark_spark.operators import pii
+
+    data_dir = tmp_path / "docs"
+    data_dir.mkdir()
+    rows = [
+        {"doc_id": 0, "text": "mail Me@Example.COM now"},
+        {"doc_id": 1, "text": "server 10.0.0.1 ssn 078-05-1120"},
+        {"doc_id": 2, "text": "clean"},
+    ]
+    with open(data_dir / "batch.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("doc_id long, text string").json(str(data_dir))
+    q = (
+        pii.scrub_pii(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pii_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pii"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
+    got = {r.doc_id: r.text for r in spark.sql("SELECT * FROM pii_stream").collect()}
+    assert got[0] == "mail [EMAIL] now"
+    assert got[1] == "server [IPV4] ssn [SSN]"
+    assert got[2] == "clean"
+    residual = (
+        spark.sql("SELECT text FROM pii_stream")
+        .select(sum(pii.pii_counts(F.col("text")), F.lit(0)).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert residual == 0
