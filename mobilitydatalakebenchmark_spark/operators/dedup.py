@@ -345,6 +345,7 @@ def shared_passages(
     id_col: str = "doc_id",
     shingle_n: int = 8,
     min_shingles: int = 1,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Cross-document repeated PASSAGES, not whole-document similarity:
     for every doc pair sharing at least ``min_shingles`` positional
@@ -364,7 +365,17 @@ def shared_passages(
     consecutive matching tokens appear as R - n + 1 consecutive shingle
     positions on one diagonal, so longest_run_tokens = max island size
     + n - 1. Shuffles: one hash agg, one equi-join keyed by hash, one
-    window + one final agg keyed by pair — all linear in match count."""
+    window + one final agg keyed by pair — all linear in match count.
+
+    ``max_df`` caps the document frequency of a shingle admitted to the
+    pair join (the standard stop-shingle bound): a boilerplate shingle
+    present in k documents expands to O(k^2) join rows, so without the cap
+    a single licence stub shared by 10^6 docs is a job-killer at corpus
+    scale. Shingles with ``nd > max_df`` are dropped — the recall trade is
+    that passages occurring in MORE than ``max_df`` documents are not
+    reported (by then they are corpus boilerplate, not dedup signal; the
+    dropped hashes are recoverable by running the frequency agg alone with
+    the complementary filter). ``max_df=None`` disables the cap."""
     toks = F.split(F.col(text_col), " ")
     # docs shorter than shingle_n produce NO shingles (a truncated window
     # would otherwise match as a full shingle_n-token run and report runs
@@ -378,10 +389,13 @@ def shared_passages(
             )
         ).alias("pos", "h"),
     )
+    df_gate = (
+        F.col("nd").between(2, max_df) if max_df is not None else F.col("nd") > 1
+    )
     repeated = (
         pos_shingles.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") > 1)
+        .filter(df_gate)
         .select("h")
     )
     hits = pos_shingles.join(repeated, "h")

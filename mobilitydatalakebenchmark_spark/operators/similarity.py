@@ -269,22 +269,29 @@ def ivf_topk(
     """ANN over an IVF index: each probe scans only its `nprobe` nearest
     inverted lists (equi-join on centroid_id), exact cosine re-rank inside.
     Recall grows with nprobe; nprobe == n_centroids degrades gracefully to
-    brute force."""
-    import numpy as np
+    brute force.
 
-    cents = np.vstack(centroids_pdf["centroid_vec"].to_numpy()).astype("float64")
-    c_norm = np.linalg.norm(cents, axis=1)
-    probes_pdf = probes.toPandas()
-    rows = []
-    for _, row in probes_pdf.iterrows():
-        v = np.asarray(row[probe_vec_col], dtype="float64")
-        sims = (cents @ v) / (c_norm * np.linalg.norm(v) + 1e-12)
-        vec = [float(x) for x in row[probe_vec_col]]  # numpy f32 -> python
-        for cid in np.argsort(-sims)[:nprobe]:
-            rows.append((int(row[probe_id_col]), vec, int(cid)))
+    Probe routing is fully in-plan: the tiny centroid table (k x dim)
+    broadcasts against the probe set and a per-probe window keeps the
+    `nprobe` nearest lists — no driver-side collect, so the probe set can
+    be arbitrarily large (the routing shuffle is keyed by probe_id)."""
     spark = indexed_corpus.sparkSession
-    probe_lists = spark.createDataFrame(
-        rows, f"{probe_id_col} long, {probe_vec_col} array<float>, centroid_id int"
+    cent_df = spark.createDataFrame(
+        [
+            (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+            for _, r in centroids_pdf.iterrows()
+        ],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    w_route = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    probe_lists = (
+        probes.crossJoin(F.broadcast(cent_df))
+        .withColumn("c_sim", cosine(F.col(probe_vec_col), F.col("centroid_vec")))
+        .withColumn("c_rk", F.row_number().over(w_route))
+        .filter(F.col("c_rk") <= nprobe)
+        .select(probe_id_col, probe_vec_col, "centroid_id")
     )
     scored = (
         indexed_corpus.join(F.broadcast(probe_lists), "centroid_id")

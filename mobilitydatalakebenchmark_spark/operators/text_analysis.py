@@ -155,18 +155,21 @@ def unigram_logprob(
     unigram LM — the classic cheap quality/surprisal filter (very negative
     = rare-token-heavy gibberish; near zero = high-frequency boilerplate).
 
-    Shape: token explode -> corpus frequency agg -> broadcast join back ->
-    per-doc avg. The frequency table is vocabulary-sized (bounded, not
-    corpus-sized) so the join stays broadcast at any corpus scale; the
-    single-row total joins the same way. Output: (id, n_tokens,
-    lm_logprob) rounded to 6 dp for cross-engine float parity."""
+    Shape: token explode -> corpus frequency agg -> join back -> per-doc
+    avg. The frequency join carries NO broadcast hint on purpose: the
+    vocabulary is usually small enough that AQE converts it to a broadcast
+    join at runtime from the observed shuffle size, but at web scale the
+    distinct-token table (URLs, typos, numbers) can outgrow driver/
+    broadcast limits, and a forced hint would OOM where a shuffle join
+    just works. The single-row total IS safe to broadcast. Output: (id,
+    n_tokens, lm_logprob) rounded to 6 dp for cross-engine float parity."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").alias("t"))
     return (
-        toks.join(F.broadcast(freq), "token")
+        toks.join(freq, "token")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
@@ -249,9 +252,8 @@ def mixture_sample(
         cond = F.col(strata_col) == stratum
         keep = h < hex4(p)
         expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
-    expr = expr.otherwise(h < hex4(default_weight)) if expr is not None else F.lit(
-        default_weight >= 1.0
-    )
+    default_keep = h < hex4(default_weight)
+    expr = expr.otherwise(default_keep) if expr is not None else default_keep
     return df.filter(expr)
 
 

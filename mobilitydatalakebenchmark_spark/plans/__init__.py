@@ -34,11 +34,13 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     return deco
 
 
-# Gates the external driver already hash-verified in rounds 1-2 (it checks
+# Gates the external driver already hash-verified in rounds 1-3 (it checks
 # the FIRST 50 registry entries each round). Listing them lets load_registry
 # rotate not-yet-verified gates into the checked window — every gate is
 # oracle-checked locally by tools/check_oracle.py either way; this only
 # affects which subset gets an independent driver verdict next.
+# r1-r2 verdicts, minus approx_distinct_users: its gate definition changed in
+# round 4 (value-checkable HLL-error twin), so it re-enters the window.
 DRIVER_VERIFIED = (
     "s1_scan_order_limit", "f1_point_lookup", "f2_in_list", "f9_first_match",
     "j1_doc_feature_join", "j4_snowflake_revenue", "j6_three_table_lookup",
@@ -47,7 +49,7 @@ DRIVER_VERIFIED = (
     "p18_surrogate_keys", "p6_direction_roundtrip", "o3_union_append",
     "setop_intersect_except", "agg_rollup_status", "agg_pivot_manual",
     "a7_counts", "tpch_q3_style_topn", "scalar_subquery_above_avg",
-    "correlated_exists_sql", "grouping_sets_cube", "approx_distinct_users",
+    "correlated_exists_sql", "grouping_sets_cube",
     "tpch_q5_style_regional_revenue", "tpch_q7_style_nation_volume",
     "tpch_q10_style_returns_topn", "tpch_q14_style_promo_revenue",
     "tpch_q16_style_supplier_variety", "tpch_q17_style_small_qty_revenue",
@@ -60,6 +62,25 @@ DRIVER_VERIFIED = (
     "tpch_q12_style_priority_by_flag", "tpch_q21_style_sole_late_supplier",
     "tpch_q22_style_idle_balance", "w1_tumbling_hour", "a5_batch_range_bounds",
     "w3_asof_lookup",
+    # r3 verdicts (CORRECTNESS_r03.json, all hash-matched):
+    "a1_entity_sequences", "anomaly_zscore_outliers",
+    "asof_join_purchases_clicks", "co_location_contacts", "cohort_retention",
+    "date_functions", "dedup_exact_hash", "dedup_minhash_lsh_candidates",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard",
+    "dedup_shared_passages", "event_transition_matrix",
+    "f6_temporal_containment", "funnel_conversion", "json_props_extract",
+    "json_variant_extract", "k_anonymity_cells", "knn_ivf_seeded",
+    "mobility_frequent_locations", "mobility_location_entropy",
+    "mobility_radius_of_gyration", "od_matrix_trips",
+    "p11_fixed_point_roundtrip", "p12_cantor_pairing", "p15_wkt_points",
+    "p4_json_doc_build", "pii_detect_counts", "pii_scrub_stats",
+    "proximity_grid_join", "quantiles_exact", "range_join_value_tiers",
+    "ranking_suite", "resample_linear_grid", "rollup_hourly_to_daily",
+    "running_totals", "sample_corpus_mixture", "scd2_state_intervals",
+    "spatial_tile_pyramid", "text_lang_distribution", "text_line_repetition",
+    "text_stats", "text_unigram_logprob", "topk_per_group",
+    "trajectory_step_metrics", "url_domain_topk", "velocity_dim_build",
+    "w5_sessionize", "window_range_frames",
 )
 
 
@@ -77,11 +98,11 @@ def load_registry() -> dict[str, Q]:
 
     verified = set(DRIVER_VERIFIED)
     # newest operators first within the unverified block, so the round that
-    # introduces an operator also gets it an independent driver verdict
+    # introduces (or redefines) an operator also gets it an independent
+    # driver verdict. Round 4: the two former no_oracle gates, reworked as
+    # value-checkable error-bound twins.
     newest = (
-        "pii_detect_counts", "pii_scrub_stats", "url_domain_topk",
-        "text_unigram_logprob", "text_line_repetition",
-        "sample_corpus_mixture", "dedup_shared_passages", "knn_ivf_seeded",
+        "sketch_percentiles", "approx_distinct_users",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest:

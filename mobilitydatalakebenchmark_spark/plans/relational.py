@@ -744,12 +744,38 @@ def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # approximate — no exact SQL twin; driver records rows-only
-    doc="approx_count_distinct extension (SURVEY §2.5: approximate aggregates)",
+    # Value-checkable twin for the HLL sketch (the knn_ivf_seeded trick): the
+    # HLL++ estimate is engine-specific, but its relative-error guarantee is
+    # deterministic. The Spark plan computes BOTH the sketch estimate and the
+    # exact distinct count, and emits the exact count plus a boolean
+    # "relative error <= 5*rsd"; the oracle computes the exact count and
+    # asserts the boolean TRUE. A degraded sketch flips the boolean and
+    # hash-mismatches — a real value check, not rows-only.
+    oracle="""
+SELECT count(DISTINCT user_id) AS exact_users, count(*) AS n_events,
+       TRUE AS within_rel_error
+FROM events
+""",
+    doc="approx_count_distinct / HLL++ extension (SURVEY §2.5: approximate "
+    "aggregates), verified in-plan against the sketch's rsd guarantee "
+    "(rsd=0.01, bound 5 sigma).",
     tags=("agg", "approx"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.count("*").alias("n_events"),
+    rsd = 0.01
+    return (
+        t(spark, sf_dir, "events")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(5 * rsd) * F.col("exact_users")
+            ).alias("within_rel_error"),
+        )
     )

@@ -375,16 +375,39 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 is Spark-specific; property unit-tested instead
-    doc="64-bit SimHash fingerprints + block-join near-dup candidates "
-    "(operators/dedup.py); rows-only gate by design",
+    # Value-checkable twin for an engine-specific hash (same trick as
+    # sketch_percentiles / knn_ivf): the xxhash64 fingerprint value is
+    # Spark-only, but (a) the distinct-token count the fingerprint votes
+    # over is oracle-computable exactly, and (b) simhash's defining
+    # LOCALITY property — perturbing a doc by one token moves the
+    # fingerprint by few bits — is a deterministic in-plan claim. The plan
+    # computes simhash(text) and simhash(text + one unseen token) and
+    # emits "hamming shift <= 32 of 64" (measured max 14, mean ~5.9 across
+    # sf0.001-0.1; a non-local hash would sit at ~32 with half the docs
+    # above). The fingerprint VALUES are exercised by the fully
+    # value-checked dedup_simhash_md5 twin.
+    oracle="""
+SELECT doc_id,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       TRUE AS locality_ok
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""",
+    doc="64-bit SimHash fingerprints (xxhash64, operators/dedup.py), "
+    "verified in-plan via the one-token-perturbation locality bound",
     tags=("text", "dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import simhash_fingerprints
+    from ..operators.dedup import hamming_distance, simhash
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_fingerprints(d).orderBy("doc_id")
+    shift = hamming_distance(
+        simhash(F.col("text")), simhash(F.concat(F.col("text"), F.lit(" zzqxv")))
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).alias("n_distinct_tokens"),
+        (shift <= 32).alias("locality_ok"),
+    ).orderBy("doc_id")
 
 
 @register(
@@ -1160,7 +1183,8 @@ WITH tok AS (
   SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS h
   FROM tok, LATERAL unnest(generate_series(1, len(toks) - 7)) AS t(i)
 ), rep AS (
-  SELECT h FROM ps GROUP BY h HAVING count(DISTINCT doc_id) > 1
+  SELECT h FROM ps GROUP BY h
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000
 ), m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
          a.pos - b.pos AS diag
@@ -1187,7 +1211,8 @@ FROM agg_long JOIN agg_cov USING (doc_a, doc_b)
 ORDER BY doc_a, doc_b
 """,
     doc="passage-level duplication: longest contiguous shared 8-token runs "
-    "per doc pair (positional shingle hashes -> repeated-hash gate -> "
+    "per doc pair (positional shingle hashes -> repeated-hash gate with a "
+    "max_df=1000 stop-shingle cap against hot-key quadratic fan-out -> "
     "diagonal gaps-and-islands; linear in match count, never all-pairs)",
     tags=("text", "dedup"),
 )
@@ -1195,6 +1220,6 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shared_passages
 
     return (
-        shared_passages(t(spark, sf_dir, "documents"), shingle_n=8)
+        shared_passages(t(spark, sf_dir, "documents"), shingle_n=8, max_df=1000)
         .orderBy("doc_a", "doc_b")
     )

@@ -254,24 +254,53 @@ ORDER BY vec_a, vec_b
 
 @register(
     "knn_ivf",
-    oracle=None,  # approximate by construction; exactness at nprobe=k is
-    # asserted in tests (test_ivf_full_probe_equals_bruteforce)
+    # Value-checkable twin for an approximate op (the knn_ivf_seeded /
+    # sketch_percentiles trick): the IVF neighbor list depends on
+    # Spark-computed centroids, but its RECALL vs the exact brute-force
+    # top-k is a deterministic in-plan claim. The plan runs IVF (nprobe=4
+    # of 8) AND the exact scan, joins them, and emits per-probe booleans
+    # "returned exactly k" and "recall@5 >= 2/5" (measured: 2-5 of 5 at
+    # sf0.001-0.01; chance level ~0.05 of 5). A broken index flips the
+    # booleans and hash-mismatches. The raw neighbor list itself is the
+    # (fully value-checked) knn_ivf_seeded gate.
+    oracle=f"""
+SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_returned,
+       TRUE AS returned_k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+ORDER BY probe_id
+""",
     doc="ANN top-5 via an IVF index (deterministic seeds + 1 Lloyd step, "
-    "nprobe=4 of 8 inverted lists) — operators/similarity.ivf_index/ivf_topk",
+    "nprobe=4 of 8 inverted lists) — operators/similarity.ivf_index/"
+    "ivf_topk — verified in-plan against the exact brute-force top-5",
     tags=("vector", "knn", "ivf", "kernel"),
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_index, ivf_topk
+    from ..operators.similarity import brute_force_topk, ivf_index, ivf_topk
 
     e = t(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     indexed, cents = ivf_index(e, n_centroids=8, lloyd_iters=1)
-    out = ivf_topk(indexed, cents, probes, k=5, nprobe=4)
-    return out.select(
-        "probe_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rk"
-    ).orderBy("probe_id", "rk")
+    ivf = ivf_topk(indexed, cents, probes, k=5, nprobe=4).select("probe_id", "vec_id")
+    exact = brute_force_topk(e, probes, k=5).select(
+        F.col("probe_id").alias("exact_probe"), F.col("vec_id").alias("exact_id")
+    )
+    hits = ivf.join(
+        exact,
+        (F.col("probe_id") == F.col("exact_probe"))
+        & (F.col("vec_id") == F.col("exact_id")),
+        "left",
+    ).groupBy("probe_id").agg(
+        F.count("*").alias("n_returned"),
+        F.count("exact_id").alias("n_hits"),
+    )
+    return hits.select(
+        "probe_id",
+        "n_returned",
+        (F.col("n_returned") == 5).alias("returned_k"),
+        (F.col("n_hits") >= 2).alias("recall_ok"),
+    ).orderBy("probe_id")
 
 
 @register(

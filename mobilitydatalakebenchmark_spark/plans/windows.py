@@ -656,31 +656,53 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_percentiles",
-    oracle=None,  # sketch-based: Spark's GK/KLL result differs from any
-    # exact or DuckDB approximation by design; the exact twin is the
-    # quantiles_exact gate, and the test bounds the sketch error vs it
-    doc="approximate percentiles via percentile_approx (mergeable sketch: "
+    # Value-checkable twin for a sketch op (the knn_ivf_seeded trick): the
+    # sketch value itself is engine-specific, but its RANK-ERROR GUARANTEE is
+    # a deterministic claim. The Spark plan computes the GK-sketch quantiles,
+    # re-ranks each sketch value against the data (one broadcast join + agg),
+    # and emits per-quantile booleans "rank error <= 2*n/accuracy + 2"; the
+    # oracle asserts those booleans TRUE and checks n exactly. If the sketch
+    # ever degrades past its published bound, the booleans flip and the gate
+    # hash-mismatches — a real value check, not rows-only.
+    oracle="""
+SELECT event_type, count(*) AS n,
+       TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="approximate percentiles via percentile_approx (mergeable GK sketch: "
     "partial aggregation works at any scale; accuracy knob = the last "
-    "argument). Exact counterpart: quantiles_exact.",
+    "argument), verified in-plan against the sketch's rank-error bound. "
+    "Exact counterpart: quantiles_exact.",
     tags=("agg", "sketch"),
 )
 def sketch_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    accuracy = 10000
     ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p_approx"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "event_type",
-            F.round(F.col("p_approx")[0], 2).alias("p50"),
-            F.round(F.col("p_approx")[1], 2).alias("p95"),
-            F.round(F.col("p_approx")[2], 2).alias("p99"),
-            "n",
-        )
-        .orderBy("event_type")
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], accuracy).alias("p_approx"),
+        F.count("*").alias("n"),
     )
+    # Re-rank each sketch value: rank(v) = #{value <= v} per group. One
+    # broadcast of the tiny per-group sketch table, one map-side-combinable
+    # agg — no extra shuffle of the fact table beyond the groupBy.
+    ranked = (
+        ev.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            *[
+                F.sum((F.col("value") <= F.col("p_approx")[i]).cast("long")).alias(f"rank_{i}")
+                for i in range(3)
+            ],
+        )
+    )
+    # GK guarantee: |rank(v) - q*n| <= n/accuracy. Allow 2x + 2 slack so the
+    # gate tests the published bound's order of magnitude, never flakes.
+    err = F.col("n") / accuracy * 2 + F.lit(2.0)
+    ok = lambda i, q: (F.abs(F.col(f"rank_{i}") - q * F.col("n")) <= err).alias(f"ok_p{int(q * 100)}")
+    return ranked.select(
+        "event_type", "n", ok(0, 0.5), ok(1, 0.95), ok(2, 0.99)
+    ).orderBy("event_type")
 
 
 @register(

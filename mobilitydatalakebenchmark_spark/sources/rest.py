@@ -67,6 +67,13 @@ def poll_to_dir(
         ts = _snapshot_ts(doc, fallback)
         payload = doc.get("data", doc) if isinstance(doc, dict) else doc
         fname = os.path.join(out_dir, f"{ts.replace(':', '_')}.json")
+        # two polls can carry the same payload timestamp (fast polls +
+        # wall-clock fallback): uniquify instead of silently overwriting a
+        # landed snapshot, so no response is lost
+        seq = 1
+        while os.path.exists(fname):
+            fname = os.path.join(out_dir, f"{ts.replace(':', '_')}.{seq}.json")
+            seq += 1
         # atomic landing: the directory is tailed by a Structured Streaming
         # file source, which may list a file the instant it appears — write
         # to a temp name and rename so no micro-batch sees a partial JSON

@@ -480,6 +480,21 @@ class TestMixtureSample:
         )
         assert mixture_sample(df, {"x": 1.0}, "lang").count() == 1
 
+    def test_empty_weights_honors_fractional_default(self, spark):
+        """Regression: with no strata listed, default_weight must act as a
+        per-row keep probability (hash compare), not collapse to the
+        boolean default_weight >= 1.0 (which kept 0 of 1000 at 0.5)."""
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            mixture_sample,
+        )
+
+        rows = [(i, "any", f"t{i}") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        n = mixture_sample(df, {}, "lang", default_weight=0.5).count()
+        assert abs(n - 1000) < 80  # ~50%, hash-binomial
+        assert mixture_sample(df, {}, "lang", default_weight=0.0).count() == 0
+        assert mixture_sample(df, {}, "lang", default_weight=1.0).count() == 2000
+
 
 class TestSharedPassages:
     def test_planted_passage_exact_run_length(self, spark):
@@ -610,3 +625,23 @@ class TestReviewFixes:
         r = shared_passages(df, shingle_n=8).collect()[0]
         assert r.n_shared_shingles == 3
         assert r.longest_run_tokens == 8
+
+    def test_shared_passages_max_df_caps_hot_shingle(self, spark):
+        """A boilerplate shingle shared by 1k docs must NOT expand to the
+        ~500k-row O(k^2) pair join when max_df caps the frequency gate."""
+        from mobilitydatalakebenchmark_spark.operators.dedup import shared_passages
+
+        boiler = " ".join(f"b{i}" for i in range(8))
+        rows = [(i, f"u{i}a u{i}b {boiler}") for i in range(1000)]
+        # two docs that genuinely share a private passage on top of the stub
+        private = " ".join(f"p{i}" for i in range(8))
+        rows += [(2000, f"{private} q0 q1"), (2001, f"{private} r0 r1")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = shared_passages(df, shingle_n=8, max_df=100)
+        got = capped.collect()
+        # hot shingle dropped entirely; the private pair survives
+        assert [(r.doc_a, r.doc_b) for r in got] == [(2000, 2001)]
+        assert got[0].longest_run_tokens == 8
+        # uncapped control: the same input explodes into ~500k pairs
+        uncapped = shared_passages(df, shingle_n=8, max_df=None)
+        assert uncapped.count() == (1000 * 999) // 2 + 1

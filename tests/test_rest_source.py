@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import http.server
 import json
+import os
 import threading
 
 from pyspark.sql import functions as F
@@ -89,7 +90,9 @@ def test_poll_bare_featurecollection_and_cadence(tmp_path):
     )
     assert calls["fetch"] == 3
     assert calls["slept"] == [20.0, 20.0]
-    assert len(set(written)) == 1  # same fallback ts -> same file, overwritten
+    # same fallback ts -> uniquified .1/.2 suffixes, no snapshot lost
+    assert len(set(written)) == 3
+    assert all(os.path.exists(p) for p in written)
     assert json.load(open(written[0]))["type"] == "FeatureCollection"
 
 
