@@ -265,7 +265,7 @@ FROM agg ORDER BY vec_id
     tags=("vector", "compression"),
 )
 def vec_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     vec = F.transform("embedding", lambda x: x.cast("double"))
     df = e.select("vec_id", vec.alias("vec")).withColumn(
         "scale", F.array_max(F.transform("vec", F.abs)) / 127

@@ -24,10 +24,10 @@ from pyspark.sql import functions as F
 from . import register
 
 
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataFrame:
     from ..session import read_table
 
-    return read_table(spark, sf_dir, name)
+    return read_table(spark, sf_dir, name, heavy=heavy)
 
 
 # ---------------------------------------------------------------------------

@@ -133,7 +133,7 @@ ORDER BY doc_a
     tags=("text", "dedup"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
     )
     a = d.alias("a")
@@ -204,7 +204,7 @@ def _doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of the `banded` CTE, via the operator library."""
     from ..operators.dedup import lsh_band_keys, minhash_signatures
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", heavy=True)
     sig = minhash_signatures(d, n_hashes=4, shingle_n=3)
     return sig, lsh_band_keys(sig, bands=2)
 
@@ -283,7 +283,7 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_near_duplicates
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", heavy=True)
     out = minhash_near_duplicates(
         d, n_hashes=4, bands=2, min_jaccard=0.5, shingle_n=3
     )
@@ -303,7 +303,7 @@ FROM documents ORDER BY doc_id
     tags=("text",),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", heavy=True)
     return d.select(
         "doc_id",
         F.md5(
@@ -399,7 +399,7 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import hamming_distance, simhash
 
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = t(spark, sf_dir, "documents", heavy=True).filter(F.col("doc_id") < 200)
     shift = hamming_distance(
         simhash(F.col("text")), simhash(F.concat(F.col("text"), F.lit(" zzqxv")))
     )
@@ -453,7 +453,7 @@ SELECT doc_id, cast((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THE
     tags=("text", "dedup", "simhash"),
 )
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id", F.array_distinct(tokens(F.col("text"))).alias("tok")
     )
     hashed = d.select(
@@ -517,7 +517,7 @@ def dedup_drop_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import drop_near_duplicates
     from ..operators.dedup import minhash_near_duplicates
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", heavy=True)
     pairs = minhash_near_duplicates(
         d, n_hashes=4, bands=2, min_jaccard=0.5, shingle_n=3
     )
@@ -539,7 +539,7 @@ ORDER BY doc_a
     tags=("text", "dedup"),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents").select(
+    d = t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id", F.substring("text", 1, 80).alias("prefix")
     )
     a, b = d.alias("a"), d.alias("b")
@@ -588,7 +588,7 @@ FROM grams ORDER BY doc_id
 def text_repetition_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import duplicate_ngram_fraction, raw_ngrams
 
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents", heavy=True)
     g = raw_ngrams(F.col("text"), 5)
     return d.select(
         "doc_id",
@@ -815,7 +815,7 @@ ORDER BY test_doc
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import contamination, hash_split
 
-    d = t(spark, sf_dir, "documents").withColumn(
+    d = t(spark, sf_dir, "documents", heavy=True).withColumn(
         "split", hash_split(F.col("doc_id"))
     )
     return (
@@ -1220,6 +1220,6 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shared_passages
 
     return (
-        shared_passages(t(spark, sf_dir, "documents"), shingle_n=8, max_df=1000)
+        shared_passages(t(spark, sf_dir, "documents", heavy=True), shingle_n=8, max_df=1000)
         .orderBy("doc_a", "doc_b")
     )

@@ -50,7 +50,7 @@ FROM embeddings ORDER BY vec_id
     tags=("vector",),
 )
 def vec_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     return e.select(
         "vec_id",
         "label",
@@ -84,7 +84,7 @@ SELECT probe_id, vec_id, label, cos_sim FROM (
     tags=("vector", "knn"),
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -122,7 +122,7 @@ FROM embeddings GROUP BY label ORDER BY label
     tags=("vector",),
 )
 def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     comp_sum = F.aggregate(
         F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
     )
@@ -169,7 +169,7 @@ GROUP BY bucket ORDER BY bucket
 def vec_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hyperplanes, lsh_bucket
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     planes = hyperplanes(dim=64, n_planes=8)
     out = e.select("vec_id", "label", lsh_bucket(F.col("embedding"), planes).alias("bucket"))
     return (
@@ -228,7 +228,7 @@ SELECT probe_id, vec_id, round(raw_sim, 4) AS cos_sim, rk FROM (
 def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import lsh_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -277,7 +277,7 @@ ORDER BY probe_id
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk, ivf_index, ivf_topk
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -314,7 +314,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vec_neardup_pairs_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_pairs_numpy
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     out = cosine_pairs_numpy(e, block_col="label", threshold=0.3)
     return out.select(
         "vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim")
@@ -342,7 +342,7 @@ ORDER BY vec_a, vec_b
 def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # precompute each vector's norm once (n rows) instead of per pair
     # (n²/blocks rows); the pair stage then does exactly one dot product.
-    e = t(spark, sf_dir, "embeddings").select(
+    e = t(spark, sf_dir, "embeddings", heavy=True).select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
     a = e.alias("a")
@@ -404,7 +404,7 @@ GROUP BY label, c_label ORDER BY label, assigned_label
 def vec_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import assign_nearest_centroid, label_centroids
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     assigned = assign_nearest_centroid(e, label_centroids(e), keep_cols=("label",))
     return (
         assigned.groupBy("label", "assigned_label")
@@ -425,7 +425,7 @@ def vec_nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFram
 def vec_nearest_centroid_confusion_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import assign_nearest_centroid_numpy, label_centroids
 
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     assigned = assign_nearest_centroid_numpy(
         e, label_centroids(e), keep_cols=("label",)
     )
@@ -495,7 +495,7 @@ SELECT probe_id, vec_id, cos_sim FROM (
     tags=("vector", "knn"),
 )
 def knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings")
+    e = t(spark, sf_dir, "embeddings", heavy=True)
     # deterministic seed centroids: first K vectors by md5(id); tiny ->
     # driver-side enumerate (bounded by K), same as ivf_index's seeding
     seeds_rows = (

@@ -58,28 +58,29 @@ def get_spark(
     return spark
 
 
-# Tables whose downstream pipelines are dominated by per-row expression
-# work (shingling, hashing, vector math) rather than scan+agg throughput.
-_PER_ROW_HEAVY = {"documents", "embeddings"}
 # Below this size a parquet file is typically a single row group, so the
 # scan cannot parallelize no matter how small the split size is.
 _SMALL_SCAN_BYTES = 64 * 1024 * 1024
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str):
+def read_table(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False):
     """Read one driver test table with the engine's normalizations applied
     (events.parquet stores TIMESTAMP(NANOS): read nanos-as-long — runtime-
     settable, so an externally-built session works — and rebuild micros via
     integer division).
 
-    Small-file parallelism rescue: the driver's test tables are single
-    row-group files, so the scan is one task regardless of split size and
-    every per-row-heavy pipeline (shingles, minhash, per-vector kernels)
-    runs on one core until its first shuffle. For the tables where that
-    per-row work dominates, round-robin repartition to the session's core
-    count right after the scan — filters still push down through the
-    repartition, and at production scale (multi-row-group / multi-file
-    tables over the size cutoff) this branch never triggers."""
+    Small-file parallelism rescue (``heavy=True``): the driver's test
+    tables are single row-group files, so the scan is one task regardless
+    of split size and every per-row-heavy pipeline (shingles, minhash,
+    per-vector kernels) runs on one core until its first shuffle. Callers
+    whose pipeline is dominated by that pre-shuffle per-row work opt in
+    with ``heavy=True``: the table is round-robin repartitioned to the
+    session's core count right after the scan — filters still push down
+    through the repartition. It is opt-in, NOT table-keyed, because for a
+    plain scan->agg pipeline the extra exchange (full text columns) costs
+    more than the single-task scan it rescues (measured +20-35% on the
+    sf0.1 text gates in round 3). At production scale (multi-row-group /
+    multi-file tables over the size cutoff) the branch never triggers."""
     import os as _os
 
     from pyspark.sql import functions as F
@@ -99,7 +100,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
-    if name in _PER_ROW_HEAVY:
+    if heavy:
         try:
             size = (
                 _os.path.getsize(path)
