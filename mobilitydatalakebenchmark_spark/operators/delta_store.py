@@ -12,6 +12,10 @@ finds no distribution (the image has no package index access). Blocked
 by the environment, not the code — nothing to un-gate until the image
 ships the jars.
 
+Final re-probe 2026-08-14 (round 4): still no ``delta`` module and zero
+delta jars under pyspark's jar dir. Declared closed as environment-gated;
+no further rounds will be spent on it.
+
 Without Delta, the same upsert semantics run on plain parquet via the
 recompute path (see VelocityParquetStore.write(mode="append") and
 TemporalStore.append_batch) — those are the canonical engines; this module
