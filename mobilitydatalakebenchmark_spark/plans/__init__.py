@@ -99,10 +99,14 @@ def load_registry() -> dict[str, Q]:
     verified = set(DRIVER_VERIFIED)
     # newest operators first within the unverified block, so the round that
     # introduces (or redefines) an operator also gets it an independent
-    # driver verdict. Round 4: the two former no_oracle gates, reworked as
-    # value-checkable error-bound twins.
+    # driver verdict. Round 4: the two former no_oracle gates (reworked as
+    # value-checkable error-bound twins) plus the seven new round-4
+    # operators. 49 unverified + flagship = exactly the 50-entry window.
     newest = (
         "sketch_percentiles", "approx_distinct_users",
+        "knn_pq_adc_seeded", "dedup_semantic_clusters",
+        "vec_covariance_matrix", "text_chunk_overlap", "text_zipf_slope",
+        "text_perplexity_buckets", "interval_overlap_join",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest:

@@ -14,7 +14,7 @@ the only strategy that survives 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
@@ -1222,4 +1222,181 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shared_passages(t(spark, sf_dir, "documents", heavy=True), shingle_n=8, max_df=1000)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: chunking, Zipf corpus stats, CCNet-style perplexity buckets.
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 120  # chunk window (chars)
+_CHUNK_S = 80   # stride (chars) -> 40-char overlap between chunks
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), {_CHUNK_S}))
+             AS chunk_start
+  FROM documents
+), chunks AS (
+  SELECT doc_id, (chunk_start - 1) // {_CHUNK_S} AS chunk_idx, chunk_start,
+         substr(text, chunk_start, {_CHUNK_W}) AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx, chunk_start,
+       length(chunk) AS chunk_chars,
+       length(chunk) - length(replace(chunk, ' ', '')) + 1 AS n_tokens,
+       md5(chunk) AS chunk_hash
+FROM chunks ORDER BY doc_id, chunk_idx
+""",
+    doc="sliding-window document chunking (120-char window, 80-char stride "
+    "= 40-char overlap) — the RAG / training-sequence prep step: one "
+    "posexplode(sequence) per document, pure expressions, zero shuffle; "
+    "chunk identity via md5 so downstream chunk-level dedup composes",
+    tags=("text", "chunk"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    starts = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_CHUNK_S)
+            )
+        ).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.expr(f"substring(text, chunk_start, {_CHUNK_W})")
+    return (
+        starts.withColumn("chunk", chunk)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.length("chunk").alias("chunk_chars"),
+            (
+                F.length("chunk")
+                - F.length(F.regexp_replace("chunk", " ", ""))
+                + 1
+            ).alias("n_tokens"),
+            F.md5("chunk").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_ZIPF_TOPN = 100
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), top AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank
+  FROM freq ORDER BY c DESC, token LIMIT {_ZIPF_TOPN}
+)
+SELECT count(*) AS n_ranks,
+       round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope,
+       round(regr_intercept(ln(c), ln(rank)), 4) AS zipf_intercept,
+       round(regr_r2(ln(c), ln(rank)), 4) AS zipf_r2
+FROM top
+""",
+    doc="Zipf's-law fit over the corpus token-frequency distribution: "
+    "log-freq vs log-rank linear regression on the top-100 tokens (a "
+    "natural-language corpus fits slope ~ -1; far-off slopes flag "
+    "machine-generated or template text). Scale: frequency agg is "
+    "map-side partial; the top-N is TakeOrderedAndProject (no full "
+    "sort), so the only bounded single-partition step is the N-row rank",
+    tags=("text", "quality"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    top = freq.orderBy(F.desc("c"), "token").limit(_ZIPF_TOPN)
+    w = Window.orderBy(F.desc("c"), "token")  # post-limit: N rows, bounded
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    y = F.log(F.col("c").cast("double"))
+    x = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("zipf_r2"),
+    )
+
+
+@register(
+    "text_perplexity_buckets",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS c FROM tok GROUP BY token
+), tot AS (
+  SELECT cast(sum(c) AS DOUBLE) AS t FROM freq
+), scores AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         round(avg(log2(cast(freq.c AS DOUBLE) / tot.t)), 6) AS lm_logprob
+  FROM tok JOIN freq USING (token) CROSS JOIN tot
+  GROUP BY tok.doc_id
+), cuts AS (
+  SELECT quantile_cont(lm_logprob, 1.0/3) AS c1,
+         quantile_cont(lm_logprob, 2.0/3) AS c2
+  FROM scores
+), bucketed AS (
+  SELECT s.*,
+         CASE WHEN s.lm_logprob <= c.c1 THEN 'tail'
+              WHEN s.lm_logprob <= c.c2 THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM scores s CROSS JOIN cuts c
+)
+SELECT bucket, count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(lm_logprob), 6) AS avg_lm_logprob,
+       round(min(lm_logprob), 6) AS min_lm_logprob,
+       round(max(lm_logprob), 6) AS max_lm_logprob
+FROM bucketed GROUP BY bucket ORDER BY bucket
+""",
+    doc="CCNet-style perplexity bucketing: per-doc unigram-LM surprisal "
+    "(text_unigram_logprob's operator), exact tercile cutoffs via the "
+    "percentile aggregate (sort-based agg, map-side partial — no global "
+    "row window), then a broadcast scalar comparison assigns head/middle/"
+    "tail. Cutoffs interpolate the 6-dp-rounded scores, so both engines "
+    "compare bitwise-identical doubles",
+    tags=("text", "quality"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import unigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    scores = unigram_logprob(d)
+    cuts = scores.agg(
+        F.percentile("lm_logprob", 1.0 / 3).alias("c1"),
+        F.percentile("lm_logprob", 2.0 / 3).alias("c2"),
+    )
+    bucketed = scores.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(F.col("lm_logprob") <= F.col("c1"), F.lit("tail"))
+        .when(F.col("lm_logprob") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("head")),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("lm_logprob"), 6).alias("avg_lm_logprob"),
+            F.round(F.min("lm_logprob"), 6).alias("min_lm_logprob"),
+            F.round(F.max("lm_logprob"), 6).alias("max_lm_logprob"),
+        )
+        .orderBy("bucket")
     )

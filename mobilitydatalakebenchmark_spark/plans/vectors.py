@@ -564,3 +564,205 @@ def knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id", "cos_sim")
         .orderBy("probe_id", F.desc("cos_sim"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: product-quantization ANN, SemDeDup semantic dedup, distributed
+# covariance — the remaining pillars of a 100-TB embedding pipeline.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_DSUB = 16    # dims per subspace (4 x 16 = 64)
+_PQ_K = 8        # codewords per subspace
+
+_PQ_SEEDS_SQL = f"""
+seeds AS (
+  SELECT embedding AS svec,
+         row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) - 1
+             AS codeword_id
+  FROM embeddings
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {_PQ_K}
+), subspaces AS (
+  SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m
+), codebook AS (
+  SELECT sub.m, s.codeword_id,
+         list_slice(s.svec, sub.m * {_PQ_DSUB} + 1,
+                    sub.m * {_PQ_DSUB} + {_PQ_DSUB}) AS cvec
+  FROM seeds s CROSS JOIN subspaces sub
+)"""
+
+
+@register(
+    "knn_pq_adc_seeded",
+    oracle=f"""
+WITH {_PQ_SEEDS_SQL}, corpus_sub AS (
+  SELECT e.vec_id, sub.m,
+         list_slice(e.embedding, sub.m * {_PQ_DSUB} + 1,
+                    sub.m * {_PQ_DSUB} + {_PQ_DSUB}) AS v
+  FROM embeddings e CROSS JOIN subspaces sub
+), codes AS (
+  SELECT vec_id, m, codeword_id FROM (
+    SELECT cs.vec_id, cs.m, cb.codeword_id,
+           row_number() OVER (
+             PARTITION BY cs.vec_id, cs.m
+             ORDER BY list_dot_product(cs.v, cs.v)
+                      - 2 * list_dot_product(cs.v, cb.cvec)
+                      + list_dot_product(cb.cvec, cb.cvec) ASC,
+                      cb.codeword_id) AS rk
+    FROM corpus_sub cs JOIN codebook cb USING (m)
+  ) WHERE rk = 1
+), lut AS (
+  SELECT p.vec_id AS probe_id, cb.m, cb.codeword_id,
+         list_dot_product(
+             list_slice(p.embedding, cb.m * {_PQ_DSUB} + 1,
+                        cb.m * {_PQ_DSUB} + {_PQ_DSUB}),
+             list_slice(p.embedding, cb.m * {_PQ_DSUB} + 1,
+                        cb.m * {_PQ_DSUB} + {_PQ_DSUB}))
+         - 2 * list_dot_product(
+             list_slice(p.embedding, cb.m * {_PQ_DSUB} + 1,
+                        cb.m * {_PQ_DSUB} + {_PQ_DSUB}), cb.cvec)
+         + list_dot_product(cb.cvec, cb.cvec) AS d2p
+  FROM embeddings p CROSS JOIN codebook cb
+  WHERE p.vec_id IN ({", ".join(map(str, PROBE_IDS))})
+), scored AS (
+  SELECT l.probe_id, c.vec_id, round(sum(l.d2p), 4) AS adc_d2
+  FROM codes c JOIN lut l USING (m, codeword_id)
+  WHERE c.vec_id != l.probe_id
+  GROUP BY l.probe_id, c.vec_id
+)
+SELECT probe_id, vec_id, adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_d2 ASC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY probe_id, adc_d2, vec_id
+""",
+    doc="product-quantization ANN (ADC scoring) with md5-seeded codebooks, "
+    "fully value-checked: 4x16-dim subspaces, 8 codewords each, squared-L2 "
+    "codeword assignment via combinable min-struct, then the classic "
+    "broadcast ADC lookup table — the 64x-compression index that keeps a "
+    "100-TB embedding corpus scannable without touching raw vectors "
+    "(operators/similarity.py pq_codebook/pq_encode/pq_adc_topk)",
+    tags=("vector", "knn"),
+)
+def knn_pq_adc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_topk, pq_codebook, pq_encode
+
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    cb = pq_codebook(e, _PQ_M, _PQ_DSUB, _PQ_K)
+    codes = pq_encode(e, cb, _PQ_M, _PQ_DSUB)
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return (
+        pq_adc_topk(codes, cb, probes, k=5, m_subspaces=_PQ_M, dsub=_PQ_DSUB)
+        .select("probe_id", "vec_id", "adc_d2")
+        .orderBy("probe_id", "adc_d2", "vec_id")
+    )
+
+
+_SEM_K = 8          # clusters
+_SEM_THRESH = 0.25  # within-cluster cosine drop threshold
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+WITH seeds AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) - 1
+             AS centroid_id
+  FROM embeddings
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {_SEM_K}
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, s.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, s.cvec)
+                      / (sqrt(list_dot_product(e.embedding, e.embedding))
+                         * sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                      s.centroid_id) AS ark
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE ark = 1
+), pairs AS (
+  SELECT a.centroid_id, b.vec_id AS dropped_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND b.vec_id > a.vec_id
+  WHERE list_dot_product(a.embedding, b.embedding)
+        / (sqrt(list_dot_product(a.embedding, a.embedding))
+           * sqrt(list_dot_product(b.embedding, b.embedding))) > {_SEM_THRESH}
+), members AS (
+  SELECT centroid_id, count(*) AS n_members FROM assigned GROUP BY centroid_id
+), pair_stats AS (
+  SELECT centroid_id, count(*) AS n_dup_pairs,
+         count(DISTINCT dropped_id) AS n_dropped
+  FROM pairs GROUP BY centroid_id
+)
+SELECT m.centroid_id, m.n_members,
+       coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(p.n_dropped, 0) AS n_dropped,
+       m.n_members - coalesce(p.n_dropped, 0) AS n_kept
+FROM members m LEFT JOIN pair_stats p USING (centroid_id)
+ORDER BY m.centroid_id
+""",
+    doc="SemDeDup-style semantic deduplication: md5-seeded nearest-centroid "
+    "clustering (argmax via combinable max-struct, linear), then "
+    "within-cluster cosine pruning keeping the lowest vec_id — the cluster "
+    "id is the blocking key, so the pair join is quadratic only inside a "
+    "cluster (the documented SemDeDup trade; production raises n_clusters "
+    "with corpus size). operators/similarity.py semantic_dedup_summary",
+    tags=("vector", "dedup"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_summary
+
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    return semantic_dedup_summary(e, n_clusters=_SEM_K, threshold=_SEM_THRESH)
+
+
+_COV_DIMS = 8  # leading dims for the covariance gate (36 upper-tri pairs)
+
+
+@register(
+    "vec_covariance_matrix",
+    oracle=f"""
+WITH dims AS (
+  SELECT unnest(generate_series(1, {_COV_DIMS})) AS i
+), pairs AS (
+  SELECT a.i, b.i AS j FROM dims a JOIN dims b ON b.i >= a.i
+)
+SELECT p.i, p.j,
+       round(covar_pop(CAST(embedding[p.i] AS DOUBLE),
+                       CAST(embedding[p.j] AS DOUBLE)), 6) AS cov_pop,
+       round(corr(CAST(embedding[p.i] AS DOUBLE),
+                  CAST(embedding[p.j] AS DOUBLE)), 6) AS corr_r,
+       count(*) AS n
+FROM embeddings CROSS JOIN pairs p
+GROUP BY p.i, p.j ORDER BY p.i, p.j
+""",
+    doc="distributed covariance/correlation matrix (upper triangle, leading "
+    f"{_COV_DIMS} dims) — the PCA/whitening prep step: explode each vector "
+    "against the broadcast (i,j) pair list, one partial-agg groupBy on 36 "
+    "keys; shuffle width is |pairs|, never corpus-sized. At full d=64 the "
+    "same plan carries d(d+1)/2 = 2080 keys",
+    tags=("vector",),
+)
+def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    pairs = e.sparkSession.createDataFrame(
+        [(i, j) for i in range(1, _COV_DIMS + 1) for j in range(i, _COV_DIMS + 1)],
+        "i int, j int",
+    )
+    xi = F.element_at("embedding", F.col("i")).cast("double")
+    xj = F.element_at("embedding", F.col("j")).cast("double")
+    return (
+        e.crossJoin(F.broadcast(pairs))
+        .select("i", "j", xi.alias("xi"), xj.alias("xj"))
+        .groupBy("i", "j")
+        .agg(
+            F.round(F.covar_pop("xi", "xj"), 6).alias("cov_pop"),
+            F.round(F.corr("xi", "xj"), 6).alias("corr_r"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("i", "j")
+    )

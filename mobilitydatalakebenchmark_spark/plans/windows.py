@@ -886,3 +886,83 @@ def anomaly_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: bucketed interval-overlap join — the time-range join pattern the
+# registry's range/asof/containment joins don't cover: both sides are
+# intervals and the predicate is overlap, not containment or nearest.
+# ---------------------------------------------------------------------------
+
+_IV_MINUTES = 30         # interval length: [ts, ts + 30 min)
+_IV_BUCKET_S = 1800      # candidate bucket width (= interval length)
+_IV_MIN_OVERLAPS = 2     # report user pairs with at least this many
+
+
+@register(
+    "interval_overlap_join",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_id, user_id, ts AS s, ts + INTERVAL {_IV_MINUTES} MINUTE AS e
+  FROM events WHERE event_type = 'purchase'
+), p AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_overlaps
+  FROM iv a JOIN iv b
+    ON a.user_id < b.user_id AND a.s < b.e AND b.s < a.e
+  GROUP BY a.user_id, b.user_id
+)
+SELECT user_a, user_b, n_overlaps FROM p
+WHERE n_overlaps >= {_IV_MIN_OVERLAPS}
+ORDER BY user_a, user_b
+""",
+    doc="interval-overlap join (co-activity): 30-min purchase windows per "
+    "user, count cross-user pairs of strictly overlapping intervals. The "
+    "oracle does the naive O(n^2) pair join; the Spark plan decomposes "
+    "each interval into its covered 30-min epoch buckets (<=2 per "
+    "interval), equi-joins on the bucket, dedups double-bucket matches "
+    "and re-verifies exact overlap — candidates are bounded per bucket by "
+    "the activity rate, never corpus-quadratic. Integer-second bucketing "
+    "is exact: bucket edges sit on whole seconds, so flooring microsecond "
+    "timestamps cannot move an endpoint across a bucket boundary",
+    tags=("window", "join"),
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr(f"INTERVAL {_IV_MINUTES} MINUTES")).alias("e"),
+    )
+    bucketed = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("s") / _IV_BUCKET_S),
+                F.floor(F.unix_timestamp("e") / _IV_BUCKET_S),
+            )
+        ),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter((F.col("a.s") < F.col("b.e")) & (F.col("b.s") < F.col("a.e")))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.event_id").alias("ea"),
+            F.col("b.event_id").alias("eb"),
+        )
+        .distinct()  # an overlapping pair can share both covered buckets
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_overlaps"))
+        .filter(F.col("n_overlaps") >= _IV_MIN_OVERLAPS)
+        .orderBy("user_a", "user_b")
+    )
