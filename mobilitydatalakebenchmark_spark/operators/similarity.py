@@ -524,18 +524,32 @@ def semantic_dedup_summary(
     threshold: float = 0.25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023)-style semantic deduplication: cluster by
     nearest md5-seeded centroid (cosine argmax, combinable max-struct), then
     within each cluster mark every vector whose cosine to a LOWER-id cluster
     member exceeds ``threshold`` as a drop. Output one row per cluster:
-    (centroid_id, n_members, n_dup_pairs, n_dropped, n_kept).
+    (centroid_id, n_members, n_dup_pairs, n_dropped, n_kept, n_truncated).
 
     Scale: the cluster id is the blocking key — the pair join shuffles on
     centroid_id and is quadratic only within a cluster, which is the
     documented SemDeDup trade (cap cluster sizes by raising n_clusters;
     production runs use n_clusters ~ corpus_size/10k). Assignment itself is
-    linear: broadcast centroids, one partial-agg argmax, no window."""
+    linear: broadcast centroids, one partial-agg argmax, no window.
+
+    ``max_cluster_size`` guards the one way the trade degenerates: a single
+    centroid capturing a huge fraction of the corpus re-creates the O(k²)
+    pair blowup no n_clusters sizing predicted. Members are ranked within
+    their cluster by ascending id (deterministic, oracle-mirrorable) and
+    only the first ``max_cluster_size`` participate in the pair comparison;
+    the remainder are kept un-compared and reported per cluster as
+    ``n_truncated`` so the caller sees exactly how much comparison coverage
+    the guard cost. The ranking window shuffles on centroid_id — the same
+    key the pair join needs, so the guard adds no extra exchange — and
+    row_number is a streaming (sort-based, spillable) window, safe on a
+    degenerate partition; it is the join output, not the sort, that the cap
+    bounds to max_cluster_size² per cluster."""
     seeds = md5_seed_centroids(corpus, n_clusters, id_col, vec_col)
     sims = corpus.select(id_col, vec_col).crossJoin(F.broadcast(seeds)).select(
         id_col,
@@ -555,8 +569,17 @@ def semantic_dedup_summary(
             id_col, vec_col, (-F.col("_m._nc")).cast("int").alias("centroid_id")
         )
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
+    if max_cluster_size is not None:
+        wcap = Window.partitionBy("centroid_id").orderBy(id_col)
+        compared = (
+            assigned.withColumn("_rk", F.row_number().over(wcap))
+            .filter(F.col("_rk") <= max_cluster_size)
+            .drop("_rk")
+        )
+    else:
+        compared = assigned
+    a = compared.alias("a")
+    b = compared.alias("b")
     pairs = a.join(
         b,
         (F.col("a.centroid_id") == F.col("b.centroid_id"))
@@ -572,6 +595,12 @@ def semantic_dedup_summary(
         F.count("*").alias("n_dup_pairs"),
         F.count_distinct("dropped_id").alias("n_dropped"),
     )
+    cap = F.lit(max_cluster_size) if max_cluster_size is not None else None
+    n_truncated = (
+        F.greatest(F.col("n_members") - cap, F.lit(0))
+        if cap is not None
+        else F.lit(0)
+    )
     return (
         members.join(pair_stats, "centroid_id", "left")
         .select(
@@ -582,6 +611,7 @@ def semantic_dedup_summary(
             (
                 F.col("n_members") - F.coalesce("n_dropped", F.lit(0))
             ).alias("n_kept"),
+            n_truncated.cast("long").alias("n_truncated"),
         )
         .orderBy("centroid_id")
     )

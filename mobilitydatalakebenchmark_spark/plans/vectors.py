@@ -662,6 +662,7 @@ def knn_pq_adc_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_K = 8          # clusters
 _SEM_THRESH = 0.25  # within-cluster cosine drop threshold
+_SEM_CAP = 48       # per-cluster comparison cap (degenerate-cluster guard)
 
 
 @register(
@@ -684,9 +685,15 @@ WITH seeds AS (
                       s.centroid_id) AS ark
     FROM embeddings e CROSS JOIN seeds s
   ) WHERE ark = 1
+), capped AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT a.*, row_number() OVER (PARTITION BY centroid_id ORDER BY vec_id)
+               AS crk
+    FROM assigned a
+  ) WHERE crk <= {_SEM_CAP}
 ), pairs AS (
   SELECT a.centroid_id, b.vec_id AS dropped_id
-  FROM assigned a JOIN assigned b
+  FROM capped a JOIN capped b
     ON a.centroid_id = b.centroid_id AND b.vec_id > a.vec_id
   WHERE list_dot_product(a.embedding, b.embedding)
         / (sqrt(list_dot_product(a.embedding, a.embedding))
@@ -701,7 +708,8 @@ WITH seeds AS (
 SELECT m.centroid_id, m.n_members,
        coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
        coalesce(p.n_dropped, 0) AS n_dropped,
-       m.n_members - coalesce(p.n_dropped, 0) AS n_kept
+       m.n_members - coalesce(p.n_dropped, 0) AS n_kept,
+       greatest(m.n_members - {_SEM_CAP}, 0) AS n_truncated
 FROM members m LEFT JOIN pair_stats p USING (centroid_id)
 ORDER BY m.centroid_id
 """,
@@ -710,14 +718,20 @@ ORDER BY m.centroid_id
     "within-cluster cosine pruning keeping the lowest vec_id — the cluster "
     "id is the blocking key, so the pair join is quadratic only inside a "
     "cluster (the documented SemDeDup trade; production raises n_clusters "
-    "with corpus size). operators/similarity.py semantic_dedup_summary",
+    f"with corpus size). A per-cluster comparison cap ({_SEM_CAP} here, so "
+    "the guard actually fires at the gate SF) bounds the pair join against "
+    "a degenerate runaway cluster; members past the cap stay un-compared "
+    "and are reported as n_truncated. "
+    "operators/similarity.py semantic_dedup_summary",
     tags=("vector", "dedup"),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_summary
 
     e = t(spark, sf_dir, "embeddings", heavy=True)
-    return semantic_dedup_summary(e, n_clusters=_SEM_K, threshold=_SEM_THRESH)
+    return semantic_dedup_summary(
+        e, n_clusters=_SEM_K, threshold=_SEM_THRESH, max_cluster_size=_SEM_CAP
+    )
 
 
 _COV_DIMS = 8  # leading dims for the covariance gate (36 upper-tri pairs)

@@ -207,6 +207,59 @@ def test_semantic_dedup_no_drops_below_threshold(spark):
     assert out.agg(F.sum("n_dropped")).first()[0] == 0
 
 
+def test_semantic_dedup_cap_bounds_degenerate_cluster(spark):
+    """Plant one degenerate cluster (200 near-identical vectors — every one
+    lands on the same centroid) and assert the per-cluster comparison cap
+    keeps the pair join bounded: without the cap the join emits ~200²/2
+    pairs; with max_cluster_size=10 at most 10·9/2 per cluster, and the
+    un-compared members are reported as n_truncated, not silently dropped."""
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        semantic_dedup_summary,
+    )
+
+    n = 200
+    rows = [(i, [1.0, float(i) * 1e-6, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_summary(
+        df, n_clusters=2, threshold=0.9, max_cluster_size=10
+    ).collect()
+    assert sum(r.n_members for r in out) == n
+    for r in out:
+        # join output bounded by cap^2 regardless of cluster size
+        assert r.n_dup_pairs <= 10 * 9 // 2
+        assert r.n_dropped <= 9
+        assert r.n_truncated == max(r.n_members - 10, 0)
+        # truncated members are kept (never compared => never dropped)
+        assert r.n_kept == r.n_members - r.n_dropped
+    # the degenerate cluster really was truncated
+    assert sum(r.n_truncated for r in out) >= n - 2 * 10
+
+
+def test_semantic_dedup_cap_noop_on_small_clusters(spark):
+    """A cap larger than every cluster must not change any output value
+    (identity guard — the capped plan is the default gate path)."""
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        semantic_dedup_summary,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = semantic_dedup_summary(df, n_clusters=2, threshold=0.9)
+    capped = semantic_dedup_summary(
+        df, n_clusters=2, threshold=0.9, max_cluster_size=1000
+    )
+    a = [r.asDict() for r in uncapped.drop("n_truncated").collect()]
+    b = [r.asDict() for r in capped.drop("n_truncated").collect()]
+    assert a == b
+    assert all(r.n_truncated == 0 for r in capped.collect())
+
+
 # ---------------------------------------------------------------------------
 # Covariance
 # ---------------------------------------------------------------------------
