@@ -762,3 +762,87 @@ def assign_nearest_centroid(
         F.col("_best.sim").alias("sim"),
         (-F.col("_best.neg_label")).cast(label_type).alias("assigned_label"),
     )
+
+
+def covariance_gram_partials(
+    df: DataFrame, dims: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """One-pass Gram-matrix covariance partials over the leading ``dims``
+    vector components: a mapInPandas kernel emits, per Arrow batch, one row
+    per upper-triangle (i, j) pair carrying the batch's sufficient
+    statistics (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ, Σxᵢ², Σxⱼ²); merging partials is a
+    plain JVM groupBy-sum on d(d+1)/2 keys.
+
+    This is the quality path for the expression-based covariance plan
+    (plans/vectors.py vec_covariance_matrix), which crossJoins each vector
+    against the broadcast pair list — a d(d+1)/2× row inflation (2080× at
+    d=64) that is pipelined but CPU-heavy. Here each vector is touched
+    once: the batch matmul XᵀX computes every pairwise product
+    simultaneously, the kernel's output width is |pairs| per batch
+    (independent of corpus size), and the final shuffle carries only
+    |pairs| × n_batches tiny rows. Same float64 math as the aggregate
+    path; both gates round to 6 dp where the ~1e-12 one-pass vs two-pass
+    divergence is invisible."""
+    import numpy as np
+
+    pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
+    ii = np.array([p[0] for p in pairs])
+    jj = np.array([p[1] for p in pairs])
+    out_schema = (
+        "i int, j int, n long, sxi double, sxj double, "
+        "sxij double, sxi2 double, sxj2 double"
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy())[:, :dims].astype("float64")
+            s = x.sum(axis=0)
+            g = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "i": ii + 1,
+                    "j": jj + 1,
+                    "n": len(x),
+                    "sxi": s[ii],
+                    "sxj": s[jj],
+                    "sxij": g[ii, jj],
+                    "sxi2": g[ii, ii],
+                    "sxj2": g[jj, jj],
+                }
+            )
+
+    return df.select(vec_col).mapInPandas(partials, out_schema)
+
+
+def covariance_matrix_gram(
+    df: DataFrame, dims: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assemble (i, j, cov_pop, corr_r, n) from the Gram partials: one
+    groupBy-sum over d(d+1)/2 keys, then pure column arithmetic
+    (cov = E[xy] − E[x]E[y], corr = cov/σᵢσⱼ). Output matches the
+    expression-path gate column-for-column."""
+    merged = (
+        covariance_gram_partials(df, dims, vec_col)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sxi").alias("sxi"),
+            F.sum("sxj").alias("sxj"),
+            F.sum("sxij").alias("sxij"),
+            F.sum("sxi2").alias("sxi2"),
+            F.sum("sxj2").alias("sxj2"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxij") / n - (F.col("sxi") / n) * (F.col("sxj") / n)
+    var_i = F.col("sxi2") / n - (F.col("sxi") / n) ** 2
+    var_j = F.col("sxj2") / n - (F.col("sxj") / n) ** 2
+    return merged.select(
+        "i",
+        "j",
+        F.round(cov, 6).alias("cov_pop"),
+        F.round(cov / F.sqrt(var_i * var_j), 6).alias("corr_r"),
+        "n",
+    ).orderBy("i", "j")

@@ -34,14 +34,17 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
     return deco
 
 
-# Gates the external driver already hash-verified in rounds 1-3 (it checks
-# the FIRST 50 registry entries each round). Listing them lets load_registry
-# rotate not-yet-verified gates into the checked window — every gate is
-# oracle-checked locally by tools/check_oracle.py either way; this only
-# affects which subset gets an independent driver verdict next.
-# r1-r2 verdicts, minus approx_distinct_users: its gate definition changed in
-# round 4 (value-checkable HLL-error twin), so it re-enters the window.
-DRIVER_VERIFIED = (
+# Gates the external driver has hash-verified, grouped by the round of
+# their most recent verdict (the driver checks the FIRST 50 registry
+# entries each round). With every gate driver-checked at least once as of
+# round 4, the window now runs as a STALENESS ROTATION: brand-new /
+# redefined gates first (they need a first verdict on current semantics),
+# then gates whose code changed after their last driver check, then
+# oldest-verified-first re-verification. Every gate is oracle-checked
+# locally by tools/check_oracle.py each round regardless; the ordering only
+# decides which subset gets this round's independent driver verdict.
+# r1-r2 verdicts:
+DRIVER_VERIFIED_R12 = (
     "s1_scan_order_limit", "f1_point_lookup", "f2_in_list", "f9_first_match",
     "j1_doc_feature_join", "j4_snowflake_revenue", "j6_three_table_lookup",
     "j7_semi_existing_keys", "f4_anti_novelty", "a4_zonemap_minmax",
@@ -62,7 +65,9 @@ DRIVER_VERIFIED = (
     "tpch_q12_style_priority_by_flag", "tpch_q21_style_sole_late_supplier",
     "tpch_q22_style_idle_balance", "w1_tumbling_hour", "a5_batch_range_bounds",
     "w3_asof_lookup",
-    # r3 verdicts (CORRECTNESS_r03.json, all hash-matched):
+)
+# r3 verdicts (CORRECTNESS_r03.json, all hash-matched):
+DRIVER_VERIFIED_R3 = (
     "a1_entity_sequences", "anomaly_zscore_outliers",
     "asof_join_purchases_clicks", "co_location_contacts", "cohort_retention",
     "date_functions", "dedup_exact_hash", "dedup_minhash_lsh_candidates",
@@ -82,12 +87,37 @@ DRIVER_VERIFIED = (
     "trajectory_step_metrics", "url_domain_topk", "velocity_dim_build",
     "w5_sessionize", "window_range_frames",
 )
+# r4 verdicts (CORRECTNESS_r04.json, 50/50 hash-matched — the freshest):
+DRIVER_VERIFIED_R4 = (
+    "flagship_pricing_summary", "sketch_percentiles", "approx_distinct_users",
+    "knn_pq_adc_seeded", "dedup_semantic_clusters", "vec_covariance_matrix",
+    "text_chunk_overlap", "text_zipf_slope", "text_perplexity_buckets",
+    "interval_overlap_join", "dedup_minhash_verified", "text_fingerprint",
+    "text_token_topk", "text_langid", "dedup_simhash", "text_quality_score",
+    "dedup_simhash_md5", "dedup_drop_near_duplicates", "dedup_edit_distance",
+    "text_repetition_dup_ngrams", "text_df_idf", "text_tfidf_keywords",
+    "sample_hash_split", "sample_deterministic_strata",
+    "pack_sequences_contiguous", "contamination_check", "vec_norms",
+    "knn_bruteforce_cosine", "vec_label_centroids", "vec_lsh_buckets",
+    "knn_lsh_multiprobe", "knn_ivf", "vec_neardup_pairs_numpy",
+    "vec_neardup_pairs", "vec_nearest_centroid_confusion",
+    "vec_nearest_centroid_confusion_numpy", "cdc_upsert_latest_wins",
+    "hist_equiwidth_price", "linreg_trend_per_entity",
+    "vec_int8_quantization", "point_in_polygon_convex",
+    "pagerank_part_supplier", "time_weighted_avg", "hopping_window_2h_1h",
+    "unpivot_measures", "dq_check_suite", "path_trigrams_topk",
+    "session_window_native", "graph_triangle_count", "s1_scan_order_limit",
+)
+DRIVER_VERIFIED = tuple(
+    dict.fromkeys(DRIVER_VERIFIED_R12 + DRIVER_VERIFIED_R3 + DRIVER_VERIFIED_R4)
+)
 
 
 def load_registry() -> dict[str, Q]:
     """Import all query modules (side-effect: fills REGISTRY), then order
-    entries so the flagship stays first and gates without a prior driver
-    verdict precede the already-verified ones."""
+    entries for the driver's 50-gate window: flagship first, then gates
+    needing a first verdict on current semantics, then the staleness
+    rotation (code-touched before oldest-verified)."""
     from . import relational  # noqa: F401
     from . import tpch  # noqa: F401
     from . import windows  # noqa: F401
@@ -96,26 +126,34 @@ def load_registry() -> dict[str, Q]:
     from . import vectors  # noqa: F401
     from . import advanced  # noqa: F401
 
-    verified = set(DRIVER_VERIFIED)
-    # newest operators first within the unverified block, so the round that
-    # introduces (or redefines) an operator also gets it an independent
-    # driver verdict. Round 4: the two former no_oracle gates (reworked as
-    # value-checkable error-bound twins) plus the seven new round-4
-    # operators. 49 unverified + flagship = exactly the 50-entry window.
+    # Round 5: new gates (text_perplexity_buckets_sketch, the Gram-kernel
+    # covariance twin) plus dedup_semantic_clusters, whose output was
+    # redefined this round (n_truncated column from the per-cluster cap) —
+    # its r4 verdict no longer covers current semantics.
     newest = (
-        "sketch_percentiles", "approx_distinct_users",
-        "knn_pq_adc_seeded", "dedup_semantic_clusters",
-        "vec_covariance_matrix", "text_chunk_overlap", "text_zipf_slope",
-        "text_perplexity_buckets", "interval_overlap_join",
+        "dedup_semantic_clusters", "text_perplexity_buckets_sketch",
+        "vec_covariance_matrix_gram",
+    )
+    # r3-verified gates whose plan code changed AFTER their last driver
+    # check (the round-4 `heavy=` opt-in touched these three) — rechecked
+    # before merely-old gates.
+    code_touched = (
+        "dedup_ngram_jaccard", "dedup_shared_passages", "knn_ivf_seeded",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
-    for name in newest:
+    for name in newest + code_touched:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
+    # staleness rotation: anything never driver-verified first (none as of
+    # r4 apart from brand-new gates, already placed), then oldest verdicts
     for name, q in REGISTRY.items():
-        if name not in verified and name not in ordered:
+        if name not in DRIVER_VERIFIED and name not in ordered:
             ordered[name] = q
-    for name, q in REGISTRY.items():
+    for block in (DRIVER_VERIFIED_R12, DRIVER_VERIFIED_R3, DRIVER_VERIFIED_R4):
+        for name in block:
+            if name in REGISTRY and name not in ordered:
+                ordered[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():  # safety net: anything unlisted
         if name not in ordered:
             ordered[name] = q
     REGISTRY.clear()

@@ -1371,7 +1371,12 @@ FROM bucketed GROUP BY bucket ORDER BY bucket
     "percentile aggregate (sort-based agg, map-side partial — no global "
     "row window), then a broadcast scalar comparison assigns head/middle/"
     "tail. Cutoffs interpolate the 6-dp-rounded scores, so both engines "
-    "compare bitwise-identical doubles",
+    "compare bitwise-identical doubles. SCALE NOTE: exact percentile "
+    "buffers every per-doc score through partial-merge into one final "
+    "reducer (~8 GB of doubles at 10^9 docs) — above ~10^8 docs use the "
+    "GK-sketch twin text_perplexity_buckets_sketch, whose cutoff agg is "
+    "fully mergeable; this exact form stays the small-corpus default "
+    "because its cutoffs are bit-reproducible across engines",
     tags=("text", "quality"),
 )
 def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1400,3 +1405,73 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_PPLX_ACC = 10000  # GK-sketch accuracy for the scale-path cutoffs
+
+
+@register(
+    "text_perplexity_buckets_sketch",
+    # Value-checkable twin for the sketch path (the sketch_percentiles /
+    # knn_ivf_seeded trick, third use): the approx cutoff VALUES are
+    # engine-specific, but the GK sketch's rank-error guarantee makes the
+    # resulting bucket SHARES a deterministic claim — each bucket must hold
+    # n/3 docs within the published bound (2n/accuracy + 2, doubled for the
+    # middle bucket whose two cutoffs each carry the error). The Spark plan
+    # computes those booleans in-plan; the oracle asserts them TRUE and
+    # checks the doc count exactly. A degraded sketch flips a boolean and
+    # the gate hash-mismatches — a real value check, not rows-only.
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), scores AS (
+  SELECT doc_id FROM tok GROUP BY doc_id
+)
+SELECT b.bucket, TRUE AS ok_share,
+       (SELECT count(*) FROM scores) AS n_total
+FROM (VALUES ('head'), ('middle'), ('tail')) AS b(bucket)
+ORDER BY b.bucket
+""",
+    doc="scale path for CCNet-style perplexity bucketing: tercile cutoffs "
+    "from percentile_approx (mergeable GK sketch — partial aggregation at "
+    "any scale, no single-reducer buffering of per-doc scores, unlike the "
+    "exact-percentile twin text_perplexity_buckets whose final reduce "
+    "buffers every score and hits a memory wall around 10^9 docs). "
+    "Verified in-plan against the sketch's rank-error bound: each bucket's "
+    "share of docs must sit within 2n/accuracy + 2 of n/3. Prefer this "
+    "operator above ~10^8 docs; the exact twin remains the small-corpus "
+    "default because its cutoffs are bit-reproducible",
+    tags=("text", "quality", "sketch"),
+)
+def text_perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import unigram_logprob
+
+    d = t(spark, sf_dir, "documents")
+    scores = unigram_logprob(d)
+    cuts = scores.agg(
+        F.percentile_approx(
+            "lm_logprob", [1.0 / 3, 2.0 / 3], _PPLX_ACC
+        ).alias("cs"),
+        F.count("*").alias("n_total"),
+    )
+    bucketed = scores.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(F.col("lm_logprob") <= F.col("cs")[0], F.lit("tail"))
+        .when(F.col("lm_logprob") <= F.col("cs")[1], F.lit("middle"))
+        .otherwise(F.lit("head")),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.first("n_total").alias("n_total")
+    )
+    # GK guarantee: |rank(c) - q*n| <= n/accuracy; 2x + 2 slack as in
+    # sketch_percentiles. The middle bucket subtracts two ranks, so its
+    # deviation bound doubles.
+    err = F.col("n_total") / _PPLX_ACC * 2 + F.lit(2.0)
+    allowance = F.when(F.col("bucket") == "middle", err * 2).otherwise(err)
+    return counts.select(
+        "bucket",
+        (
+            F.abs(F.col("n_docs") - F.col("n_total") / 3.0) <= allowance
+        ).alias("ok_share"),
+        "n_total",
+    ).orderBy("bucket")

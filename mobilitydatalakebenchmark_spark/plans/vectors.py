@@ -780,3 +780,40 @@ def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@register(
+    "vec_covariance_matrix_gram",
+    # identical oracle to vec_covariance_matrix: the two plans must agree
+    # value-for-value at 6 dp (the one-pass Gram sums vs DuckDB's running
+    # covar_pop diverge ~1e-12 on these O(1)-magnitude components).
+    oracle=f"""
+WITH dims AS (
+  SELECT unnest(generate_series(1, {_COV_DIMS})) AS i
+), pairs AS (
+  SELECT a.i, b.i AS j FROM dims a JOIN dims b ON b.i >= a.i
+)
+SELECT p.i, p.j,
+       round(covar_pop(CAST(embedding[p.i] AS DOUBLE),
+                       CAST(embedding[p.j] AS DOUBLE)), 6) AS cov_pop,
+       round(corr(CAST(embedding[p.i] AS DOUBLE),
+                  CAST(embedding[p.j] AS DOUBLE)), 6) AS corr_r,
+       count(*) AS n
+FROM embeddings CROSS JOIN pairs p
+GROUP BY p.i, p.j ORDER BY p.i, p.j
+""",
+    doc="same covariance/correlation matrix through the one-pass Gram "
+    "kernel (operators/similarity.py covariance_gram_partials): a "
+    "mapInPandas batch matmul emits per-pair sufficient statistics, the "
+    "merge is a groupBy-sum on d(d+1)/2 keys — each vector is touched "
+    "once instead of being replicated |pairs| times by the expression "
+    "plan's crossJoin (2080x row inflation at full d=64). The Arrow-"
+    "vectorized scale path; the expression twin stays as the all-JVM "
+    "oracle anchor",
+    tags=("vector", "kernel"),
+)
+def vec_covariance_matrix_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import covariance_matrix_gram
+
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    return covariance_matrix_gram(e, _COV_DIMS)

@@ -285,6 +285,30 @@ def test_covariance_matches_numpy(spark, embeddings):
     assert len(out) == 36
 
 
+def test_covariance_gram_matches_numpy_full_width(spark, embeddings):
+    """The one-pass Gram kernel at FULL d=64 (2080 pairs — the width where
+    the expression plan's crossJoin inflation actually hurts) must agree
+    with numpy's covariance/correlation to the gate's 6-dp rounding."""
+    import numpy as np
+
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        covariance_matrix_gram,
+    )
+
+    out = {(r.i, r.j): (r.cov_pop, r.corr_r, r.n) for r in
+           covariance_matrix_gram(embeddings, dims=64).collect()}
+    mat = np.vstack(
+        [r.embedding for r in embeddings.orderBy("vec_id").collect()]
+    ).astype("float64")
+    cov = np.cov(mat, rowvar=False, bias=True)
+    corr = np.corrcoef(mat, rowvar=False)
+    assert len(out) == 64 * 65 // 2
+    for (i, j), (c, r_, n) in out.items():
+        assert n == mat.shape[0]
+        assert c == pytest.approx(cov[i - 1, j - 1], abs=2e-6)
+        assert r_ == pytest.approx(corr[i - 1, j - 1], abs=2e-6)
+
+
 # ---------------------------------------------------------------------------
 # Chunking
 # ---------------------------------------------------------------------------
