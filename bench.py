@@ -40,6 +40,13 @@ HEADLINE = [
     "text_token_topk",
     "text_tfidf_keywords",
     "cohort_retention",
+    # round-4/5 LLM-pipeline layer (added r5 so regressions are watched;
+    # the 20 entries above stay fixed for cross-round trend continuity)
+    "knn_pq_adc_seeded",
+    "dedup_semantic_clusters",
+    "text_chunk_overlap",
+    "interval_overlap_join",
+    "vec_covariance_matrix_gram",
 ]
 
 

@@ -1475,3 +1475,84 @@ def text_perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("ok_share"),
         "n_total",
     ).orderBy("bucket")
+
+
+@register(
+    "pipeline_quality_dedup_split",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, text,
+         (length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens,
+         round(least(1.0, (length(text) - length(replace(text, ' ', '')) + 1)
+                          / 200.0)
+               * (cast(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / (length(text) - length(replace(text, ' ', '')) + 1)), 4)
+             AS quality
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE quality >= 0.08
+), keepers AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper FROM kept GROUP BY md5(text)
+), deduped AS (
+  SELECT k.* FROM kept k JOIN keepers ON md5(k.text) = keepers.h
+                                     AND k.doc_id = keepers.keeper
+), split AS (
+  SELECT *,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train'
+              WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e0'
+                  THEN 'val'
+              ELSE 'test' END AS split
+  FROM deduped
+)
+SELECT split, count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality,
+       min(doc_id) AS first_doc
+FROM split GROUP BY split ORDER BY split
+""",
+    doc="end-to-end training-data pipeline composition — the FineWeb/"
+    "RefinedWeb shape in one plan: quality scoring (length saturation x "
+    "lexical diversity, 4-dp rounded so the threshold compare is "
+    "bit-stable cross-engine) -> filter >= 0.08 -> exact dedup keeping "
+    "the first doc per md5(text) (groupBy-min + equi-join, no window) -> "
+    "deterministic md5 train/val/test split -> per-split corpus stats. "
+    "Every stage is a gate elsewhere (text_quality_score, "
+    "dedup_exact_hash, sample_hash_split); this gate pins that they "
+    "compose without re-materialization: one scan, three shuffles "
+    "(dedup groupBy, dedup join, split agg), all map-side-combinable",
+    tags=("text", "pipeline", "dedup", "sampling"),
+)
+def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import hash_split
+
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    n_distinct = F.size(F.array_distinct(tokens(F.col("text"))))
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / 200.0)
+        * (n_distinct.cast("double") / n_tokens),
+        4,
+    )
+    kept = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        n_tokens.alias("n_tokens"),
+        quality.alias("quality"),
+    ).filter(F.col("quality") >= 0.08)
+    keepers = kept.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    deduped = kept.join(
+        keepers,
+        (kept["h"] == keepers["h"]) & (kept["doc_id"] == keepers["keeper"]),
+    ).select(kept["doc_id"], "n_tokens", "quality")
+    return (
+        deduped.withColumn("split", hash_split(F.col("doc_id")))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )

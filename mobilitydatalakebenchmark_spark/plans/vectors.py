@@ -807,9 +807,13 @@ GROUP BY p.i, p.j ORDER BY p.i, p.j
     "mapInPandas batch matmul emits per-pair sufficient statistics, the "
     "merge is a groupBy-sum on d(d+1)/2 keys — each vector is touched "
     "once instead of being replicated |pairs| times by the expression "
-    "plan's crossJoin (2080x row inflation at full d=64). The Arrow-"
-    "vectorized scale path; the expression twin stays as the all-JVM "
-    "oracle anchor",
+    "plan's crossJoin. MEASURED CROSSOVER (local[32], sf0.1): at d=64 "
+    "the codegen'd expression plan still wins (1.5 s vs 2.7 s at 100k "
+    "vectors — the inflation is pipelined map-side into the partial agg "
+    "and never shuffles, while Arrow pays per-batch array conversion); "
+    "at d=256 the kernel wins 2.5x (2.1 s vs 5.2 s at 20k vectors) and "
+    "the gap grows ~d^2. Pick the expression twin for narrow embeddings, "
+    "this kernel for wide ones",
     tags=("vector", "kernel"),
 )
 def vec_covariance_matrix_gram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,14 @@ BOUNDS = {
     "text_tfidf_keywords": 8.0,
     "vec_nearest_centroid_confusion": 8.0,
     "pagerank_part_supplier": 8.0,
+    # round-4/5 join-shaped operators — the newest code is the likeliest
+    # to harbor a quadratic: SemDeDup's within-cluster pair join (bounded
+    # by the max_cluster_size cap), PQ's codes x broadcast-LUT join,
+    # the epoch-bucketed interval-overlap join, and chunk explode+dedup.
+    "dedup_semantic_clusters": 8.0,
+    "knn_pq_adc_seeded": 8.0,
+    "interval_overlap_join": 8.0,
+    "text_chunk_overlap": 8.0,
 }
 
 

@@ -4,7 +4,10 @@ For every registry entry: run the Spark query and the DuckDB oracle on the
 same sf dir, then compare (row count, column names, order-insensitive
 value multiset with float tolerance). Exit non-zero on any mismatch.
 
-Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+Usage: python tools/check_oracle.py [--json out.json] [sf_dir] [name_filter ...]
+
+``--json`` persists the per-gate verdicts (status, row counts, wall secs)
+so a full-registry run is auditable from the repo (ORACLE_r{N}.json).
 """
 
 from __future__ import annotations
@@ -57,8 +60,14 @@ def _canon_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    name_filter = sys.argv[2:]
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    name_filter = argv[1:]
     registry = load_registry()
     spark = get_spark("check_oracle")
     con = duckdb.connect()
@@ -68,6 +77,7 @@ def main():
         )
 
     failures, passed, rows_only = [], 0, 0
+    record: dict[str, dict] = {}
     for name, q in sorted(registry.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -78,10 +88,16 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {exc}"))
+            record[name] = {"status": "spark_error", "err": str(exc)[:300]}
             print(f"✗ {name}: spark error: {str(exc).splitlines()[0][:200]}")
             continue
         if q.oracle is None:
             rows_only += 1
+            record[name] = {
+                "status": "rows_only",
+                "spark_rows": len(s_rows),
+                "secs": round(time.time() - t0, 2),
+            }
             print(f"· {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             if len(s_rows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
@@ -92,6 +108,7 @@ def main():
             d_rows = [tuple(r) for r in res.fetchall()]
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {exc}"))
+            record[name] = {"status": "duckdb_error", "err": str(exc)[:300]}
             print(f"✗ {name}: duckdb error: {str(exc).splitlines()[0][:200]}")
             continue
 
@@ -108,15 +125,44 @@ def main():
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append((name, "; ".join(problems)))
+            record[name] = {
+                "status": "mismatch",
+                "problems": "; ".join(problems)[:400],
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(d_rows),
+            }
             print(f"✗ {name}: {'; '.join(problems)[:400]}")
         else:
             passed += 1
+            record[name] = {
+                "status": "matched",
+                "spark_rows": len(s_rows),
+                "oracle_rows": len(d_rows),
+                "secs": round(time.time() - t0, 2),
+            }
             print(f"✓ {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
 
     print(
         f"\n{passed} matched, {rows_only} rows-only, {len(failures)} failed "
         f"(of {len(registry)} registered) at {sf_dir}"
     )
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_registered": len(registry),
+                    "n_matched": passed,
+                    "n_rows_only": rows_only,
+                    "n_failed": len(failures),
+                    "gates": record,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {json_out}")
     if failures:
         sys.exit(1)
 
