@@ -550,6 +550,13 @@ def semantic_dedup_summary(
     row_number is a streaming (sort-based, spillable) window, safe on a
     degenerate partition; it is the join output, not the sort, that the cap
     bounds to max_cluster_size² per cluster."""
+    # Assignment shape deliberately mirrors vec_nearest_centroid_confusion:
+    # broadcast the k seed rows, score k cosines per vector across the
+    # crossJoin, take the combinable max-struct argmax. (A zero-shuffle
+    # variant inlining centroids as literal arrays and argmax-ing an
+    # expression array measured 2x SLOWER at sf0.1 — the k x 64-literal
+    # expression tree defeats codegen and is re-evaluated per downstream
+    # consumer, while this exchange is computed once and reused.)
     seeds = md5_seed_centroids(corpus, n_clusters, id_col, vec_col)
     sims = corpus.select(id_col, vec_col).crossJoin(F.broadcast(seeds)).select(
         id_col,
