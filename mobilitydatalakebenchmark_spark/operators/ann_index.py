@@ -1,0 +1,170 @@
+"""Persisted product-quantization ANN index — build once, probe many.
+
+The in-plan PQ operators (similarity.py pq_codebook/pq_train/pq_encode/
+pq_adc_topk) rebuild the index inside every query; at 100 TB that is the
+wrong lifecycle — encoding the corpus is a full scan you want to pay once.
+``PQIndexStore`` materializes the index as parquet:
+
+    <path>/meta.parquet      one row: m_subspaces, dsub, n_codewords,
+                             n_vectors, trained (single-row parquet rather
+                             than a JSON side-file so the store works on
+                             any filesystem Spark can reach — local, HDFS,
+                             object store)
+    <path>/codebook.parquet  (m, codeword_id, cvec) — m*k rows, KBs
+    <path>/codes.parquet     (vec_id, m, codeword_id) — n*m short int
+                             rows, the 64x-compressed searchable corpus
+
+Probing loads codes (ints only — the raw vectors are never read again),
+broadcasts the per-probe ADC lookup table, and runs the same
+combinable-argmin plan as the in-plan operator, so a persisted probe is
+bit-identical to a fresh one (pinned by test).
+
+Scale notes: codes are written sorted within partitions by vec_id so the
+per-vector m rows co-locate in row groups (dictionary/RLE-friendly, and
+the ADC groupBy(probe_id, vec_id) sees clustered keys). The codebook is
+always broadcastable by construction. Rebuilding after corpus growth is
+an `overwrite` of codes only — the codebook can be reused (standard PQ
+practice) via ``build(..., reuse_codebook=True)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PQIndexStore:
+    """Product-quantization index persisted as parquet tables."""
+
+    def __init__(
+        self,
+        path: str,
+        m_subspaces: int = 4,
+        dsub: int = 16,
+        n_codewords: int = 8,
+    ):
+        self.path = path
+        self.m_subspaces = m_subspaces
+        self.dsub = dsub
+        self.n_codewords = n_codewords
+
+    # -- build ---------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        train_iters: int = 0,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        reuse_codebook: bool = False,
+    ) -> None:
+        """Train (optional), encode, and persist. ``train_iters=0`` keeps
+        the deterministic md5-seeded codebook (replayable in SQL);
+        ``train_iters>0`` runs per-subspace Lloyd refinement for recall.
+        ``reuse_codebook=True`` re-encodes a grown corpus against the
+        already-persisted codebook (codes overwrite only)."""
+        from .similarity import pq_codebook, pq_encode, pq_train
+
+        spark = corpus.sparkSession
+        if reuse_codebook:
+            codebook = self._read(spark, "codebook")
+        elif train_iters > 0:
+            codebook = pq_train(
+                corpus,
+                self.m_subspaces,
+                self.dsub,
+                self.n_codewords,
+                lloyd_iters=train_iters,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            codebook = pq_codebook(
+                corpus,
+                self.m_subspaces,
+                self.dsub,
+                self.n_codewords,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        # Materialize the codebook FIRST: pq_encode references it twice
+        # (scoring + broadcast), and for the trained path the Lloyd
+        # lineage should be paid once, not per consumer. On reuse the
+        # persisted file IS the materialization — rewriting it would
+        # overwrite the very files the read plan points at.
+        if not reuse_codebook:
+            codebook.write.mode("overwrite").parquet(
+                f"{self.path}/codebook.parquet"
+            )
+            codebook = self._read(spark, "codebook")
+        codes = pq_encode(
+            corpus, codebook, self.m_subspaces, self.dsub, id_col, vec_col
+        ).withColumnRenamed(id_col, "vec_id")
+        (
+            codes.sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .parquet(f"{self.path}/codes.parquet")
+        )
+        n_vectors = self._read(spark, "codes").select("vec_id").distinct().count()
+        meta = spark.createDataFrame(
+            [
+                (
+                    self.m_subspaces,
+                    self.dsub,
+                    self.n_codewords,
+                    n_vectors,
+                    train_iters,
+                )
+            ],
+            "m_subspaces int, dsub int, n_codewords int, n_vectors long, "
+            "train_iters int",
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/meta.parquet"
+        )
+
+    # -- load ----------------------------------------------------------
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "PQIndexStore":
+        """Reopen a persisted index; geometry comes from meta.parquet."""
+        meta = spark.read.parquet(f"{path}/meta.parquet").first()
+        store = cls(
+            path,
+            m_subspaces=meta["m_subspaces"],
+            dsub=meta["dsub"],
+            n_codewords=meta["n_codewords"],
+        )
+        return store
+
+    def _read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/{table}.parquet")
+
+    def meta(self, spark: SparkSession) -> dict:
+        return self._read(spark, "meta").first().asDict()
+
+    # -- probe ---------------------------------------------------------
+
+    def topk(
+        self,
+        probes: DataFrame,
+        k: int = 5,
+        probe_id_col: str = "probe_id",
+        probe_vec_col: str = "probe_vec",
+    ) -> DataFrame:
+        """ADC top-k against the persisted codes — raw corpus vectors are
+        never touched. Same plan (broadcast LUT + combinable argmin +
+        per-probe window) and same output as similarity.pq_adc_topk."""
+        from .similarity import pq_adc_topk
+
+        spark = probes.sparkSession
+        return pq_adc_topk(
+            self._read(spark, "codes"),
+            self._read(spark, "codebook"),
+            probes,
+            k=k,
+            m_subspaces=self.m_subspaces,
+            dsub=self.dsub,
+            probe_id_col=probe_id_col,
+            probe_vec_col=probe_vec_col,
+        )

@@ -1,0 +1,121 @@
+"""PQIndexStore lifecycle: build -> persist -> load -> probe.
+
+The persisted probe must be bit-identical to the in-plan operator chain
+(pq_codebook -> pq_encode -> pq_adc_topk) so the knn_pq_adc_seeded gate's
+oracle also certifies the store; plus meta round-trip, codebook reuse on
+a grown corpus, and the trained-codebook path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+GEOM = dict(m_subspaces=4, dsub=16, n_codewords=8)
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture()
+def probes(embeddings):
+    return embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.probe_id, r.vec_id, r.adc_d2, r.rk)
+        for r in df.select("probe_id", "vec_id", "adc_d2", "rk").collect()
+    )
+
+
+def test_persisted_probe_equals_in_plan(spark, embeddings, probes, tmp_path):
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    store = PQIndexStore(str(tmp_path / "pq"), **GEOM)
+    store.build(embeddings)
+    loaded = PQIndexStore.load(spark, str(tmp_path / "pq"))
+    assert (loaded.m_subspaces, loaded.dsub, loaded.n_codewords) == (4, 16, 8)
+
+    cb = pq_codebook(embeddings, **GEOM)
+    fresh = pq_adc_topk(
+        pq_encode(embeddings, cb, 4, 16), cb, probes, k=5, m_subspaces=4, dsub=16
+    )
+    assert _rows(loaded.topk(probes, k=5)) == _rows(fresh)
+
+
+def test_meta_records_corpus_size(spark, embeddings, tmp_path):
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+
+    store = PQIndexStore(str(tmp_path / "pq"), **GEOM)
+    store.build(embeddings)
+    meta = store.meta(spark)
+    assert meta["n_vectors"] == embeddings.count()
+    assert meta["train_iters"] == 0
+
+
+def test_codes_store_ints_only(spark, embeddings, tmp_path):
+    """The searchable corpus must be code rows only — no raw vectors
+    (that's the 64x compression the index exists for)."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+
+    store = PQIndexStore(str(tmp_path / "pq"), **GEOM)
+    store.build(embeddings)
+    codes = spark.read.parquet(str(tmp_path / "pq" / "codes.parquet"))
+    assert set(codes.columns) == {"vec_id", "m", "codeword_id"}
+    assert not any("array" in t for _, t in codes.dtypes)
+    assert codes.count() == embeddings.count() * 4
+
+
+def test_reuse_codebook_on_grown_corpus(spark, embeddings, probes, tmp_path):
+    """Re-encoding a grown corpus against the persisted codebook must keep
+    the codebook bytes identical and index the new vectors."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+
+    half = embeddings.filter(F.col("vec_id") % 2 == 0)
+    store = PQIndexStore(str(tmp_path / "pq"), **GEOM)
+    store.build(half)
+    cb_before = sorted(
+        (r.m, r.codeword_id, tuple(r.cvec))
+        for r in spark.read.parquet(str(tmp_path / "pq" / "codebook.parquet")).collect()
+    )
+    store.build(embeddings, reuse_codebook=True)
+    cb_after = sorted(
+        (r.m, r.codeword_id, tuple(r.cvec))
+        for r in spark.read.parquet(str(tmp_path / "pq" / "codebook.parquet")).collect()
+    )
+    assert cb_before == cb_after
+    assert store.meta(spark)["n_vectors"] == embeddings.count()
+    out = store.topk(probes, k=5)
+    assert out.groupBy("probe_id").count().agg(F.min("count")).first()[0] == 5
+
+
+def test_trained_index_reduces_quantization_error(spark, embeddings, tmp_path):
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        pq_quantization_error,
+    )
+
+    seeded = PQIndexStore(str(tmp_path / "pq0"), **GEOM)
+    seeded.build(embeddings, train_iters=0)
+    trained = PQIndexStore(str(tmp_path / "pq2"), **GEOM)
+    trained.build(embeddings, train_iters=2)
+    err0 = pq_quantization_error(
+        embeddings, seeded._read(spark, "codebook"), 4, 16
+    )
+    err2 = pq_quantization_error(
+        embeddings, trained._read(spark, "codebook"), 4, 16
+    )
+    assert err2 < err0
