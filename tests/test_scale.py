@@ -41,6 +41,8 @@ BOUNDS = {
     "knn_pq_adc_seeded": 8.0,
     "interval_overlap_join": 8.0,
     "text_chunk_overlap": 8.0,
+    # round-5: composed pipeline (dedup groupBy + equi-join inside)
+    "pipeline_quality_dedup_split": 8.0,
 }
 
 
