@@ -1556,3 +1556,88 @@ def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+@register(
+    "text_gopher_quality",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         length(replace(text, ' ', '')) AS nospace_chars
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(cast(nospace_chars AS DOUBLE) / len(words), 4)
+             AS mean_word_len,
+         round(cast(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                    AS DOUBLE) / len(words), 4) AS alpha_word_frac,
+         len(list_intersect(list_distinct(words),
+                            ['the', 'a', 'of', 'to', 'and']))
+             AS n_stopwords
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stopwords,
+       (n_words BETWEEN 20 AND 80) AS ok_word_count,
+       (mean_word_len BETWEEN 3 AND 10) AS ok_mean_word_len,
+       (alpha_word_frac >= 0.8) AS ok_alpha,
+       (n_stopwords >= 2) AS ok_stopwords,
+       ((n_words BETWEEN 20 AND 80) AND (mean_word_len BETWEEN 3 AND 10)
+        AND alpha_word_frac >= 0.8 AND n_stopwords >= 2) AS keep
+FROM feat ORDER BY doc_id
+""",
+    doc="Gopher-style rule-based quality filter (Rae et al. 2021 heuristics "
+    "re-thresholded for the synthetic corpus): word-count bounds, mean "
+    "word length, alphabetic-word fraction, stopword presence — each rule "
+    "one JVM expression over the split-token array, no explode and no "
+    "shuffle at all (pure per-row projection; at 100 TB this is a "
+    "scan-speed map stage that fuses into whatever consumes it). Ratios "
+    "are 4-dp rounded before thresholding so both engines compare "
+    "identical doubles",
+    tags=("text", "quality"),
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    words = tokens(F.col("text"))
+    n_words = F.size(words)
+    mean_word_len = F.round(
+        F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[a-z]"))).cast("double")
+        / n_words,
+        4,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    feat = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_wc = F.col("n_words").between(20, 80)
+    ok_mwl = F.col("mean_word_len").between(3, 10)
+    ok_alpha = F.col("alpha_word_frac") >= 0.8
+    ok_stop = F.col("n_stopwords") >= 2
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "n_stopwords",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    ).orderBy("doc_id")
