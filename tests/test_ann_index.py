@@ -119,3 +119,57 @@ def test_trained_index_reduces_quantization_error(spark, embeddings, tmp_path):
         embeddings, trained._read(spark, "codebook"), 4, 16
     )
     assert err2 < err0
+
+
+# ---------------------------------------------------------------------------
+# IVFIndexStore
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_persisted_probe_matches_in_memory(spark, embeddings, probes, tmp_path):
+    """Probing the persisted index must equal ivf_topk over the in-memory
+    index built with the same seed/lloyd parameters."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import IVFIndexStore
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+    )
+
+    store = IVFIndexStore(str(tmp_path / "ivf"), n_centroids=8)
+    store.build(embeddings, lloyd_iters=1)
+    loaded = IVFIndexStore.load(spark, str(tmp_path / "ivf"))
+    got = sorted(
+        (r.probe_id, r.vec_id, r.rk)
+        for r in loaded.topk(probes, k=5, nprobe=2).collect()
+    )
+    indexed, cents = ivf_index(embeddings, n_centroids=8, lloyd_iters=1)
+    want = sorted(
+        (r.probe_id, r.vec_id, r.rk)
+        for r in ivf_topk(indexed, cents, probes, k=5, nprobe=2).collect()
+    )
+    assert got == want
+    assert len(got) == 3 * 5
+
+
+def test_ivf_probe_prunes_partitions(spark, embeddings, probes, tmp_path):
+    """The probe plan must dynamic-partition-prune the lists scan — only
+    the routed centroid partitions may be read. This is the store's whole
+    reason to exist; assert it from the physical plan."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import IVFIndexStore
+
+    store = IVFIndexStore(str(tmp_path / "ivf"), n_centroids=8)
+    store.build(embeddings, lloyd_iters=0)
+    df = store.topk(probes, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivf_lists_cover_corpus_disjointly(spark, embeddings, tmp_path):
+    from mobilitydatalakebenchmark_spark.operators.ann_index import IVFIndexStore
+
+    store = IVFIndexStore(str(tmp_path / "ivf"), n_centroids=8)
+    store.build(embeddings)
+    lists = spark.read.parquet(str(tmp_path / "ivf" / "lists.parquet"))
+    assert lists.count() == embeddings.count()
+    assert lists.select("vec_id").distinct().count() == embeddings.count()
+    assert store.meta(spark)["n_vectors"] == embeddings.count()
