@@ -355,10 +355,18 @@ def pq_codebook(
     slices = F.array(
         *[F.slice(F.col("cvec"), m * dsub + 1, dsub) for m in range(m_subspaces)]
     )
-    return seeds.select(
-        F.col("centroid_id").alias("codeword_id"),
-        F.posexplode(slices).alias("m", "cvec"),
-    ).select("m", "codeword_id", "cvec")
+    # localCheckpoint: the codebook feeds two consumers (encode-side
+    # scoring join and the ADC lookup table); without it each one replays
+    # the seed TakeOrdered — a full corpus pass apiece at scale. The
+    # materialized table is m*k rows (KBs), so the checkpoint is free.
+    return (
+        seeds.select(
+            F.col("centroid_id").alias("codeword_id"),
+            F.posexplode(slices).alias("m", "cvec"),
+        )
+        .select("m", "codeword_id", "cvec")
+        .localCheckpoint(eager=False)
+    )
 
 
 def pq_encode(
