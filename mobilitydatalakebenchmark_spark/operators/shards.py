@@ -1,0 +1,141 @@
+"""Training-shard export — the terminal stage of the data pipeline.
+
+After filter -> dedup -> split -> pack, a trainer wants (a) the corpus
+laid out as size-balanced shard files it can stream independently, and
+(b) a manifest it can trust without re-scanning the data. ``write_shards``
+produces both:
+
+    <path>/data.parquet/shard=<n>/...   one directory per shard
+    <path>/manifest.parquet             one row per shard: n_docs,
+                                        n_tokens, min/max doc id, md5 of
+                                        the sorted doc-id list
+
+Shard assignment reuses the packing placement (pack_sequences): docs are
+laid end-to-end in deterministic md5(id) order within each source shard
+key, and a shard boundary falls every ``shard_tokens`` tokens — so shard
+sizes are balanced by TOKENS (what the trainer's step cost follows), not
+by document count, and the layout is reproducible bit-for-bit across
+runs, partitionings and engines (pure hash order, no RNG, no timestamps).
+
+Scale posture: one window per source key for the running offset (state
+never crosses keys), then a partitionBy("shard") write — Spark's dynamic
+partition writer streams each shard to its own directory; no shard ever
+has to fit in memory. The manifest is a groupBy over the same columns —
+one extra shuffle of (shard, n_tokens) short rows. The content hash uses
+``md5(concat sorted ids)`` via a sort-within-group collect_list, bounded
+by the ids of one shard; at extreme shard sizes swap for the commutative
+xor-of-md5s (same guarantee, no list) — noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assign_shards(
+    docs: DataFrame,
+    shard_tokens: int = 4096,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced shard id per document: global shard = (source key,
+    start_offset // shard_tokens) densified into an integer via the
+    source's stable ordering. A doc is assigned to the shard its FIRST
+    token lands in (start_bin), matching pack_sequences semantics."""
+    from .text_analysis import pack_sequences
+
+    placed = pack_sequences(
+        docs,
+        capacity=shard_tokens,
+        shard_col=source_col,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return placed.select(
+        source_col,
+        id_col,
+        "n_tokens",
+        "pack_order",
+        "start_offset",
+        F.concat_ws(
+            "-", F.col(source_col), F.col("start_bin").cast("string")
+        ).alias("shard"),
+    )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int = 4096,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write token-balanced shard directories plus a per-shard manifest."""
+    assigned = assign_shards(
+        docs, shard_tokens, source_col, id_col, text_col
+    ).join(docs.select(id_col, text_col), id_col)
+    (
+        assigned.repartition("shard")
+        .sortWithinPartitions("pack_order")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/data.parquet")
+    )
+    manifest = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+            # content fingerprint: md5 over the sorted id list. Bounded by
+            # one shard's ids; for shards too large even for that, use
+            # bit_xor(crc32/md5 per id) — commutative, no list needed.
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.col(id_col).cast("string"))),
+                )
+            ).alias("content_md5"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/manifest.parquet"
+    )
+
+
+def verify_shards(spark, path: str) -> DataFrame:
+    """Re-derive the manifest from the written shard data and join it
+    against the stored manifest — one row per shard with booleans; any
+    False means the written files do not match what the manifest claims
+    (truncated write, lost shard directory, post-hoc tampering)."""
+    from .text_analysis import token_count
+
+    data = spark.read.parquet(f"{path}/data.parquet")
+    stored = spark.read.parquet(f"{path}/manifest.parquet")
+    derived = (
+        data.groupBy("shard")
+        .agg(
+            F.count("*").alias("d_n_docs"),
+            F.sum(token_count(F.col("text"))).cast("long").alias("d_n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.col("doc_id").cast("string"))),
+                )
+            ).alias("d_content_md5"),
+        )
+    )
+    return (
+        stored.join(derived, "shard", "full")
+        .select(
+            "shard",
+            (F.col("n_docs") == F.col("d_n_docs")).alias("ok_docs"),
+            (F.col("n_tokens") == F.col("d_n_tokens")).alias("ok_tokens"),
+            (F.col("content_md5") == F.col("d_content_md5")).alias("ok_content"),
+        )
+        .orderBy("shard")
+    )
