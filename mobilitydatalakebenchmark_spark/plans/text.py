@@ -1641,3 +1641,58 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pack_shard_manifest",
+    oracle="""
+WITH sized AS (
+  SELECT source, doc_id, md5(cast(doc_id AS VARCHAR)) AS h,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT source, doc_id, n_tokens,
+         cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM sized
+), assigned AS (
+  SELECT source, doc_id, n_tokens,
+         source || '-' || cast(start_offset // 512 AS VARCHAR) AS shard
+  FROM placed
+)
+SELECT shard, count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       md5(string_agg(cast(doc_id AS VARCHAR), ','
+                      ORDER BY cast(doc_id AS VARCHAR))) AS content_md5
+FROM assigned GROUP BY shard ORDER BY shard
+""",
+    doc="training-shard manifest (operators/shards.py assign_shards + "
+    "the write_shards manifest aggregate, 512-token shards): token-balanced "
+    "shard cut on the deterministic packing layout, per-shard doc/token "
+    "counts, id range, and an order-canonical content md5 — the trainer-"
+    "facing integrity record verify_shards re-derives from written files",
+    tags=("text", "packing"),
+)
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.shards import assign_shards
+
+    d = t(spark, sf_dir, "documents")
+    assigned = assign_shards(d, shard_tokens=512)
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.col("doc_id").cast("string"))),
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("shard")
+    )
