@@ -125,3 +125,87 @@ class TestRound3Properties:
             r2.n_shared_shingles,
         )
         assert r1.longest_run_tokens == 12
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.lists(
+                st.floats(min_value=-1.0, max_value=1.0, allow_nan=False,
+                          width=32).map(lambda v: round(v, 3)),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=4, max_size=30, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_semantic_dedup_cap_invariants_property(spark, rows, cap):
+    """For ANY corpus and cap: membership is conserved, nothing both
+    survives and drops, truncation is exactly the over-cap excess, and the
+    pair output stays under the cap-quadratic ceiling."""
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        semantic_dedup_summary,
+    )
+
+    rows = [(i, v) for i, v in rows if any(x != 0.0 for x in v)]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup_summary(
+        df, n_clusters=2, threshold=0.9, max_cluster_size=cap
+    ).collect()
+    assert sum(r.n_members for r in out) == len(rows)
+    for r in out:
+        assert r.n_kept == r.n_members - r.n_dropped
+        assert r.n_truncated == max(r.n_members - cap, 0)
+        assert r.n_dup_pairs <= cap * (cap - 1) // 2
+        assert r.n_dropped <= max(cap - 1, 0)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd e", min_size=1, max_size=60),
+        min_size=1, max_size=15,
+    )
+)
+def test_gopher_rules_match_python_reference_property(spark, texts):
+    """The gate's JVM expressions vs a plain-python reimplementation of
+    the same rules — any divergence (tokenization, rounding, thresholds)
+    fails here before it can hash-mismatch an oracle."""
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    load_registry()
+    from mobilitydatalakebenchmark_spark.plans.text import (
+        _GOPHER_STOPWORDS,
+        text_gopher_quality,
+    )
+    import os
+    import tempfile
+
+    texts = [t for t in texts if t.strip(" ")]
+    if not texts:
+        return
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "src0") for i, t in enumerate(texts)],
+            "doc_id long, text string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in text_gopher_quality(spark, d).collect()}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        n = len(words)
+        mwl = round(len(t.replace(" ", "")) / n, 4)
+        alpha = round(sum(1 for w in words if any(c.isalpha() for c in w)) / n, 4)
+        stops = len(set(words) & set(_GOPHER_STOPWORDS))
+        r = got[i]
+        assert r.n_words == n
+        assert math.isclose(r.mean_word_len, mwl, abs_tol=1e-9)
+        assert math.isclose(r.alpha_word_frac, alpha, abs_tol=1e-9)
+        assert r.n_stopwords == stops
+        assert r.keep == (
+            20 <= n <= 80 and 3 <= mwl <= 10 and alpha >= 0.8 and stops >= 2
+        )
