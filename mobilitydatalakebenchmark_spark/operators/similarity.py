@@ -764,11 +764,23 @@ def assign_nearest_centroid(
     sort — the shape that survives 100 TB. Exact-tie break: lowest c_label
     (via the negated second struct field; c_label must be numeric, which
     `label_centroids` guarantees). `keep_cols` are carried through the
-    groupBy — they must be functionally dependent on `id_col`."""
+    groupBy — they must be functionally dependent on `id_col`.
+
+    Both norms are hoisted out of the crossJoin (the row norm computed
+    once per vector, the centroid norm once per centroid) so each scored
+    pair evaluates ONE higher-order fold (the dot product) instead of
+    three — same doubles, same argmax, measurably less interpreter time
+    since Spark's lambda HOFs sit outside whole-stage codegen."""
     label_type = dict(centroids.dtypes)["c_label"]
+    cents = centroids.withColumn("_cn", norm(F.col("centroid")))
     scored = (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+        df.withColumn("_vn", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "sim",
+            dot(F.col(vec_col), F.col("centroid"))
+            / (F.col("_vn") * F.col("_cn")),
+        )
     )
     best = scored.groupBy(id_col, *keep_cols).agg(
         F.max(
