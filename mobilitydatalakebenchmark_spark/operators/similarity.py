@@ -565,12 +565,27 @@ def semantic_dedup_summary(
     # expression array measured 2x SLOWER at sf0.1 — the k x 64-literal
     # expression tree defeats codegen and is re-evaluated per downstream
     # consumer, while this exchange is computed once and reused.)
-    seeds = md5_seed_centroids(corpus, n_clusters, id_col, vec_col)
-    sims = corpus.select(id_col, vec_col).crossJoin(F.broadcast(seeds)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("cvec")).alias("_cs"),
+    # Norms hoisted (assign_nearest_centroid pattern): one higher-order
+    # fold per scored pair instead of three — the per-vector norm is
+    # computed once per vector and rides the checkpoint so the pair join
+    # below also pays a single fold per candidate. Same doubles.
+    seeds = md5_seed_centroids(corpus, n_clusters, id_col, vec_col).withColumn(
+        "_sn", norm(F.col("cvec"))
+    )
+    sims = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_vn", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            id_col,
+            vec_col,
+            "_vn",
+            "centroid_id",
+            (
+                dot(F.col(vec_col), F.col("cvec"))
+                / (F.col("_vn") * F.col("_sn"))
+            ).alias("_cs"),
+        )
     )
     # localCheckpoint: `assigned` feeds three consumers (member counts and
     # both pair-join sides); without it each consumer replays the
@@ -585,9 +600,13 @@ def semantic_dedup_summary(
                 F.struct(F.col("_cs"), (-F.col("centroid_id")).alias("_nc"))
             ).alias("_m"),
             F.first(vec_col).alias(vec_col),
+            F.first("_vn").alias("_vn"),
         )
         .select(
-            id_col, vec_col, (-F.col("_m._nc")).cast("int").alias("centroid_id")
+            id_col,
+            vec_col,
+            "_vn",
+            (-F.col("_m._nc")).cast("int").alias("centroid_id"),
         )
         .localCheckpoint(eager=False)
     )
@@ -607,7 +626,9 @@ def semantic_dedup_summary(
         (F.col("a.centroid_id") == F.col("b.centroid_id"))
         & (F.col(f"b.{id_col}") > F.col(f"a.{id_col}")),
     ).filter(
-        cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) > threshold
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._vn") * F.col("b._vn"))
+        > threshold
     ).select(
         F.col("a.centroid_id").alias("centroid_id"),
         F.col(f"b.{id_col}").alias("dropped_id"),
