@@ -263,7 +263,7 @@ class IVFIndexStore:
         similarity.ivf_topk on the in-memory index."""
         from pyspark.sql import Window
 
-        from .similarity import cosine
+        from .similarity import cosine, dot, norm
 
         spark = probes.sparkSession
         cents = spark.read.parquet(f"{self.path}/centroids.parquet")
@@ -278,17 +278,25 @@ class IVFIndexStore:
             )
             .withColumn("c_rk", F.row_number().over(w_route))
             .filter(F.col("c_rk") <= nprobe)
-            .select(probe_id_col, probe_vec_col, "centroid_id")
+            .select(
+                probe_id_col,
+                probe_vec_col,
+                norm(F.col(probe_vec_col)).alias("_pn"),
+                "centroid_id",
+            )
         )
+        # norms hoisted: one fold per (candidate, probe) pair
         scored = (
-            lists.join(F.broadcast(routed), "centroid_id")
+            lists.withColumn("_vn", norm(F.col("embedding")))
+            .join(F.broadcast(routed), "centroid_id")
             .filter(F.col("vec_id") != F.col(probe_id_col))
             .select(
                 probe_id_col,
                 "vec_id",
-                cosine(F.col(probe_vec_col), F.col("embedding")).alias(
-                    "cos_sim"
-                ),
+                (
+                    dot(F.col(probe_vec_col), F.col("embedding"))
+                    / (F.col("_vn") * F.col("_pn"))
+                ).alias("cos_sim"),
             )
         )
         w = Window.partitionBy(probe_id_col).orderBy(
