@@ -919,10 +919,15 @@ def covariance_matrix_gram(
     cov = F.col("sxij") / n - (F.col("sxi") / n) * (F.col("sxj") / n)
     var_i = F.col("sxi2") / n - (F.col("sxi") / n) ** 2
     var_j = F.col("sxj2") / n - (F.col("sxj") / n) ** 2
+    # zero-variance guard: corr is undefined there — NULL, matching both
+    # engines' corr() aggregate (and avoiding an ANSI-mode 0/0 error on
+    # degenerate inputs like a single-row partition)
+    denom = F.sqrt(var_i * var_j)
+    corr = F.when(denom > 0, cov / denom)
     return merged.select(
         "i",
         "j",
         F.round(cov, 6).alias("cov_pop"),
-        F.round(cov / F.sqrt(var_i * var_j), 6).alias("corr_r"),
+        F.round(corr, 6).alias("corr_r"),
         "n",
     ).orderBy("i", "j")

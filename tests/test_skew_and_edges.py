@@ -106,3 +106,63 @@ class TestDegenerateInputs:
         row = quality_features(df).collect()[0]
         assert row.n_chars == 0
         assert row.quality is not None
+
+
+class TestRound5Edges:
+    """Empty / single-row behavior of the round-5 operators — the
+    degenerate inputs a pipeline stage hits on an empty partition or a
+    fully-filtered upstream."""
+
+    def test_semantic_dedup_single_vector(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.similarity import (
+            semantic_dedup_summary,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        out = semantic_dedup_summary(
+            df, n_clusters=2, threshold=0.5, max_cluster_size=10
+        ).collect()
+        assert sum(r.n_members for r in out) == 1
+        assert all(r.n_dropped == 0 and r.n_truncated == 0 for r in out)
+
+    def test_covariance_gram_single_row(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.similarity import (
+            covariance_matrix_gram,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<float>"
+        )
+        rows = covariance_matrix_gram(df, dims=4).collect()
+        assert len(rows) == 10
+        # population covariance of one sample is 0; corr is 0/0 -> NaN/None
+        assert all(r.cov_pop == 0.0 for r in rows)
+
+    def test_shards_single_doc(self, spark, tmp_path):
+        from mobilitydatalakebenchmark_spark.operators.shards import (
+            verify_shards,
+            write_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "hello world", "src0")], "doc_id long, text string, source string"
+        )
+        write_shards(df, str(tmp_path / "s"), shard_tokens=4)
+        checks = verify_shards(spark, str(tmp_path / "s")).collect()
+        assert len(checks) == 1
+        assert checks[0].ok_docs and checks[0].ok_tokens and checks[0].ok_content
+
+    def test_pq_index_probe_with_no_probes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        store = PQIndexStore(str(tmp_path / "pq"))
+        store.build(e)
+        empty_probes = e.filter(F.lit(False)).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+        )
+        assert store.topk(empty_probes, k=3).count() == 0
