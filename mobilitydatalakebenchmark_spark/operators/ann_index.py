@@ -75,6 +75,20 @@ class PQIndexStore:
 
         spark = corpus.sparkSession
         if reuse_codebook:
+            # The persisted meta is the source of truth on reuse: refuse a
+            # geometry mismatch (re-encoding with wrong slicing would
+            # silently drop subspaces through the codes join and write a
+            # corrupt index), and carry the recorded train_iters forward
+            # so provenance survives the codes-only rebuild.
+            meta = self.meta(spark)
+            got = (meta["m_subspaces"], meta["dsub"], meta["n_codewords"])
+            want = (self.m_subspaces, self.dsub, self.n_codewords)
+            if got != want:
+                raise ValueError(
+                    f"persisted index geometry {got} != store geometry "
+                    f"{want}; open with PQIndexStore.load() to reuse"
+                )
+            train_iters = meta["train_iters"]
             codebook = self._read(spark, "codebook")
         elif train_iters > 0:
             codebook = pq_train(
@@ -113,7 +127,9 @@ class PQIndexStore:
             .write.mode("overwrite")
             .parquet(f"{self.path}/codes.parquet")
         )
-        n_vectors = self._read(spark, "codes").select("vec_id").distinct().count()
+        # pq_encode emits exactly m rows per vector by construction, so a
+        # plain count suffices — no distinct shuffle over the codes table
+        n_vectors = self._read(spark, "codes").count() // self.m_subspaces
         meta = spark.createDataFrame(
             [
                 (
@@ -159,10 +175,16 @@ class PQIndexStore:
         k: int = 5,
         probe_id_col: str = "probe_id",
         probe_vec_col: str = "probe_vec",
+        exclude_self: bool = True,
     ) -> DataFrame:
         """ADC top-k against the persisted codes — raw corpus vectors are
         never touched. Same plan (broadcast LUT + combinable argmin +
-        per-probe window) and same output as similarity.pq_adc_topk."""
+        per-probe window) and same output as similarity.pq_adc_topk.
+
+        ``exclude_self`` (default True) assumes probe ids share the corpus
+        id space and drops the probe's own row; set False for EXTERNAL
+        probe batches, whose ids are unrelated — otherwise an id collision
+        silently suppresses a true neighbor."""
         from .similarity import pq_adc_topk
 
         spark = probes.sparkSession
@@ -175,6 +197,7 @@ class PQIndexStore:
             dsub=self.dsub,
             probe_id_col=probe_id_col,
             probe_vec_col=probe_vec_col,
+            exclude_self=exclude_self,
         )
 
 
@@ -257,10 +280,12 @@ class IVFIndexStore:
         nprobe: int = 4,
         probe_id_col: str = "probe_id",
         probe_vec_col: str = "probe_vec",
+        exclude_self: bool = True,
     ) -> DataFrame:
         """Route each probe to its nprobe nearest lists, then exact cosine
         re-rank inside the pruned candidate scan. Same semantics as
-        similarity.ivf_topk on the in-memory index."""
+        similarity.ivf_topk on the in-memory index. ``exclude_self`` as in
+        PQIndexStore.topk — pass False for external probe batches."""
         from pyspark.sql import Window
 
         from .similarity import cosine, dot, norm
@@ -289,7 +314,11 @@ class IVFIndexStore:
         scored = (
             lists.withColumn("_vn", norm(F.col("embedding")))
             .join(F.broadcast(routed), "centroid_id")
-            .filter(F.col("vec_id") != F.col(probe_id_col))
+            .filter(
+                (F.col("vec_id") != F.col(probe_id_col))
+                if exclude_self
+                else F.lit(True)
+            )
             .select(
                 probe_id_col,
                 "vec_id",

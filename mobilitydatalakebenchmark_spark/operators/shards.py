@@ -73,10 +73,19 @@ def write_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Write token-balanced shard directories plus a per-shard manifest."""
-    assigned = assign_shards(
-        docs, shard_tokens, source_col, id_col, text_col
-    ).join(docs.select(id_col, text_col), id_col)
+    """Write token-balanced shard directories plus a per-shard manifest.
+
+    The assigned table feeds two actions (the partitioned data write and
+    the manifest aggregate); localCheckpoint materializes the packing
+    window + text join once instead of executing the whole upstream plan
+    twice. The manifest therefore records the INTENDED content —
+    verify_shards then proves the written files match it, which is what
+    makes a truncated or lost write detectable."""
+    assigned = (
+        assign_shards(docs, shard_tokens, source_col, id_col, text_col)
+        .join(docs.select(id_col, text_col), id_col)
+        .localCheckpoint(eager=False)
+    )
     (
         assigned.repartition("shard")
         .sortWithinPartitions("pack_order")

@@ -281,6 +281,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN over an IVF index: each probe scans only its `nprobe` nearest
     inverted lists (equi-join on centroid_id), exact cosine re-rank inside.
@@ -317,7 +318,11 @@ def ivf_topk(
             ),
             "centroid_id",
         )
-        .filter(F.col(id_col) != F.col(probe_id_col))
+        .filter(
+            (F.col(id_col) != F.col(probe_id_col))
+            if exclude_self
+            else F.lit(True)
+        )
         .select(
             probe_id_col,
             id_col,
@@ -516,6 +521,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: per probe, precompute
     the |m|x|codewords| table of probe-subvector-to-codeword distances (the
@@ -541,10 +547,15 @@ def pq_adc_topk(
         "codeword_id",
         l2sq(F.col("psub"), F.col("cvec")).alias("d2p"),
     )
+    scored = codes.join(F.broadcast(lut), ["m", "codeword_id"])
+    # exclude_self drops the candidate whose id equals the probe's id —
+    # correct ONLY when probes are drawn from the corpus (the gate shape);
+    # external probes with an unrelated id space must pass False or a
+    # colliding id silently loses its true neighbor.
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(probe_id_col))
     scored = (
-        codes.join(F.broadcast(lut), ["m", "codeword_id"])
-        .filter(F.col(id_col) != F.col(probe_id_col))
-        .groupBy(probe_id_col, id_col)
+        scored.groupBy(probe_id_col, id_col)
         .agg(F.round(F.sum("d2p"), 4).alias("adc_d2"))
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.asc("adc_d2"), F.asc(id_col))

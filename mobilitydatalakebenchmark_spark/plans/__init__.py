@@ -43,9 +43,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # oldest-verified-first re-verification. Every gate is oracle-checked
 # locally by tools/check_oracle.py each round regardless; the ordering only
 # decides which subset gets this round's independent driver verdict.
-# r1-r2 verdicts:
+# r1-r2 verdicts. (s1_scan_order_limit graduated to the R4 block — its
+# freshest verdict is round 4's, and the rotation ranks by most recent.)
 DRIVER_VERIFIED_R12 = (
-    "s1_scan_order_limit", "f1_point_lookup", "f2_in_list", "f9_first_match",
+    "f1_point_lookup", "f2_in_list", "f9_first_match",
     "j1_doc_feature_join", "j4_snowflake_revenue", "j6_three_table_lookup",
     "j7_semi_existing_keys", "f4_anti_novelty", "a4_zonemap_minmax",
     "a6_distinct_keys", "a9_first_seen_dedup", "p14_hashcons_dim",

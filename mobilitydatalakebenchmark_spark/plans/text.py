@@ -1460,15 +1460,48 @@ def text_perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         .when(F.col("lm_logprob") <= F.col("cs")[1], F.lit("middle"))
         .otherwise(F.lit("head")),
     )
-    counts = bucketed.groupBy("bucket").agg(
-        F.count("*").alias("n_docs"), F.first("n_total").alias("n_total")
+    # tie-run sizes at each cutoff: GK guarantees the rank of SOME position
+    # inside a tied run, but count(x <= cutoff) counts the whole run — the
+    # soundness allowance must widen by (run − 1) per cutoff involved, or a
+    # duplicate-heavy corpus (exact-dup documents share identical 6-dp
+    # scores) straddling a cutoff flips the boolean spuriously.
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    stats = cuts.crossJoin(
+        F.broadcast(
+            scores.crossJoin(F.broadcast(cuts.select("cs"))).agg(
+                F.sum(
+                    (F.col("lm_logprob") == F.col("cs")[0]).cast("long")
+                ).alias("tie1"),
+                F.sum(
+                    (F.col("lm_logprob") == F.col("cs")[1]).cast("long")
+                ).alias("tie2"),
+            )
+        )
+    )
+    # always exactly 3 rows: a literal bucket frame left-joined with the
+    # observed counts (an empty bucket is n_docs=0, not a missing row —
+    # the oracle emits a fixed 3-row VALUES table)
+    buckets = spark.createDataFrame(
+        [("head",), ("middle",), ("tail",)], "bucket string"
+    )
+    full = (
+        buckets.join(counts, "bucket", "left")
+        .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
+        .crossJoin(F.broadcast(stats))
     )
     # GK guarantee: |rank(c) - q*n| <= n/accuracy; 2x + 2 slack as in
-    # sketch_percentiles. The middle bucket subtracts two ranks, so its
-    # deviation bound doubles.
+    # sketch_percentiles, plus the tie-run widening. The middle bucket
+    # subtracts two ranks, so both its deviation bound and both tie runs
+    # apply.
     err = F.col("n_total") / _PPLX_ACC * 2 + F.lit(2.0)
-    allowance = F.when(F.col("bucket") == "middle", err * 2).otherwise(err)
-    return counts.select(
+    t1 = F.greatest(F.col("tie1") - 1, F.lit(0)).cast("double")
+    t2 = F.greatest(F.col("tie2") - 1, F.lit(0)).cast("double")
+    allowance = (
+        F.when(F.col("bucket") == "middle", err * 2 + t1 + t2)
+        .when(F.col("bucket") == "tail", err + t1)
+        .otherwise(err + t2)
+    )
+    return full.select(
         "bucket",
         (
             F.abs(F.col("n_docs") - F.col("n_total") / 3.0) <= allowance

@@ -173,3 +173,40 @@ def test_ivf_lists_cover_corpus_disjointly(spark, embeddings, tmp_path):
     assert lists.count() == embeddings.count()
     assert lists.select("vec_id").distinct().count() == embeddings.count()
     assert store.meta(spark)["n_vectors"] == embeddings.count()
+
+
+def test_external_probes_can_retrieve_colliding_id(spark, embeddings, tmp_path):
+    """exclude_self=False: an external probe whose id collides with a
+    corpus id must still retrieve that corpus vector. With the default
+    (corpus-probe convention) the colliding row is dropped."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+
+    store = PQIndexStore(str(tmp_path / "pq"), **GEOM)
+    store.build(embeddings)
+    # external probe: id 0 collides with corpus vec_id 0, vector IS vec 0
+    probe = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    with_self = store.topk(probe, k=3, exclude_self=False)
+    ids = [r.vec_id for r in with_self.collect()]
+    assert 0 in ids  # its own (distance-0) row is retrievable
+    without = store.topk(probe, k=3)  # default drops it
+    assert 0 not in [r.vec_id for r in without.collect()]
+
+
+def test_reuse_codebook_refuses_geometry_mismatch(spark, embeddings, tmp_path):
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+
+    PQIndexStore(str(tmp_path / "pq"), **GEOM).build(embeddings)
+    wrong = PQIndexStore(str(tmp_path / "pq"), m_subspaces=8, dsub=8)
+    with pytest.raises(ValueError, match="geometry"):
+        wrong.build(embeddings, reuse_codebook=True)
+
+
+def test_reuse_codebook_preserves_train_provenance(spark, embeddings, tmp_path):
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+
+    store = PQIndexStore(str(tmp_path / "pq"), **GEOM)
+    store.build(embeddings, train_iters=2)
+    store.build(embeddings, reuse_codebook=True)  # codes-only rebuild
+    assert store.meta(spark)["train_iters"] == 2

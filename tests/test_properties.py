@@ -168,7 +168,10 @@ def test_semantic_dedup_cap_invariants_property(spark, rows, cap):
 @settings(max_examples=3, deadline=None)
 @given(
     st.lists(
-        st.text(alphabet="abcd e", min_size=1, max_size=60),
+        # uppercase + digits + punctuation included so the alpha-fraction
+        # rule's [a-z] semantics is actually exercised (an all-lowercase
+        # alphabet would make the reference comparison vacuous)
+        st.text(alphabet="abZD39.! e", min_size=1, max_size=60),
         min_size=1, max_size=15,
     )
 )
@@ -199,7 +202,12 @@ def test_gopher_rules_match_python_reference_property(spark, texts):
         words = t.split(" ")
         n = len(words)
         mwl = round(len(t.replace(" ", "")) / n, 4)
-        alpha = round(sum(1 for w in words if any(c.isalpha() for c in w)) / n, 4)
+        # [a-z] exactly, as the gate and oracle define "alphabetic" — the
+        # corpus is lowercase-normalized upstream; str.isalpha() would
+        # diverge on uppercase/unicode and mask the narrower contract
+        alpha = round(
+            sum(1 for w in words if any("a" <= c <= "z" for c in w)) / n, 4
+        )
         stops = len(set(words) & set(_GOPHER_STOPWORDS))
         r = got[i]
         assert r.n_words == n

@@ -64,6 +64,8 @@ def main():
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracle.py [--json OUT] [sf_dir] [filter ...]")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
@@ -94,7 +96,9 @@ def main():
         if q.oracle is None:
             rows_only += 1
             record[name] = {
-                "status": "rows_only",
+                # an empty rows-only result IS a failure — the JSON must
+                # say so per-gate, not only in the aggregate/exit code
+                "status": "rows_only" if s_rows else "rows_only_empty",
                 "spark_rows": len(s_rows),
                 "secs": round(time.time() - t0, 2),
             }
