@@ -1447,36 +1447,40 @@ def text_perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     from ..operators.text_analysis import unigram_logprob
 
     d = t(spark, sf_dir, "documents")
-    scores = unigram_logprob(d)
+    # scores feeds the cutoff agg AND the bucketing pass — checkpoint so
+    # the unigram pipeline (explode + vocab join + per-doc agg) runs once
+    scores = unigram_logprob(d).localCheckpoint(eager=False)
     cuts = scores.agg(
         F.percentile_approx(
             "lm_logprob", [1.0 / 3, 2.0 / 3], _PPLX_ACC
         ).alias("cs"),
         F.count("*").alias("n_total"),
     )
-    bucketed = scores.crossJoin(F.broadcast(cuts)).withColumn(
-        "bucket",
+    # tie-run sizes at each cutoff, computed in the SAME pass as the
+    # bucket counts: GK guarantees the rank of SOME position inside a
+    # tied run, but count(x <= cutoff) counts the whole run — the
+    # soundness allowance must widen by (run − 1) per cutoff involved, or
+    # a duplicate-heavy corpus (exact-dup documents share identical 6-dp
+    # scores) straddling a cutoff flips the boolean spuriously.
+    bucketed = scores.crossJoin(F.broadcast(cuts)).select(
         F.when(F.col("lm_logprob") <= F.col("cs")[0], F.lit("tail"))
         .when(F.col("lm_logprob") <= F.col("cs")[1], F.lit("middle"))
-        .otherwise(F.lit("head")),
+        .otherwise(F.lit("head"))
+        .alias("bucket"),
+        (F.col("lm_logprob") == F.col("cs")[0]).cast("long").alias("_e1"),
+        (F.col("lm_logprob") == F.col("cs")[1]).cast("long").alias("_e2"),
+        "n_total",
     )
-    # tie-run sizes at each cutoff: GK guarantees the rank of SOME position
-    # inside a tied run, but count(x <= cutoff) counts the whole run — the
-    # soundness allowance must widen by (run − 1) per cutoff involved, or a
-    # duplicate-heavy corpus (exact-dup documents share identical 6-dp
-    # scores) straddling a cutoff flips the boolean spuriously.
-    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_docs"))
-    stats = cuts.crossJoin(
-        F.broadcast(
-            scores.crossJoin(F.broadcast(cuts.select("cs"))).agg(
-                F.sum(
-                    (F.col("lm_logprob") == F.col("cs")[0]).cast("long")
-                ).alias("tie1"),
-                F.sum(
-                    (F.col("lm_logprob") == F.col("cs")[1]).cast("long")
-                ).alias("tie2"),
-            )
-        )
+    per = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_e1").alias("_t1"),
+        F.sum("_e2").alias("_t2"),
+        F.first("n_total").alias("_nt"),
+    )
+    stats = per.agg(
+        F.sum("_t1").alias("tie1"),
+        F.sum("_t2").alias("tie2"),
+        F.max("_nt").alias("n_total"),
     )
     # always exactly 3 rows: a literal bucket frame left-joined with the
     # observed counts (an empty bucket is n_docs=0, not a missing row —
@@ -1485,7 +1489,7 @@ def text_perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         [("head",), ("middle",), ("tail",)], "bucket string"
     )
     full = (
-        buckets.join(counts, "bucket", "left")
+        buckets.join(per.select("bucket", "n_docs"), "bucket", "left")
         .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
         .crossJoin(F.broadcast(stats))
     )
