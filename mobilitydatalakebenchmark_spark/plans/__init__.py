@@ -135,6 +135,7 @@ def load_registry() -> dict[str, Q]:
         "dedup_semantic_clusters", "text_perplexity_buckets_sketch",
         "vec_covariance_matrix_gram", "pipeline_quality_dedup_split",
         "text_gopher_quality", "pack_shard_manifest",
+        "sample_temperature_mixture",
     )
     # r3-verified gates whose plan code changed AFTER their last driver
     # check (the round-4 `heavy=` opt-in touched these three) — rechecked

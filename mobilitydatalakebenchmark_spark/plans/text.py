@@ -1733,3 +1733,104 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_TEMP_ALPHA = 0.5  # mixture temperature (XLM-R-style alpha-sampling)
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle=f"""
+WITH per AS (
+  SELECT source,
+         sum(length(text) - length(replace(text, ' ', '')) + 1) AS s_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT cast(sum(s_tokens) AS DOUBLE) AS n FROM per
+), raw AS (
+  SELECT source, s_tokens,
+         power(s_tokens / tot.n, {_TEMP_ALPHA} - 1.0) AS w
+  FROM per CROSS JOIN tot
+), mx AS (
+  SELECT max(w) AS m FROM raw
+), rates AS (
+  SELECT source, s_tokens, round(w / mx.m, 6) AS rate
+  FROM raw CROSS JOIN mx
+), kept AS (
+  SELECT d.source, d.doc_id,
+         length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_tokens
+  FROM documents d JOIN rates r USING (source)
+  WHERE CASE WHEN r.rate >= 1.0 THEN TRUE
+             ELSE substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                  < lpad(lower(to_hex(CAST(floor(r.rate * 65536) AS INT))),
+                         4, '0')
+        END
+)
+SELECT r.source, r.rate, cast(r.s_tokens AS BIGINT) AS source_tokens,
+       count(k.doc_id) AS n_kept,
+       cast(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS kept_tokens
+FROM rates r LEFT JOIN kept k USING (source)
+GROUP BY r.source, r.rate, r.s_tokens ORDER BY r.source
+""",
+    doc="temperature-based mixture resampling (the multilingual "
+    "rebalancing step: keep-rate per source proportional to p^(alpha-1), "
+    f"alpha={_TEMP_ALPHA}, normalized so the rarest source keeps "
+    "everything) with rates DERIVED FROM THE DATA in-plan — per-source "
+    "token totals (one combinable agg), broadcast normalization, then the "
+    "same deterministic md5-threshold keep as sample_corpus_mixture. "
+    "Rates are 6-dp rounded before the 16-bit quantization so both "
+    "engines threshold identical values; floor() is explicit because "
+    "Spark truncates double->int where DuckDB rounds",
+    tags=("text", "sampling"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    per = d.groupBy("source").agg(F.sum(n_tok).alias("s_tokens"))
+    tot = per.agg(F.sum("s_tokens").cast("double").alias("n"))
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "s_tokens",
+        F.pow(F.col("s_tokens") / F.col("n"), _TEMP_ALPHA - 1.0).alias("w"),
+    )
+    mx = raw.agg(F.max("w").alias("m"))
+    rates = raw.crossJoin(F.broadcast(mx)).select(
+        "source", "s_tokens", F.round(F.col("w") / F.col("m"), 6).alias("rate")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thresh = F.lpad(
+        F.lower(
+            F.conv(
+                F.floor(F.col("rate") * 65536).cast("int").cast("string"),
+                10,
+                16,
+            )
+        ),
+        4,
+        "0",
+    )
+    kept = (
+        d.select("source", "doc_id", n_tok.alias("n_tokens"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(h < thresh))
+    )
+    return (
+        rates.join(
+            kept.groupBy("source").agg(
+                F.count("*").alias("n_kept"),
+                F.sum("n_tokens").alias("kept_tokens"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "rate",
+            F.col("s_tokens").cast("long").alias("source_tokens"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
