@@ -1794,8 +1794,16 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("s_tokens") / F.col("n"), _TEMP_ALPHA - 1.0).alias("w"),
     )
     mx = raw.agg(F.max("w").alias("m"))
-    rates = raw.crossJoin(F.broadcast(mx)).select(
-        "source", "s_tokens", F.round(F.col("w") / F.col("m"), 6).alias("rate")
+    # |sources| rows, consumed by both the keep filter and the final
+    # rollup — checkpoint so the token-count agg chain runs once
+    rates = (
+        raw.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "s_tokens",
+            F.round(F.col("w") / F.col("m"), 6).alias("rate"),
+        )
+        .localCheckpoint(eager=False)
     )
     h = F.substring(
         F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 4
@@ -1816,15 +1824,12 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rates), "source")
         .filter(F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(h < thresh))
     )
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
     return (
-        rates.join(
-            kept.groupBy("source").agg(
-                F.count("*").alias("n_kept"),
-                F.sum("n_tokens").alias("kept_tokens"),
-            ),
-            "source",
-            "left",
-        )
+        rates.join(F.broadcast(kept_agg), "source", "left")
         .select(
             "source",
             "rate",
