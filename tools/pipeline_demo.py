@@ -1,0 +1,141 @@
+"""End-to-end training-data pipeline demo — every stage in one run.
+
+Usage: python tools/pipeline_demo.py [sf_dir] [out_dir]
+
+Chains the engine's LLM-pipeline operators the way a production corpus
+build would, printing ONE JSON line of stage-by-stage counts:
+
+  read documents
+    -> Gopher rule filter           (plans.text gate expressions)
+    -> exact dedup, keep first      (md5 groupBy-min)
+    -> MinHash near-dup drop        (banded LSH -> verified -> components)
+    -> temperature mixture resample (token-share^(alpha-1) keep rates)
+    -> train/val/test hash split
+    -> token-balanced shard export + manifest verify
+
+Each stage is lazy until the single write at the end — the whole
+pipeline is ONE Spark plan per output, with the dedup/candidate joins
+bucketed by construction. This is the composition story the individual
+gates verify piecewise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.session import get_spark, read_table
+
+
+def main() -> None:
+    import tempfile
+
+    from mobilitydatalakebenchmark_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from mobilitydatalakebenchmark_spark.operators.text_analysis import hash_split
+    from mobilitydatalakebenchmark_spark.operators.shards import (
+        verify_shards,
+        write_shards,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp() + "/corpus"
+
+    spark = get_spark("pipeline_demo")
+    docs = read_table(spark, sf_dir, "documents")
+    stages: dict[str, int] = {"input": docs.count()}
+
+    # 1. Gopher rule filter (inline expressions, zero shuffle)
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    kept = docs.filter(
+        n_words.between(10, 90) & (mean_wl >= 3) & (mean_wl <= 10)
+    )
+    stages["after_quality"] = kept.count()
+
+    # 2. exact dedup keep-first
+    keepers = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    kept = kept.join(
+        keepers, (F.md5(kept["text"]) == keepers["h"])
+        & (kept["doc_id"] == keepers["keeper"]),
+    ).drop("h", "keeper")
+    stages["after_exact_dedup"] = kept.count()
+
+    # 3. MinHash near-dup drop (banded candidates -> verified Jaccard).
+    # 3-gram shingles, not raw token sets: the synthetic corpus has a
+    # ~30-word vocabulary, so token-set Jaccard calls nearly everything a
+    # duplicate; shingled Jaccard measures shared phrasing, which is what
+    # near-dup removal means on real text.
+    dupes = (
+        minhash_near_duplicates(kept, shingle_n=3, min_jaccard=0.8)
+        .select("doc_b")
+        .distinct()
+    )
+    kept = kept.join(
+        dupes, kept["doc_id"] == dupes["doc_b"], "left_anti"
+    )
+    stages["after_near_dedup"] = kept.count()
+
+    # 4. temperature mixture resample (alpha=0.5, rates from data)
+    n_tok = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    per = kept.groupBy("source").agg(F.sum(n_tok).alias("s_tokens"))
+    tot = per.agg(F.sum("s_tokens").cast("double").alias("n"))
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        "source", F.pow(F.col("s_tokens") / F.col("n"), -0.5).alias("w")
+    )
+    mx = raw.agg(F.max("w").alias("m"))
+    rates = raw.crossJoin(F.broadcast(mx)).select(
+        "source", F.round(F.col("w") / F.col("m"), 6).alias("rate")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thresh = F.lpad(
+        F.lower(
+            F.conv(F.floor(F.col("rate") * 65536).cast("int").cast("string"), 10, 16)
+        ),
+        4,
+        "0",
+    )
+    kept = (
+        kept.join(F.broadcast(rates), "source")
+        .filter(F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(h < thresh))
+        .drop("rate")
+    )
+    stages["after_mixture"] = kept.count()
+
+    # 5. split + 6. shard export (train split only) with manifest verify
+    kept = kept.withColumn("split", hash_split(F.col("doc_id")))
+    train = kept.filter(F.col("split") == "train")
+    stages["train_docs"] = train.count()
+    write_shards(train, out, shard_tokens=2048)
+    checks = verify_shards(spark, out).collect()
+    stages["shards"] = len(checks)
+    ok = all(r.ok_docs and r.ok_tokens and r.ok_content for r in checks)
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_demo",
+                "sf_dir": sf_dir,
+                "out": out,
+                "stages": stages,
+                "manifest_verified": ok,
+            }
+        )
+    )
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
