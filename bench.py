@@ -47,6 +47,11 @@ HEADLINE = [
     "text_chunk_overlap",
     "interval_overlap_join",
     "vec_covariance_matrix_gram",
+    # round-5 pipeline layer
+    "pipeline_quality_dedup_split",
+    "text_gopher_quality",
+    "sample_temperature_mixture",
+    "pack_shard_manifest",
 ]
 
 
