@@ -147,6 +147,56 @@ class PQIndexStore:
             f"{self.path}/meta.parquet"
         )
 
+    def append(
+        self,
+        new_corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Incremental indexing: encode ONLY the new vectors against the
+        frozen persisted codebook and append their code rows — the
+        steady-state ingest path (a full rebuild re-scans the whole
+        corpus; appending scans just the arrivals). The codebook stays
+        byte-identical, so appended codes are exactly what a full rebuild
+        would have produced for those vectors (pinned by test); the
+        caller owns id uniqueness across batches, as with any append-only
+        store."""
+        from .similarity import pq_encode
+
+        spark = new_corpus.sparkSession
+        meta = self.meta(spark)
+        got = (meta["m_subspaces"], meta["dsub"], meta["n_codewords"])
+        want = (self.m_subspaces, self.dsub, self.n_codewords)
+        if got != want:
+            raise ValueError(
+                f"persisted index geometry {got} != store geometry {want}"
+            )
+        codebook = self._read(spark, "codebook")
+        n_new = new_corpus.count()
+        codes = pq_encode(
+            new_corpus, codebook, self.m_subspaces, self.dsub, id_col, vec_col
+        ).withColumnRenamed(id_col, "vec_id")
+        (
+            codes.sortWithinPartitions("vec_id", "m")
+            .write.mode("append")
+            .parquet(f"{self.path}/codes.parquet")
+        )
+        spark.createDataFrame(
+            [
+                (
+                    self.m_subspaces,
+                    self.dsub,
+                    self.n_codewords,
+                    meta["n_vectors"] + n_new,
+                    meta["train_iters"],
+                )
+            ],
+            "m_subspaces int, dsub int, n_codewords int, n_vectors long, "
+            "train_iters int",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/meta.parquet"
+        )
+
     # -- load ----------------------------------------------------------
 
     @classmethod
