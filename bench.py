@@ -90,6 +90,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # cross-round comparable figure: the first 20 HEADLINE
+                # entries are frozen across rounds (r1: 17.9, r4: 12.9);
+                # `value` grows as new operators join the watch list
+                "trend20_wall": round(
+                    sum(timings[n] for n in HEADLINE[:20]), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
