@@ -80,15 +80,7 @@ class PQIndexStore:
             # silently drop subspaces through the codes join and write a
             # corrupt index), and carry the recorded train_iters forward
             # so provenance survives the codes-only rebuild.
-            meta = self.meta(spark)
-            got = (meta["m_subspaces"], meta["dsub"], meta["n_codewords"])
-            want = (self.m_subspaces, self.dsub, self.n_codewords)
-            if got != want:
-                raise ValueError(
-                    f"persisted index geometry {got} != store geometry "
-                    f"{want}; open with PQIndexStore.load() to reuse"
-                )
-            train_iters = meta["train_iters"]
+            train_iters = self._require_geometry(spark)["train_iters"]
             codebook = self._read(spark, "codebook")
         elif train_iters > 0:
             codebook = pq_train(
@@ -130,22 +122,7 @@ class PQIndexStore:
         # pq_encode emits exactly m rows per vector by construction, so a
         # plain count suffices — no distinct shuffle over the codes table
         n_vectors = self._read(spark, "codes").count() // self.m_subspaces
-        meta = spark.createDataFrame(
-            [
-                (
-                    self.m_subspaces,
-                    self.dsub,
-                    self.n_codewords,
-                    n_vectors,
-                    train_iters,
-                )
-            ],
-            "m_subspaces int, dsub int, n_codewords int, n_vectors long, "
-            "train_iters int",
-        )
-        meta.coalesce(1).write.mode("overwrite").parquet(
-            f"{self.path}/meta.parquet"
-        )
+        self._write_meta(spark, n_vectors, train_iters)
 
     def append(
         self,
@@ -164,13 +141,7 @@ class PQIndexStore:
         from .similarity import pq_encode
 
         spark = new_corpus.sparkSession
-        meta = self.meta(spark)
-        got = (meta["m_subspaces"], meta["dsub"], meta["n_codewords"])
-        want = (self.m_subspaces, self.dsub, self.n_codewords)
-        if got != want:
-            raise ValueError(
-                f"persisted index geometry {got} != store geometry {want}"
-            )
+        meta = self._require_geometry(spark)
         codebook = self._read(spark, "codebook")
         n_new = new_corpus.count()
         codes = pq_encode(
@@ -181,14 +152,33 @@ class PQIndexStore:
             .write.mode("append")
             .parquet(f"{self.path}/codes.parquet")
         )
+        self._write_meta(
+            spark, meta["n_vectors"] + n_new, meta["train_iters"]
+        )
+
+    def _require_geometry(self, spark: SparkSession) -> dict:
+        """Persisted meta, validated against this store's geometry."""
+        meta = self.meta(spark)
+        got = (meta["m_subspaces"], meta["dsub"], meta["n_codewords"])
+        want = (self.m_subspaces, self.dsub, self.n_codewords)
+        if got != want:
+            raise ValueError(
+                f"persisted index geometry {got} != store geometry {want}; "
+                "open with PQIndexStore.load() instead"
+            )
+        return meta
+
+    def _write_meta(
+        self, spark: SparkSession, n_vectors: int, train_iters: int
+    ) -> None:
         spark.createDataFrame(
             [
                 (
                     self.m_subspaces,
                     self.dsub,
                     self.n_codewords,
-                    meta["n_vectors"] + n_new,
-                    meta["train_iters"],
+                    n_vectors,
+                    train_iters,
                 )
             ],
             "m_subspaces int, dsub int, n_codewords int, n_vectors long, "

@@ -33,6 +33,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_md5(id_col: str):
+    """Order-canonical content fingerprint: md5 over the sorted id list.
+    Bounded by one shard's ids; for shards too large even for that, use
+    bit_xor(md5 per id) — commutative, no list needed."""
+    return F.md5(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col(id_col).cast("string")))
+        )
+    )
+
+
 def assign_shards(
     docs: DataFrame,
     shard_tokens: int = 4096,
@@ -100,15 +111,7 @@ def write_shards(
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min(id_col).alias("min_doc_id"),
             F.max(id_col).alias("max_doc_id"),
-            # content fingerprint: md5 over the sorted id list. Bounded by
-            # one shard's ids; for shards too large even for that, use
-            # bit_xor(crc32/md5 per id) — commutative, no list needed.
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.sort_array(F.collect_list(F.col(id_col).cast("string"))),
-                )
-            ).alias("content_md5"),
+            _content_md5(id_col).alias("content_md5"),
         )
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -130,12 +133,7 @@ def verify_shards(spark, path: str) -> DataFrame:
         .agg(
             F.count("*").alias("d_n_docs"),
             F.sum(token_count(F.col("text"))).cast("long").alias("d_n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.sort_array(F.collect_list(F.col("doc_id").cast("string"))),
-                )
-            ).alias("d_content_md5"),
+            _content_md5("doc_id").alias("d_content_md5"),
         )
     )
     return (

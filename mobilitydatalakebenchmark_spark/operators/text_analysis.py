@@ -324,3 +324,69 @@ def contamination(
             F.countDistinct("train_doc").alias("n_train_docs"),
         )
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum keep rates for temperature-based mixture resampling
+    (the multilingual rebalancing step): rate ∝ token-share^(alpha-1),
+    normalized so the rarest stratum keeps everything. Rates are 6-dp
+    rounded so both engines threshold identical doubles. Output
+    (strata_col, s_tokens, rate) — |strata| rows, localCheckpointed
+    because every caller consumes it at least twice (keep filter +
+    reporting rollup)."""
+    n_tok = (
+        F.length(text_col) - F.length(F.regexp_replace(text_col, " ", "")) + 1
+    )
+    per = df.groupBy(strata_col).agg(F.sum(n_tok).alias("s_tokens"))
+    tot = per.agg(F.sum("s_tokens").cast("double").alias("n"))
+    raw = per.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        "s_tokens",
+        F.pow(F.col("s_tokens") / F.col("n"), alpha - 1.0).alias("w"),
+    )
+    mx = raw.agg(F.max("w").alias("m"))
+    return (
+        raw.crossJoin(F.broadcast(mx))
+        .select(
+            strata_col,
+            "s_tokens",
+            F.round(F.col("w") / F.col("m"), 6).alias("rate"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def temperature_keep(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp:",
+) -> DataFrame:
+    """Apply per-stratum rates deterministically: keep a row iff the 4-hex
+    md5 prefix of its salted id falls below the rate quantized to 16 bits
+    (floor is explicit — Spark truncates double->int, DuckDB rounds).
+    Membership is a pure function of the id: reproducible across runs,
+    engines, partitionings, and composable with hash_split."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4
+    )
+    thresh = F.lpad(
+        F.lower(
+            F.conv(
+                F.floor(F.col("rate") * 65536).cast("int").cast("string"),
+                10,
+                16,
+            )
+        ),
+        4,
+        "0",
+    )
+    return df.join(
+        F.broadcast(rates.select(strata_col, "rate")), strata_col
+    ).filter(F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(h < thresh))

@@ -1784,45 +1784,13 @@ GROUP BY r.source, r.rate, r.s_tokens ORDER BY r.source
     tags=("text", "sampling"),
 )
 def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import temperature_keep, temperature_rates
+
     d = t(spark, sf_dir, "documents")
     n_tok = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
-    per = d.groupBy("source").agg(F.sum(n_tok).alias("s_tokens"))
-    tot = per.agg(F.sum("s_tokens").cast("double").alias("n"))
-    raw = per.crossJoin(F.broadcast(tot)).select(
-        "source",
-        "s_tokens",
-        F.pow(F.col("s_tokens") / F.col("n"), _TEMP_ALPHA - 1.0).alias("w"),
-    )
-    mx = raw.agg(F.max("w").alias("m"))
-    # |sources| rows, consumed by both the keep filter and the final
-    # rollup — checkpoint so the token-count agg chain runs once
-    rates = (
-        raw.crossJoin(F.broadcast(mx))
-        .select(
-            "source",
-            "s_tokens",
-            F.round(F.col("w") / F.col("m"), 6).alias("rate"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    h = F.substring(
-        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 4
-    )
-    thresh = F.lpad(
-        F.lower(
-            F.conv(
-                F.floor(F.col("rate") * 65536).cast("int").cast("string"),
-                10,
-                16,
-            )
-        ),
-        4,
-        "0",
-    )
-    kept = (
-        d.select("source", "doc_id", n_tok.alias("n_tokens"))
-        .join(F.broadcast(rates), "source")
-        .filter(F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(h < thresh))
+    rates = temperature_rates(d, "source", _TEMP_ALPHA)
+    kept = temperature_keep(
+        d.select("source", "doc_id", n_tok.alias("n_tokens")), rates, "source"
     )
     kept_agg = kept.groupBy("source").agg(
         F.count("*").alias("n_kept"),

@@ -38,7 +38,11 @@ def main() -> None:
     from mobilitydatalakebenchmark_spark.operators.dedup import (
         minhash_near_duplicates,
     )
-    from mobilitydatalakebenchmark_spark.operators.text_analysis import hash_split
+    from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+        hash_split,
+        temperature_keep,
+        temperature_rates,
+    )
     from mobilitydatalakebenchmark_spark.operators.shards import (
         verify_shards,
         write_shards,
@@ -80,37 +84,16 @@ def main() -> None:
         .select("doc_b")
         .distinct()
     )
+    # checkpoint: every later stage count re-executes the lineage prefix;
+    # materialize once past the most expensive stage (the MinHash join)
     kept = kept.join(
         dupes, kept["doc_id"] == dupes["doc_b"], "left_anti"
-    )
+    ).localCheckpoint(eager=False)
     stages["after_near_dedup"] = kept.count()
 
     # 4. temperature mixture resample (alpha=0.5, rates from data)
-    n_tok = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
-    per = kept.groupBy("source").agg(F.sum(n_tok).alias("s_tokens"))
-    tot = per.agg(F.sum("s_tokens").cast("double").alias("n"))
-    raw = per.crossJoin(F.broadcast(tot)).select(
-        "source", F.pow(F.col("s_tokens") / F.col("n"), -0.5).alias("w")
-    )
-    mx = raw.agg(F.max("w").alias("m"))
-    rates = raw.crossJoin(F.broadcast(mx)).select(
-        "source", F.round(F.col("w") / F.col("m"), 6).alias("rate")
-    )
-    h = F.substring(
-        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 4
-    )
-    thresh = F.lpad(
-        F.lower(
-            F.conv(F.floor(F.col("rate") * 65536).cast("int").cast("string"), 10, 16)
-        ),
-        4,
-        "0",
-    )
-    kept = (
-        kept.join(F.broadcast(rates), "source")
-        .filter(F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(h < thresh))
-        .drop("rate")
-    )
+    rates = temperature_rates(kept, "source", alpha=0.5)
+    kept = temperature_keep(kept, rates, "source").drop("rate")
     stages["after_mixture"] = kept.count()
 
     # 5. split + 6. shard export (train split only) with manifest verify
