@@ -111,3 +111,33 @@ def enrich_stream(documents: DataFrame, route_dim: DataFrame) -> DataFrame:
         "uuid", "timestamp", "lineId", "direction", "coordinates_0", "coordinates_1"
     )
     return flat.join(F.broadcast(route_dim), "lineId", "left")
+
+
+def stream_to_pq_index(
+    embeddings_stream: DataFrame,
+    store,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> StreamingQuery:
+    """Streaming incremental ANN indexing: each micro-batch of new
+    embeddings is encoded against the store's frozen codebook and
+    appended (`PQIndexStore.append`) — the arrival path for a living
+    index. Per-batch cost is proportional to the batch, never the corpus;
+    the codebook never changes, so the index stays probe-consistent with
+    a full rebuild at every point in time (the batch boundary is the
+    atomicity unit, exactly as in stream_to_flat_store). The store must
+    already be built (its codebook is the training artifact; retraining
+    is a batch decision, not a streaming one)."""
+
+    def flush(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        store.append(batch, id_col=id_col, vec_col=vec_col)
+
+    return (
+        embeddings_stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

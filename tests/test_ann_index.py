@@ -242,3 +242,35 @@ def test_append_refuses_geometry_mismatch(spark, embeddings, tmp_path):
     wrong = PQIndexStore(str(tmp_path / "pq"), m_subspaces=8, dsub=8)
     with pytest.raises(ValueError, match="geometry"):
         wrong.append(embeddings)
+
+
+def test_streaming_append_matches_batch_rebuild(spark, embeddings, probes, tmp_path):
+    """File-stream the second half of the corpus in multiple micro-batches
+    into a pre-built index; probes must answer identically to the batch
+    build(half)+append(rest) path (itself pinned equal to a full rebuild)."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+    from mobilitydatalakebenchmark_spark.streaming.ingest import stream_to_pq_index
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+
+    # landing dir with several files so availableNow runs >1 micro-batch
+    landing = str(tmp_path / "landing")
+    half_b.repartition(3).write.parquet(landing)
+
+    streamed = PQIndexStore(str(tmp_path / "stream_idx"), **GEOM)
+    streamed.build(half_a)
+    stream = (
+        spark.readStream.schema(half_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = stream_to_pq_index(stream, streamed, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch = PQIndexStore(str(tmp_path / "batch_idx"), **GEOM)
+    batch.build(half_a)
+    batch.append(half_b)
+
+    assert streamed.meta(spark)["n_vectors"] == embeddings.count()
+    assert _rows(streamed.topk(probes, k=5)) == _rows(batch.topk(probes, k=5))
