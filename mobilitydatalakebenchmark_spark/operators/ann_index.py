@@ -303,6 +303,58 @@ class IVFIndexStore:
             "n_centroids int, lloyd_iters int, n_vectors long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta.parquet")
 
+    def append(
+        self,
+        new_corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Incremental indexing: assign ONLY the new vectors to the frozen
+        persisted centroids (broadcast argmax — the centroids are the
+        trained artifact, retraining is a batch decision) and append their
+        rows to the matching list partitions. Per-batch cost is
+        proportional to the arrivals; dynamic partition append touches
+        only the lists the new vectors land in."""
+        from pyspark.sql import Window
+
+        from .similarity import cosine
+
+        spark = new_corpus.sparkSession
+        meta = spark.read.parquet(f"{self.path}/meta.parquet").first()
+        if meta["n_centroids"] != self.n_centroids:
+            raise ValueError(
+                f"persisted index has {meta['n_centroids']} centroids, "
+                f"store expects {self.n_centroids}; use IVFIndexStore.load()"
+            )
+        cents = spark.read.parquet(f"{self.path}/centroids.parquet")
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("_cs"), F.asc("centroid_id")
+        )
+        assigned = (
+            new_corpus.select(id_col, vec_col)
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "_cs", cosine(F.col(vec_col), F.col("centroid_vec"))
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "centroid_id",
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+            )
+        )
+        n_new = new_corpus.count()
+        (
+            assigned.write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/lists.parquet")
+        )
+        spark.createDataFrame(
+            [(self.n_centroids, meta["lloyd_iters"], meta["n_vectors"] + n_new)],
+            "n_centroids int, lloyd_iters int, n_vectors long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta.parquet")
+
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndexStore":
         meta = spark.read.parquet(f"{path}/meta.parquet").first()

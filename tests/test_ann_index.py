@@ -274,3 +274,49 @@ def test_streaming_append_matches_batch_rebuild(spark, embeddings, probes, tmp_p
 
     assert streamed.meta(spark)["n_vectors"] == embeddings.count()
     assert _rows(streamed.topk(probes, k=5)) == _rows(batch.topk(probes, k=5))
+
+
+def test_ivf_append_assigns_to_nearest_frozen_centroid(
+    spark, embeddings, tmp_path
+):
+    """Appended vectors must land in the list of their nearest PERSISTED
+    centroid (frozen artifact — not re-trained), meta must advance, and a
+    probe drawn from the appended half must find itself top-1 (its own
+    list is always its rank-1 route)."""
+    import numpy as np
+
+    from mobilitydatalakebenchmark_spark.operators.ann_index import IVFIndexStore
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    store = IVFIndexStore(str(tmp_path / "ivf"), n_centroids=8)
+    store.build(half_a, lloyd_iters=1)
+    cents = {
+        r.centroid_id: np.array(r.centroid_vec)
+        for r in spark.read.parquet(str(tmp_path / "ivf" / "centroids.parquet")).collect()
+    }
+    store.append(half_b)
+
+    lists = spark.read.parquet(str(tmp_path / "ivf" / "lists.parquet"))
+    assert lists.count() == embeddings.count()
+    assert store.meta(spark)["n_vectors"] == embeddings.count()
+
+    # spot-check 20 appended vectors against an independent numpy argmax
+    sample = lists.join(
+        half_b.select("vec_id"), "vec_id"
+    ).limit(20).collect()
+    for r in sample:
+        v = np.array(r.embedding, dtype="float64")
+        sims = {
+            cid: float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+            for cid, c in cents.items()
+        }
+        best = max(sims, key=lambda c: (sims[c], -c))
+        assert abs(sims[r.centroid_id] - sims[best]) < 1e-9
+
+    # a probe from the appended half finds itself top-1 at nprobe=1
+    probe = half_b.limit(1).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    top = store.topk(probe, k=1, nprobe=1, exclude_self=False).first()
+    assert top.vec_id == probe.first().probe_id
