@@ -217,3 +217,38 @@ def test_gopher_rules_match_python_reference_property(spark, texts):
         assert r.keep == (
             20 <= n <= 80 and 3 <= mwl <= 10 and alpha >= 0.8 and stops >= 2
         )
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100_000),
+            st.text(alphabet="ab c", min_size=1, max_size=40),
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+def test_shard_assignment_invariants_property(spark, rows, shard_tokens):
+    """For ANY corpus and shard size: every doc lands in exactly one
+    shard; within a source, offsets are contiguous (next start = prev
+    start + prev tokens in pack order) and the shard id is exactly
+    start_offset // shard_tokens."""
+    from mobilitydatalakebenchmark_spark.operators.shards import assign_shards
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = assign_shards(df, shard_tokens).collect()
+    assert len(out) == len(rows)
+    assert len({r.doc_id for r in out}) == len(rows)
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for source, members in by_source.items():
+        members.sort(key=lambda r: r.pack_order)
+        offset = 0
+        for r in members:
+            assert r.start_offset == offset
+            assert r.shard == f"{source}-{offset // shard_tokens}"
+            offset += r.n_tokens

@@ -41,8 +41,12 @@ BOUNDS = {
     "knn_pq_adc_seeded": 8.0,
     "interval_overlap_join": 8.0,
     "text_chunk_overlap": 8.0,
-    # round-5: composed pipeline (dedup groupBy + equi-join inside)
+    # round-5: composed pipeline (dedup groupBy + equi-join inside),
+    # shard manifest (packing window + rollup), temperature mixture
+    # (rates join + keep filter)
     "pipeline_quality_dedup_split": 8.0,
+    "pack_shard_manifest": 8.0,
+    "sample_temperature_mixture": 8.0,
 }
 
 
