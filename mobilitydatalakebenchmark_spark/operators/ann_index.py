@@ -143,7 +143,6 @@ class PQIndexStore:
         spark = new_corpus.sparkSession
         meta = self._require_geometry(spark)
         codebook = self._read(spark, "codebook")
-        n_new = new_corpus.count()
         codes = pq_encode(
             new_corpus, codebook, self.m_subspaces, self.dsub, id_col, vec_col
         ).withColumnRenamed(id_col, "vec_id")
@@ -152,9 +151,12 @@ class PQIndexStore:
             .write.mode("append")
             .parquet(f"{self.path}/codes.parquet")
         )
-        self._write_meta(
-            spark, meta["n_vectors"] + n_new, meta["train_iters"]
-        )
+        # recount from the persisted codes (as build does) rather than
+        # meta + batch count: self-correcting if a prior append crashed
+        # between the codes write and the meta write, and no second scan
+        # of the incoming batch
+        n_vectors = self._read(spark, "codes").count() // self.m_subspaces
+        self._write_meta(spark, n_vectors, meta["train_iters"])
 
     def _require_geometry(self, spark: SparkSession) -> dict:
         """Persisted meta, validated against this store's geometry."""
@@ -314,7 +316,10 @@ class IVFIndexStore:
         trained artifact, retraining is a batch decision) and append their
         rows to the matching list partitions. Per-batch cost is
         proportional to the arrivals; dynamic partition append touches
-        only the lists the new vectors land in."""
+        only the lists the new vectors land in. Duplicate ids WITHIN a
+        batch are collapsed to one row (the assignment window keeps rank
+        1); as with any append-only store, the caller owns id uniqueness
+        ACROSS batches."""
         from pyspark.sql import Window
 
         from .similarity import cosine
@@ -344,14 +349,17 @@ class IVFIndexStore:
                 F.col(vec_col).alias("embedding"),
             )
         )
-        n_new = new_corpus.count()
         (
             assigned.write.mode("append")
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/lists.parquet")
         )
+        # recount the persisted lists rather than meta + batch count:
+        # exact under within-batch duplicate collapse and self-correcting
+        # after a crash between the lists write and the meta write
+        n_vectors = spark.read.parquet(f"{self.path}/lists.parquet").count()
         spark.createDataFrame(
-            [(self.n_centroids, meta["lloyd_iters"], meta["n_vectors"] + n_new)],
+            [(self.n_centroids, meta["lloyd_iters"], n_vectors)],
             "n_centroids int, lloyd_iters int, n_vectors long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta.parquet")
 

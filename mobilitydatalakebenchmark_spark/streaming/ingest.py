@@ -128,12 +128,34 @@ def stream_to_pq_index(
     a full rebuild at every point in time (the batch boundary is the
     atomicity unit, exactly as in stream_to_flat_store). The store must
     already be built (its codebook is the training artifact; retraining
-    is a batch decision, not a streaming one)."""
+    is a batch decision, not a streaming one).
+
+    Replay protection: Structured Streaming commits the source offset
+    only AFTER foreachBatch returns, so a crash mid-append makes the
+    restarted query re-deliver the same epoch. The flush records the
+    last applied epoch id in <store>/stream_state.parquet and skips any
+    epoch at or below it — at-least-once delivery becomes effectively
+    once, and a replayed batch cannot double-append code rows (which
+    would silently double adc_d2 for those vectors)."""
+
+    state_path = f"{store.path}/stream_state.parquet"
+
+    def _last_epoch(spark) -> int:
+        try:
+            return spark.read.parquet(state_path).first()["last_epoch"]
+        except Exception:  # noqa: BLE001 — first epoch: no state yet
+            return -1
 
     def flush(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
+        spark = batch.sparkSession
+        if epoch_id <= _last_epoch(spark):
+            return  # replayed epoch: already fully applied
         store.append(batch, id_col=id_col, vec_col=vec_col)
+        spark.createDataFrame(
+            [(int(epoch_id),)], "last_epoch long"
+        ).coalesce(1).write.mode("overwrite").parquet(state_path)
 
     return (
         embeddings_stream.writeStream.foreachBatch(flush)

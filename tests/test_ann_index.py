@@ -320,3 +320,33 @@ def test_ivf_append_assigns_to_nearest_frozen_centroid(
     )
     top = store.topk(probe, k=1, nprobe=1, exclude_self=False).first()
     assert top.vec_id == probe.first().probe_id
+
+
+def test_streaming_append_is_replay_safe(spark, embeddings, probes, tmp_path):
+    """Re-running the stream with a FRESH checkpoint re-delivers every
+    epoch; the store's stream_state guard must skip the already-applied
+    epochs instead of double-appending code rows (which would double
+    adc_d2 for those vectors and corrupt every subsequent ranking)."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+    from mobilitydatalakebenchmark_spark.streaming.ingest import stream_to_pq_index
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    landing = str(tmp_path / "landing")
+    half_b.repartition(2).write.parquet(landing)
+
+    store = PQIndexStore(str(tmp_path / "idx"), **GEOM)
+    store.build(half_a)
+    stream = lambda: (
+        spark.readStream.schema(half_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    stream_to_pq_index(stream(), store, str(tmp_path / "ckpt1")).awaitTermination(120)
+    before = _rows(store.topk(probes, k=5))
+    n_before = store.meta(spark)["n_vectors"]
+
+    # replay: fresh checkpoint => epochs 0..n re-delivered from scratch
+    stream_to_pq_index(stream(), store, str(tmp_path / "ckpt2")).awaitTermination(120)
+    assert store.meta(spark)["n_vectors"] == n_before
+    assert _rows(store.topk(probes, k=5)) == before
