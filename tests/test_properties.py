@@ -252,3 +252,20 @@ def test_shard_assignment_invariants_property(spark, rows, shard_tokens):
             assert r.start_offset == offset
             assert r.shard == f"{source}-{offset // shard_tokens}"
             offset += r.n_tokens
+
+
+def test_temperature_alpha_one_keeps_everything(spark):
+    """alpha=1 is the no-op temperature: every stratum's rate is exactly
+    1.0 (p^0 normalized), so the keep filter passes every row."""
+    from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+        temperature_keep,
+        temperature_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1), f"s{i % 3}") for i in range(60)],
+        "doc_id long, text string, source string",
+    )
+    rates = temperature_rates(df, "source", alpha=1.0)
+    assert all(r.rate == 1.0 for r in rates.collect())
+    assert temperature_keep(df, rates, "source").count() == 60
