@@ -113,7 +113,7 @@ def enrich_stream(documents: DataFrame, route_dim: DataFrame) -> DataFrame:
     return flat.join(F.broadcast(route_dim), "lineId", "left")
 
 
-def stream_to_pq_index(
+def stream_to_ann_index(
     embeddings_stream: DataFrame,
     store,
     checkpoint: str,
@@ -121,14 +121,17 @@ def stream_to_pq_index(
     vec_col: str = "embedding",
 ) -> StreamingQuery:
     """Streaming incremental ANN indexing: each micro-batch of new
-    embeddings is encoded against the store's frozen codebook and
-    appended (`PQIndexStore.append`) — the arrival path for a living
-    index. Per-batch cost is proportional to the batch, never the corpus;
-    the codebook never changes, so the index stays probe-consistent with
-    a full rebuild at every point in time (the batch boundary is the
-    atomicity unit, exactly as in stream_to_flat_store). The store must
-    already be built (its codebook is the training artifact; retraining
-    is a batch decision, not a streaming one).
+    embeddings is appended through the store's frozen artifact — the
+    arrival path for a living index. Works with ANY store exposing
+    ``append(batch, id_col=, vec_col=)`` and a ``path`` attribute:
+    `PQIndexStore` (encode against the frozen codebook) and
+    `IVFIndexStore` (assign to the frozen centroids, dynamic-partition
+    append into only the touched lists). Per-batch cost is proportional
+    to the batch, never the corpus; the trained artifact never changes,
+    so the index stays probe-consistent with a batch build+append at
+    every batch boundary (exactly as in stream_to_flat_store). The store
+    must already be built (the codebook/centroids are the training
+    artifact; retraining is a batch decision, not a streaming one).
 
     Replay protection: Structured Streaming commits the source offset
     only AFTER foreachBatch returns, so a crash mid-append makes the
@@ -136,7 +139,7 @@ def stream_to_pq_index(
     last applied epoch id in <store>/stream_state.parquet and skips any
     epoch at or below it — at-least-once delivery becomes effectively
     once, and a replayed batch cannot double-append code rows (which
-    would silently double adc_d2 for those vectors)."""
+    would silently double ADC/cosine scores for those vectors)."""
 
     state_path = f"{store.path}/stream_state.parquet"
 
@@ -163,3 +166,8 @@ def stream_to_pq_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# committed name for the PQ-specific round-5 API; the implementation was
+# store-agnostic from the start
+stream_to_pq_index = stream_to_ann_index

@@ -350,3 +350,35 @@ def test_streaming_append_is_replay_safe(spark, embeddings, probes, tmp_path):
     stream_to_pq_index(stream(), store, str(tmp_path / "ckpt2")).awaitTermination(120)
     assert store.meta(spark)["n_vectors"] == n_before
     assert _rows(store.topk(probes, k=5)) == before
+
+
+def test_streaming_append_into_ivf_index(spark, embeddings, tmp_path):
+    """The streaming append helper is store-agnostic: streaming the second
+    half into a pre-built IVF index must land every vector in its
+    nearest-frozen-centroid list with meta advanced — same contract as the
+    PQ path."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import IVFIndexStore
+    from mobilitydatalakebenchmark_spark.streaming.ingest import stream_to_ann_index
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    landing = str(tmp_path / "landing")
+    half_b.repartition(2).write.parquet(landing)
+
+    store = IVFIndexStore(str(tmp_path / "ivf"), n_centroids=8)
+    store.build(half_a, lloyd_iters=1)
+    stream = (
+        spark.readStream.schema(half_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    stream_to_ann_index(stream, store, str(tmp_path / "ckpt")).awaitTermination(120)
+
+    lists = spark.read.parquet(str(tmp_path / "ivf" / "lists.parquet"))
+    assert lists.count() == embeddings.count()
+    assert store.meta(spark)["n_vectors"] == embeddings.count()
+    probe = half_b.limit(1).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    top = store.topk(probe, k=1, nprobe=1, exclude_self=False).first()
+    assert top.vec_id == probe.first().probe_id
