@@ -1578,10 +1578,15 @@ def pipeline_quality_dedup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.alias("quality"),
     ).filter(F.col("quality") >= 0.08)
     keepers = kept.groupBy("h").agg(F.min("doc_id").alias("keeper"))
-    deduped = kept.join(
-        keepers,
-        (kept["h"] == keepers["h"]) & (kept["doc_id"] == keepers["keeper"]),
-    ).select(kept["doc_id"], "n_tokens", "quality")
+    # join on the column-name list (merges `h`, no self-join lineage
+    # ambiguity — `kept["h"] == keepers["h"]` degraded to a trivially-true
+    # predicate because `keepers` derives from `kept`), then pin the keeper
+    # row with a plain filter. Same rows, no Catalyst warning.
+    deduped = (
+        kept.join(keepers, "h")
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "n_tokens", "quality")
+    )
     return (
         deduped.withColumn("split", hash_split(F.col("doc_id")))
         .groupBy("split")
