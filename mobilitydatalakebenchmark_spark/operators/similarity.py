@@ -150,6 +150,168 @@ def lsh_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def _multitable_buckets_kernel(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    out_norm: str,
+) -> DataFrame:
+    """Numpy twin of the per-table ``lsh_bucket`` expressions: one
+    mapInPandas matmul against the stacked (L*b, dim) plane matrix computes
+    every table's bucket for every vector in a batch — identical sign bits
+    (a flip needs a projection within float64 ulp of zero, vanishing for
+    real data), ~100x less expression-tree weight than L*b interpreted
+    64-wide folds. Output is long format: (id, vec, norm, t, bucket)."""
+    import numpy as np
+
+    n_tables, n_planes = len(tables), len(tables[0])
+    P = np.array(
+        [plane for table in tables for plane in table], dtype="float64"
+    )  # (L*b, dim)
+    weights = 1 << np.arange(n_planes, dtype="int64")
+    vec_type = dict(df.dtypes)[vec_col]
+    schema = (
+        f"{out_id} long, {out_vec} {vec_type}, {out_norm} double, "
+        "t int, bucket long"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            signs = (mat @ P.T) > 0  # (n, L*b)
+            buckets = signs.reshape(len(mat), n_tables, n_planes) @ weights
+            norms = np.linalg.norm(mat, axis=1)
+            n = len(mat)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy().repeat(n_tables),
+                    out_vec: pdf[vec_col].to_numpy().repeat(n_tables),
+                    out_norm: norms.repeat(n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype="int32"), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def lsh_topk_multitable(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    k: int = 5,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+    kernel: bool = False,
+) -> DataFrame:
+    """OR-amplified LSH ANN: ``n_tables`` independent hyperplane tables
+    (salted md5 planes, deterministic), candidates unioned across tables,
+    exact cosine re-rank. The standard recall amplification a single
+    8-plane table cannot reach on weakly-clustered data: per-table recall r
+    compounds to 1-(1-r)^L, so the round-5 audit's recall@5 = 0.13 tier
+    becomes ~0.6-0.8 at L=8 on the same adversarially-uniform corpus (see
+    tools/ann_recall.py), degrading gracefully — more tables monotonically
+    buy recall at linearly more candidate scans.
+
+    Scale: the corpus side explodes to n_tables rows per vector but stays
+    map-side (the probe side broadcasts); candidate de-dup happens AFTER
+    scoring via groupBy(probe, id) max — the shuffle carries scores, never
+    vectors. Probe buckets are computed once per table and the multiprobe
+    variants derived by integer XOR, so each probe pays L*b projections,
+    not L*b*(b+1). ``kernel=True`` swaps the L*b interpreted fold
+    expressions for one Arrow-batched matmul per side (identical sign
+    bits, ~10x wall on wide geometries — the path the recall-floor gate
+    uses)."""
+    tables = [
+        hyperplanes(dim, n_planes, salt=f"plane-t{t}") for t in range(n_tables)
+    ]
+    if kernel:
+        c = _multitable_buckets_kernel(
+            corpus, tables, id_col, vec_col, id_col, vec_col, "_vn"
+        )
+        pk = _multitable_buckets_kernel(
+            probes, tables, probe_id_col, probe_vec_col,
+            probe_id_col, probe_vec_col, "_pn",
+        )
+        masks = [0] + ([1 << bit for bit in range(n_planes)] if multiprobe else [])
+        p = pk.select(
+            probe_id_col,
+            probe_vec_col,
+            "_pn",
+            "t",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
+    else:
+        c_keys = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        c = (
+            corpus.withColumn("_vn", norm(F.col(vec_col)))
+            .select(id_col, vec_col, "_vn", F.explode(c_keys).alias("_k"))
+            .select(id_col, vec_col, "_vn", "_k.t", "_k.bucket")
+        )
+        # probe buckets: one projection pass per table, then cheap XOR flips
+        p = probes.withColumn("_pn", norm(F.col(probe_vec_col)))
+        for t, planes in enumerate(tables):
+            p = p.withColumn(f"_b{t}", lsh_bucket(F.col(probe_vec_col), planes))
+        entries = []
+        for t in range(n_tables):
+            b = F.col(f"_b{t}")
+            entries.append(F.struct(F.lit(t).alias("t"), b.alias("bucket")))
+            if multiprobe:
+                entries.extend(
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        b.bitwiseXOR(F.lit(1 << bit)).alias("bucket"),
+                    )
+                    for bit in range(n_planes)
+                )
+        p = p.select(
+            probe_id_col,
+            probe_vec_col,
+            "_pn",
+            F.explode(F.array(*entries)).alias("_k"),
+        ).select(probe_id_col, probe_vec_col, "_pn", "_k.t", "_k.bucket")
+    scored = (
+        c.join(F.broadcast(p), ["t", "bucket"])
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            id_col,
+            (
+                dot(F.col(probe_vec_col), F.col(vec_col))
+                / (F.col("_vn") * F.col("_pn"))
+            ).alias("cos_sim"),
+        )
+    )
+    # a vector colliding in several tables scores identically each time —
+    # max() both de-duplicates and keeps the score; without this a
+    # duplicate would occupy two ranks in the top-k window
+    dedup = scored.groupBy(probe_id_col, id_col).agg(
+        F.max("cos_sim").alias("cos_sim")
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return dedup.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,

@@ -247,6 +247,69 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rk")
 
 
+@register(
+    "knn_recall_floor",
+    # The error-bound-boolean pattern (knn_ivf / sketch_percentiles /
+    # dedup_simhash): the index's neighbor list is engine-specific, but
+    # its recall@5 against the exact brute-force top-5 — computed in the
+    # SAME plan — is a deterministic claim with measured floors. Observed
+    # per-probe hits for the 8-table tier at sf0.001/0.01/0.1: min 3 of 5
+    # (floor 2); total hits across the 3 probes: min 10 of 15 (floor 8).
+    # Chance level is ~0.25 total hits, so a broken or regressed index
+    # flips the booleans and hash-mismatches. This is what makes index
+    # QUALITY — not just plumbing — fail a CORRECTNESS row.
+    oracle=f"""
+SELECT vec_id AS probe_id, 'lsh_mt8x8' AS tier, CAST(5 AS BIGINT) AS n_returned,
+       TRUE AS returned_k, TRUE AS recall_ok, TRUE AS mean_floor_ok
+FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+ORDER BY probe_id
+""",
+    doc="recall floor for the OR-amplified multi-table LSH tier "
+    "(similarity.lsh_topk_multitable, 8 tables x 8 planes, 1-bit "
+    "multiprobe, numpy bucket kernel): recall@5 vs in-plan brute force "
+    "asserted per probe (>= 2/5) and in aggregate (>= 8/15). The round-6 "
+    "tuning: OR-amplification lifts the single-table tier's audited "
+    "recall@5 from 0.13 to 0.66 (tools/ann_recall.py, sf0.1, 50 probes)",
+    tags=("vector", "knn", "lsh", "kernel"),
+)
+def knn_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk, lsh_topk_multitable
+
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = brute_force_topk(e, probes, k=5).select(
+        F.col("probe_id").alias("e_probe"), F.col("vec_id").alias("e_id")
+    )
+    lsh = lsh_topk_multitable(
+        e, probes, dim=64, n_tables=8, n_planes=8, k=5, kernel=True
+    ).select("probe_id", "vec_id")
+    hits = (
+        lsh.join(
+            exact,
+            (F.col("probe_id") == F.col("e_probe"))
+            & (F.col("vec_id") == F.col("e_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_returned"), F.count("e_id").alias("n_hits"))
+    )
+    total = hits.agg(F.sum("n_hits").alias("_tot"))
+    return (
+        hits.crossJoin(F.broadcast(total))
+        .select(
+            "probe_id",
+            F.lit("lsh_mt8x8").alias("tier"),
+            "n_returned",
+            (F.col("n_returned") == 5).alias("returned_k"),
+            (F.col("n_hits") >= 2).alias("recall_ok"),
+            (F.col("_tot") >= 8).alias("mean_floor_ok"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 _NEARDUP_ORACLE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.embedding, b.embedding)

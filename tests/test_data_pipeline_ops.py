@@ -124,6 +124,35 @@ class TestSimilarity:
         recall = len(exact_set & approx_set) / len(exact_set)
         assert recall >= 0.2, f"suspiciously low LSH recall {recall}"
 
+    def test_multitable_lsh_beats_single_table(self, emb):
+        probes = self._probes(emb)
+        exact = similarity.brute_force_topk(emb, probes, k=5).collect()
+        exact_set = {(r.probe_id, r.vec_id) for r in exact}
+        single = similarity.lsh_topk(emb, probes, dim=64, n_planes=8, k=5)
+        multi = similarity.lsh_topk_multitable(
+            emb, probes, dim=64, n_tables=8, n_planes=8, k=5, kernel=True
+        )
+        r_single = len({(r.probe_id, r.vec_id) for r in single.collect()} & exact_set)
+        r_multi = len({(r.probe_id, r.vec_id) for r in multi.collect()} & exact_set)
+        # OR-amplification: 8 independent tables must not lose recall, and
+        # on this corpus measurably gain it (audited 0.13 -> 0.66 at sf0.1)
+        assert r_multi >= r_single
+        assert r_multi / len(exact_set) >= 0.4, f"multitable recall {r_multi}/15"
+
+    def test_multitable_kernel_matches_expressions(self, emb):
+        # the numpy bucket kernel must reproduce the expression path
+        # bit-for-bit (same planes, same candidates, same ranks)
+        probes = self._probes(emb)
+        expr = similarity.lsh_topk_multitable(
+            emb, probes, dim=64, n_tables=4, n_planes=8, k=5
+        ).collect()
+        kern = similarity.lsh_topk_multitable(
+            emb, probes, dim=64, n_tables=4, n_planes=8, k=5, kernel=True
+        ).collect()
+        assert {(r.probe_id, r.vec_id, r.rk) for r in expr} == {
+            (r.probe_id, r.vec_id, r.rk) for r in kern
+        }
+
     def test_ivf_recall_vs_bruteforce(self, emb):
         probes = self._probes(emb)
         exact = similarity.brute_force_topk(emb, probes, k=5).collect()

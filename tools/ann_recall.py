@@ -75,6 +75,20 @@ def main() -> None:
 
     tiers = {
         "lsh_multiprobe": lambda: S.lsh_topk(e, probes, dim=dim, k=k),
+        # OR-amplified multi-table tiers (round-6): recall compounds as
+        # 1-(1-r)^L over L independent tables
+        "lsh_mt4x8": lambda: S.lsh_topk_multitable(
+            e, probes, dim=dim, n_tables=4, n_planes=8, k=k
+        ),
+        "lsh_mt8x8": lambda: S.lsh_topk_multitable(
+            e, probes, dim=dim, n_tables=8, n_planes=8, k=k
+        ),
+        "lsh_mt8x10": lambda: S.lsh_topk_multitable(
+            e, probes, dim=dim, n_tables=8, n_planes=10, k=k
+        ),
+        "lsh_mt16x10": lambda: S.lsh_topk_multitable(
+            e, probes, dim=dim, n_tables=16, n_planes=10, k=k
+        ),
         "ivf_seeded_np2": lambda: S.ivf_topk(
             *_ivf(S, e, lloyd=0), probes, k=k, nprobe=2
         ),
