@@ -50,8 +50,12 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# features are f64: the decoders compute float64 statistics and a float32
+# column would quantize them (~6e-8 absolute on unit-scale values — enough
+# to flip a 6-dp rounding, which the multimodal_decode_stats oracle
+# compares at). An 8-element stats vector costs nothing at double width.
 FEATURE_SCHEMA = (
-    "media_id long, modality string, feat_dim int, features array<float>, "
+    "media_id long, modality string, feat_dim int, features array<double>, "
     "decode_ok boolean"
 )
 
@@ -184,6 +188,44 @@ def encode_ppm(pixels) -> bytes:
     arr = np.asarray(pixels, dtype=np.uint8)
     h, w, _ = arr.shape
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def synthesize_deterministic_media(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL media payloads derived from an id column, fully
+    in-plan (mapInPandas — no driver-side fixture): per id ``d``, one
+    PCM16 WAV of ``100 + d % 50`` constant-amplitude samples at 8 kHz
+    (amplitude ``((d % 9) + 1)/10``) and one solid-color binary PPM of
+    ``(4 + d % 5) x (3 + d % 3)`` pixels (RGB ``(37d, 59d, 83d) % 256``).
+    Every decoded statistic is therefore closed-form in ``d`` — what lets
+    the multimodal_decode_stats gate value-check the real codecs against
+    a SQL oracle that never sees the bytes."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, modalities, payloads = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 100 + d % 50
+                amp = ((d % 9) + 1) / 10.0
+                ids.append(d)
+                modalities.append("audio")
+                payloads.append(encode_wav_pcm16([amp] * n, sample_rate=8000))
+                w, h = 4 + d % 5, 3 + d % 3
+                rgb = [(37 * d) % 256, (59 * d) % 256, (83 * d) % 256]
+                px = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+                ids.append(d)
+                modalities.append("image")
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame(
+                {"media_id": ids, "modality": modalities, "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        kernel, "media_id long, modality string, payload binary"
+    )
 
 
 def decode_features(
