@@ -158,6 +158,13 @@ class PQIndexStore:
         n_vectors = self._read(spark, "codes").count() // self.m_subspaces
         self._write_meta(spark, n_vectors, meta["train_iters"])
 
+    def indexed_ids(self, spark: SparkSession) -> DataFrame:
+        """Distinct ids the index currently holds (one column, ``vec_id``)
+        — the membership side of the streaming append's idempotence
+        anti-join. Codes carry m rows per vector; the distinct collapses
+        map-side (codes are written clustered by vec_id)."""
+        return self._read(spark, "codes").select("vec_id").distinct()
+
     def _require_geometry(self, spark: SparkSession) -> dict:
         """Persisted meta, validated against this store's geometry."""
         meta = self.meta(spark)
@@ -362,6 +369,17 @@ class IVFIndexStore:
             [(self.n_centroids, meta["lloyd_iters"], n_vectors)],
             "n_centroids int, lloyd_iters int, n_vectors long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta.parquet")
+
+    def indexed_ids(self, spark: SparkSession) -> DataFrame:
+        """Distinct ids the index currently holds (one column, ``vec_id``)
+        — the membership side of the streaming append's idempotence
+        anti-join. Lists hold one row per vector, so this is a plain
+        id-column projection."""
+        return (
+            spark.read.parquet(f"{self.path}/lists.parquet")
+            .select("vec_id")
+            .distinct()
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndexStore":

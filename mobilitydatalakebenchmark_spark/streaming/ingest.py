@@ -133,32 +133,86 @@ def stream_to_ann_index(
     must already be built (the codebook/centroids are the training
     artifact; retraining is a batch decision, not a streaming one).
 
-    Replay protection: Structured Streaming commits the source offset
-    only AFTER foreachBatch returns, so a crash mid-append makes the
-    restarted query re-deliver the same epoch. The flush records the
-    last applied epoch id in <store>/stream_state.parquet and skips any
-    epoch at or below it — at-least-once delivery becomes effectively
-    once, and a replayed batch cannot double-append code rows (which
-    would silently double ADC/cosine scores for those vectors)."""
+    Replay protection — the append is IDEMPOTENT, not merely
+    epoch-counted. Two layers:
+
+    1. Anti-membership: every batch is stripped of ids the store already
+       holds (a left-semi probe of the store's id table against the
+       broadcast batch) before appending. This is what makes at-least-once
+       delivery effectively once under EVERY replay shape: a crash between
+       the codes append and the state write, a fresh checkpoint replaying
+       the same source, or an upstream that re-delivers rows across
+       epochs. A duplicate id can never double-append code/list rows
+       (which would silently double ADC/cosine scores). Cost: one scan of
+       the store's id column per micro-batch — the price of idempotence
+       without a transactional sink; with Delta available this becomes a
+       MERGE and the scan goes away.
+    2. Epoch fast path: the flush records the last applied epoch PER
+       CHECKPOINT (epoch ids are scoped to a checkpoint, so the state key
+       is md5(checkpointLocation) — a NEW stream attached to an existing
+       store starts its own epoch sequence instead of being silently
+       swallowed by another run's high-water mark) and skips an epoch at
+       or below its own run's mark without touching the id table.
+
+    State reads narrow their error handling to missing-path /
+    empty-directory conditions; any other read failure raises instead of
+    silently re-enabling a replay window."""
+
+    import hashlib
 
     state_path = f"{store.path}/stream_state.parquet"
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_path = f"{state_path}/run_id={run_id}"
 
     def _last_epoch(spark) -> int:
         try:
-            return spark.read.parquet(state_path).first()["last_epoch"]
-        except Exception:  # noqa: BLE001 — first epoch: no state yet
-            return -1
+            row = spark.read.parquet(run_path).agg(
+                F.max("last_epoch").alias("e")
+            ).first()
+        except Exception as exc:  # narrow: only "no state yet" shapes
+            msg = str(exc)
+            if any(
+                s in msg
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                    "Unable to infer schema",
+                )
+            ):
+                return -1
+            raise
+        return -1 if row is None or row["e"] is None else int(row["e"])
 
     def flush(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
         if epoch_id <= _last_epoch(spark):
-            return  # replayed epoch: already fully applied
-        store.append(batch, id_col=id_col, vec_col=vec_col)
+            return  # same-run replay: already fully applied
+        # idempotent append: drop ids the store already holds. The batch
+        # side broadcasts (it is micro-batch-sized); the store id scan is
+        # the big side of the semi-join and never leaves the executors —
+        # only the (batch-bounded) hit list returns to the driver.
+        hits = [
+            r[0]
+            for r in store.indexed_ids(spark)
+            .withColumnRenamed("vec_id", id_col)
+            .join(
+                F.broadcast(batch.select(F.col(id_col)).distinct()),
+                id_col,
+                "left_semi",
+            )
+            .collect()
+        ]
+        fresh = (
+            batch.filter(~F.col(id_col).isin(hits)) if hits else batch
+        )
+        if not fresh.isEmpty():
+            store.append(fresh, id_col=id_col, vec_col=vec_col)
         spark.createDataFrame(
             [(int(epoch_id),)], "last_epoch long"
-        ).coalesce(1).write.mode("overwrite").parquet(state_path)
+        ).coalesce(1).write.mode("overwrite").parquet(run_path)
 
     return (
         embeddings_stream.writeStream.foreachBatch(flush)

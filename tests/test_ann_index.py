@@ -382,3 +382,66 @@ def test_streaming_append_into_ivf_index(spark, embeddings, tmp_path):
     )
     top = store.topk(probe, k=1, nprobe=1, exclude_self=False).first()
     assert top.vec_id == probe.first().probe_id
+
+
+def test_streaming_append_survives_crash_window(spark, embeddings, probes, tmp_path):
+    """The ADVICE-flagged crash shape: an epoch's append COMMITS but the
+    stream-state write does not (crash between the two), so the restarted
+    query re-delivers the same rows. Simulated by appending the streamed
+    half directly (the 'committed append') and then streaming the same
+    data with a checkpoint that has no state: the idempotence anti-join
+    must drop every already-present id instead of double-appending."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+    from mobilitydatalakebenchmark_spark.streaming.ingest import stream_to_pq_index
+
+    half_a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    landing = str(tmp_path / "landing")
+    half_b.repartition(2).write.parquet(landing)
+
+    store = PQIndexStore(str(tmp_path / "idx"), **GEOM)
+    store.build(half_a)
+    store.append(half_b)  # the epoch whose state write was lost
+    before = _rows(store.topk(probes, k=5))
+    n_before = store.meta(spark)["n_vectors"]
+
+    stream = (
+        spark.readStream.schema(half_b.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    stream_to_pq_index(stream, store, str(tmp_path / "ckpt")).awaitTermination(120)
+    assert store.meta(spark)["n_vectors"] == n_before
+    assert _rows(store.topk(probes, k=5)) == before
+
+
+def test_new_stream_on_existing_store_keeps_new_data(spark, embeddings, tmp_path):
+    """The second ADVICE-flagged shape: epoch ids are checkpoint-scoped,
+    but a store-scoped high-water mark would make a NEW stream (fresh
+    checkpoint, genuinely new data) restart at epoch 0 and silently DROP
+    its first batches. State is keyed by checkpoint now: stream thirds b
+    and c through two different checkpoints — both must land in full."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import PQIndexStore
+    from mobilitydatalakebenchmark_spark.streaming.ingest import stream_to_pq_index
+
+    third_a = embeddings.filter(F.col("vec_id") % 3 == 0)
+    third_b = embeddings.filter(F.col("vec_id") % 3 == 1)
+    third_c = embeddings.filter(F.col("vec_id") % 3 == 2)
+    store = PQIndexStore(str(tmp_path / "idx"), **GEOM)
+    store.build(third_a)
+
+    for name, part in (("b", third_b), ("c", third_c)):
+        landing = str(tmp_path / f"landing_{name}")
+        part.repartition(2).write.parquet(landing)
+        stream = (
+            spark.readStream.schema(part.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        stream_to_pq_index(
+            stream, store, str(tmp_path / f"ckpt_{name}")
+        ).awaitTermination(120)
+
+    assert store.meta(spark)["n_vectors"] == embeddings.count()
+    ids = {r.vec_id for r in store.indexed_ids(spark).collect()}
+    assert ids == {r.vec_id for r in embeddings.select("vec_id").collect()}
