@@ -107,6 +107,7 @@ def write_shards(
     manifest = (
         assigned.groupBy("shard")
         .agg(
+            F.first(source_col).alias("source"),
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
             F.min(id_col).alias("min_doc_id"),
@@ -117,6 +118,121 @@ def write_shards(
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/manifest.parquet"
     )
+
+
+def append_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int = 4096,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental shard export: place a batch of NEW documents after each
+    source's current fill level and update the manifest — the arrival path
+    for a living corpus (a full ``write_shards`` repacks everything; this
+    touches only the batch plus the shards it lands in).
+
+    Placement: per source, the batch is packed in deterministic md5(id)
+    order (the ``pack_sequences`` layout) and laid down starting at the
+    source's persisted total-token offset — so each source's LAST OPEN
+    shard is filled before a new one is cut, and shard boundaries keep
+    falling every ``shard_tokens`` tokens of the source's cumulative
+    stream. Appending batches B1 then B2 therefore produces the same
+    layout as streaming them through ``stream_to_shards`` in that order
+    (pinned by test); it intentionally differs from repacking B1∪B2 in
+    one pass, which would interleave the union's hash order.
+
+    Manifest maintenance mirrors ``streaming/rollup_stream.py``: only the
+    TOUCHED shards are re-derived (partition-pruned read of just those
+    shard directories — the content md5 is not mergeable, so touched
+    shards recompute from data); untouched manifest rows are carried
+    over; the small manifest file is rewritten atomically last, which
+    also makes a crashed append detectable by ``verify_shards``."""
+    spark = docs.sparkSession
+    from .text_analysis import pack_sequences
+
+    try:
+        manifest = spark.read.parquet(f"{path}/manifest.parquet")
+        prev = manifest.groupBy("source").agg(
+            F.sum("n_tokens").alias("_prev_tokens")
+        )
+    except Exception as exc:  # narrow: only "empty store" shapes
+        if not any(
+            s in str(exc)
+            for s in (
+                "PATH_NOT_FOUND",
+                "Path does not exist",
+                "UNABLE_TO_INFER_SCHEMA",
+                "Unable to infer schema",
+            )
+        ):
+            raise
+        manifest, prev = None, None
+    placed = pack_sequences(
+        docs,
+        capacity=shard_tokens,
+        shard_col=source_col,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    if prev is not None:
+        placed = placed.join(F.broadcast(prev), source_col, "left").withColumn(
+            "start_offset",
+            (
+                F.coalesce(F.col("_prev_tokens"), F.lit(0))
+                + F.col("start_offset")
+            ).cast("long"),
+        )
+    assigned = (
+        placed.withColumn(
+            "start_bin", (F.col("start_offset") / shard_tokens).cast("long")
+        )
+        .select(
+            source_col,
+            id_col,
+            "n_tokens",
+            "pack_order",
+            "start_offset",
+            F.concat_ws(
+                "-", F.col(source_col), F.col("start_bin").cast("string")
+            ).alias("shard"),
+        )
+        .join(docs.select(id_col, text_col), id_col)
+        .localCheckpoint(eager=False)
+    )
+    (
+        assigned.repartition("shard")
+        .sortWithinPartitions("start_offset")
+        .write.mode("append")
+        .partitionBy("shard")
+        .parquet(f"{path}/data.parquet")
+    )
+    touched = [r["shard"] for r in assigned.select("shard").distinct().collect()]
+    recomputed = (
+        spark.read.parquet(f"{path}/data.parquet")
+        .filter(F.col("shard").isin(touched))
+        .groupBy("shard")
+        .agg(
+            F.first(source_col).alias("source"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+            _content_md5(id_col).alias("content_md5"),
+        )
+    )
+    if manifest is not None:
+        new_manifest = manifest.filter(
+            ~F.col("shard").isin(touched)
+        ).unionByName(recomputed)
+    else:
+        new_manifest = recomputed
+    # materialize before overwriting the file the plan reads from
+    pdf = new_manifest.toPandas()
+    spark.createDataFrame(pdf, new_manifest.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/manifest.parquet")
 
 
 def verify_shards(spark, path: str) -> DataFrame:

