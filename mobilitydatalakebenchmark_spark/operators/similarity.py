@@ -1017,6 +1017,58 @@ def assign_nearest_centroid(
     )
 
 
+def covariance_matrix_expr(
+    df: DataFrame, dims: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Expression-path covariance/correlation matrix (upper triangle over
+    the leading ``dims`` components): crossJoin each vector against the
+    broadcast (i, j) pair list, one partial-agg groupBy on d(d+1)/2 keys.
+    The d(d+1)/2x row inflation is pipelined map-side into the partial
+    aggregate and never shuffles — the winning plan for NARROW vectors,
+    where whole-stage codegen beats Arrow batch conversion (measured
+    crossover vs the Gram kernel at d≈128-256; see covariance_matrix)."""
+    pairs = df.sparkSession.createDataFrame(
+        [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)],
+        "i int, j int",
+    )
+    xi = F.element_at(vec_col, F.col("i")).cast("double")
+    xj = F.element_at(vec_col, F.col("j")).cast("double")
+    return (
+        df.crossJoin(F.broadcast(pairs))
+        .select("i", "j", xi.alias("xi"), xj.alias("xj"))
+        .groupBy("i", "j")
+        .agg(
+            F.round(F.covar_pop("xi", "xj"), 6).alias("cov_pop"),
+            F.round(F.corr("xi", "xj"), 6).alias("corr_r"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+# measured on local[32] at sf0.1: expression path wins at d=64 (1.5 s vs
+# 2.7 s / 100k vectors), Gram kernel wins 2.5x at d=256 (2.1 s vs 5.2 s /
+# 20k vectors) with the gap growing ~d^2 — the crossover sits at d≈128-256
+_COV_GRAM_MIN_DIMS = 128
+
+
+def covariance_matrix(
+    df: DataFrame, dims: int | None = None, vec_col: str = "embedding"
+) -> DataFrame:
+    """Covariance/correlation matrix with automatic path choice: the
+    codegen'd expression plan below ``_COV_GRAM_MIN_DIMS`` requested
+    dims, the one-pass Gram mapInPandas kernel at or above it (each
+    vector touched once instead of replicated |pairs| times). Both paths
+    produce identical output columns and 6-dp-identical values (pinned by
+    the twin gates sharing one oracle). ``dims=None`` covers the full
+    vector width, probed from the first row."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    if dims >= _COV_GRAM_MIN_DIMS:
+        return covariance_matrix_gram(df, dims, vec_col)
+    return covariance_matrix_expr(df, dims, vec_col)
+
+
 def covariance_gram_partials(
     df: DataFrame, dims: int, vec_col: str = "embedding"
 ) -> DataFrame:

@@ -857,24 +857,13 @@ GROUP BY p.i, p.j ORDER BY p.i, p.j
     tags=("vector",),
 )
 def vec_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the expression path, now a library operator; callers who don't want
+    # to choose use similarity.covariance_matrix, which dispatches on the
+    # requested width (expr < 128 dims <= gram — the measured crossover)
+    from ..operators.similarity import covariance_matrix_expr
+
     e = t(spark, sf_dir, "embeddings", heavy=True)
-    pairs = e.sparkSession.createDataFrame(
-        [(i, j) for i in range(1, _COV_DIMS + 1) for j in range(i, _COV_DIMS + 1)],
-        "i int, j int",
-    )
-    xi = F.element_at("embedding", F.col("i")).cast("double")
-    xj = F.element_at("embedding", F.col("j")).cast("double")
-    return (
-        e.crossJoin(F.broadcast(pairs))
-        .select("i", "j", xi.alias("xi"), xj.alias("xj"))
-        .groupBy("i", "j")
-        .agg(
-            F.round(F.covar_pop("xi", "xj"), 6).alias("cov_pop"),
-            F.round(F.corr("xi", "xj"), 6).alias("corr_r"),
-            F.count("*").alias("n"),
-        )
-        .orderBy("i", "j")
-    )
+    return covariance_matrix_expr(e, _COV_DIMS)
 
 
 @register(

@@ -674,3 +674,39 @@ class TestReviewFixes:
         # uncapped control: the same input explodes into ~500k pairs
         uncapped = shared_passages(df, shingle_n=8, max_df=None)
         assert uncapped.count() == (1000 * 999) // 2 + 1
+
+
+class TestCovarianceDispatch:
+    """similarity.covariance_matrix picks the plan from the requested
+    width: codegen'd expressions for narrow vectors, the one-pass Gram
+    mapInPandas kernel for wide ones (measured crossover d≈128-256)."""
+
+    def test_narrow_uses_expressions(self, spark):
+        from mobilitydatalakebenchmark_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = similarity.covariance_matrix(emb, dims=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        # both paths agree value-for-value at the gates' 6-dp rounding
+        expr_rows = {(r.i, r.j): (r.cov_pop, r.corr_r, r.n) for r in out.collect()}
+        gram_rows = {
+            (r.i, r.j): (r.cov_pop, r.corr_r, r.n)
+            for r in similarity.covariance_matrix_gram(emb, 8).collect()
+        }
+        assert expr_rows == gram_rows
+
+    def test_wide_uses_gram_kernel(self, spark):
+        import numpy as np
+
+        from mobilitydatalakebenchmark_spark.operators import similarity
+
+        rng = np.random.default_rng(7)
+        wide = spark.createDataFrame(
+            [(i, rng.standard_normal(256).tolist()) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        out = similarity.covariance_matrix(wide)  # width probed: 256
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert out.count() == 256 * 257 // 2
