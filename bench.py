@@ -52,6 +52,9 @@ HEADLINE = [
     "text_gopher_quality",
     "sample_temperature_mixture",
     "pack_shard_manifest",
+    # round-6 additions
+    "knn_recall_floor",
+    "multimodal_decode_stats",
 ]
 
 
@@ -73,14 +76,45 @@ def main() -> None:
         registry[name].spark(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    # Machine-load probe: one fixed query re-timed at three points of the
+    # run (1/3, 2/3, end — all past the JVM's warm-up regime; a start
+    # sample measures code-cache warming, not load, by experiment). A
+    # loaded machine shows up as spread between the samples, which makes
+    # "this round looks 6% slower" self-adjudicating (round-5 lesson: a
+    # diffuse +6% drift across a run was machine load, confirmed only by
+    # a manual re-run). Rule of thumb documented in README: compare
+    # trend20 across rounds only when spread_pct is modest (< ~25).
+    _PROBE = "w1_tumbling_hour"  # also HEADLINE[6], so fully warm by 1/3
+
+    def probe() -> float:
+        # min of two back-to-back runs: a single sample conflates machine
+        # load with one-off JVM events (a GC pause reads as 5x); the min
+        # of two still tracks sustained load, which is what the spread is
+        # meant to surface
+        return round(min(run(_PROBE), run(_PROBE)), 3)
+
+    noise: dict[str, float] = {}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    rep2: dict[str, float] = {}
+    for i, name in enumerate(HEADLINE):
         # First rep is warm-up (JIT, file listing, shuffle dirs); C2
         # compilation keeps landing through the second rep, so time two
         # more and keep the min — run-to-run drift at these sub-second
-        # scales is JVM warmup, not the query.
+        # scales is JVM warmup, not the query. Both kept reps are
+        # emitted: `queries` carries the min (the trend figure),
+        # `queries_rep2` the other rep, so per-query dispersion is
+        # visible in the artifact itself.
         run(name)
-        timings[name] = round(min(run(name), run(name)), 3)
+        a, b = run(name), run(name)
+        timings[name] = round(min(a, b), 3)
+        rep2[name] = round(max(a, b), 3)
+        if i == len(HEADLINE) // 3:
+            noise["early"] = probe()
+        elif i == 2 * len(HEADLINE) // 3:
+            noise["middle"] = probe()
+    noise["end"] = probe()
+    lo, hi = min(noise.values()), max(noise.values())
+    noise["spread_pct"] = round((hi - lo) / lo * 100, 1) if lo > 0 else 0.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -90,6 +124,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_rep2": rep2,
+                "noise_probe": noise,
                 # cross-round comparable figure: the first 20 HEADLINE
                 # entries are frozen across rounds (r1: 17.9, r4: 12.9);
                 # `value` grows as new operators join the watch list
