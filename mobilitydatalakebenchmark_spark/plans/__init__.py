@@ -36,46 +36,31 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # Gates the external driver has hash-verified, grouped by the round of
 # their most recent verdict (the driver checks the FIRST 50 registry
-# entries each round). With every gate driver-checked at least once as of
-# round 4, the window now runs as a STALENESS ROTATION: brand-new /
-# redefined gates first (they need a first verdict on current semantics),
-# then gates whose code changed after their last driver check, then
-# oldest-verified-first re-verification. Every gate is oracle-checked
-# locally by tools/check_oracle.py each round regardless; the ordering only
-# decides which subset gets this round's independent driver verdict.
-# r1-r2 verdicts. (s1_scan_order_limit graduated to the R4 block — its
-# freshest verdict is round 4's, and the rotation ranks by most recent.)
+# entries each round). The window runs as a STALENESS ROTATION: brand-new
+# / redefined gates first (they need a first verdict on current
+# semantics), then gates whose code changed after their last driver
+# check, then oldest-verified-first re-verification. Every gate is
+# oracle-checked locally by tools/check_oracle.py each round regardless;
+# the ordering only decides which subset gets this round's independent
+# driver verdict. Gates re-verified in a later window GRADUATE out of
+# their old block (round 6 moved the 39 R1-R2 gates and 4 others that
+# CORRECTNESS_r05 re-verified into the R5 block), so each name appears
+# exactly once, under its freshest verdict.
+# r1-r2 verdicts never re-checked since (the oldest — window them first):
 DRIVER_VERIFIED_R12 = (
-    "f1_point_lookup", "f2_in_list", "f9_first_match",
-    "j1_doc_feature_join", "j4_snowflake_revenue", "j6_three_table_lookup",
-    "j7_semi_existing_keys", "f4_anti_novelty", "a4_zonemap_minmax",
-    "a6_distinct_keys", "a9_first_seen_dedup", "p14_hashcons_dim",
-    "p18_surrogate_keys", "p6_direction_roundtrip", "o3_union_append",
-    "setop_intersect_except", "agg_rollup_status", "agg_pivot_manual",
-    "a7_counts", "tpch_q3_style_topn", "scalar_subquery_above_avg",
-    "correlated_exists_sql", "grouping_sets_cube",
-    "tpch_q5_style_regional_revenue", "tpch_q7_style_nation_volume",
-    "tpch_q10_style_returns_topn", "tpch_q14_style_promo_revenue",
-    "tpch_q16_style_supplier_variety", "tpch_q17_style_small_qty_revenue",
-    "tpch_q18_style_large_orders", "correlated_not_exists_sql",
-    "tpch_q15_style_top_supplier", "tpch_q6_style_forecast_revenue",
-    "tpch_q8_style_market_share", "tpch_q9_style_nation_profit",
-    "tpch_q11_style_balance_share", "tpch_q13_style_order_distribution",
-    "tpch_q19_style_disjunctive_revenue", "tpch_q20_style_nested_in",
     "tpch_q2_style_min_cost_supplier", "tpch_q4_style_priority_exists",
     "tpch_q12_style_priority_by_flag", "tpch_q21_style_sole_late_supplier",
-    "tpch_q22_style_idle_balance", "w1_tumbling_hour", "a5_batch_range_bounds",
-    "w3_asof_lookup",
+    "tpch_q22_style_idle_balance", "w1_tumbling_hour",
+    "a5_batch_range_bounds", "w3_asof_lookup",
 )
-# r3 verdicts (CORRECTNESS_r03.json, all hash-matched):
+# r3 verdicts (CORRECTNESS_r03.json) still freshest:
 DRIVER_VERIFIED_R3 = (
     "a1_entity_sequences", "anomaly_zscore_outliers",
     "asof_join_purchases_clicks", "co_location_contacts", "cohort_retention",
     "date_functions", "dedup_exact_hash", "dedup_minhash_lsh_candidates",
-    "dedup_minhash_signatures", "dedup_ngram_jaccard",
-    "dedup_shared_passages", "event_transition_matrix",
+    "dedup_minhash_signatures", "event_transition_matrix",
     "f6_temporal_containment", "funnel_conversion", "json_props_extract",
-    "json_variant_extract", "k_anonymity_cells", "knn_ivf_seeded",
+    "json_variant_extract", "k_anonymity_cells",
     "mobility_frequent_locations", "mobility_location_entropy",
     "mobility_radius_of_gyration", "od_matrix_trips",
     "p11_fixed_point_roundtrip", "p12_cantor_pairing", "p15_wkt_points",
@@ -88,14 +73,14 @@ DRIVER_VERIFIED_R3 = (
     "trajectory_step_metrics", "url_domain_topk", "velocity_dim_build",
     "w5_sessionize", "window_range_frames",
 )
-# r4 verdicts (CORRECTNESS_r04.json, 50/50 hash-matched — the freshest):
+# r4 verdicts (CORRECTNESS_r04.json) still freshest:
 DRIVER_VERIFIED_R4 = (
-    "flagship_pricing_summary", "sketch_percentiles", "approx_distinct_users",
-    "knn_pq_adc_seeded", "dedup_semantic_clusters", "vec_covariance_matrix",
-    "text_chunk_overlap", "text_zipf_slope", "text_perplexity_buckets",
-    "interval_overlap_join", "dedup_minhash_verified", "text_fingerprint",
-    "text_token_topk", "text_langid", "dedup_simhash", "text_quality_score",
-    "dedup_simhash_md5", "dedup_drop_near_duplicates", "dedup_edit_distance",
+    "sketch_percentiles", "approx_distinct_users", "knn_pq_adc_seeded",
+    "vec_covariance_matrix", "text_chunk_overlap", "text_zipf_slope",
+    "text_perplexity_buckets", "interval_overlap_join",
+    "dedup_minhash_verified", "text_fingerprint", "text_token_topk",
+    "text_langid", "dedup_simhash", "text_quality_score", "dedup_simhash_md5",
+    "dedup_drop_near_duplicates", "dedup_edit_distance",
     "text_repetition_dup_ngrams", "text_df_idf", "text_tfidf_keywords",
     "sample_hash_split", "sample_deterministic_strata",
     "pack_sequences_contiguous", "contamination_check", "vec_norms",
@@ -109,8 +94,37 @@ DRIVER_VERIFIED_R4 = (
     "unpivot_measures", "dq_check_suite", "path_trigrams_topk",
     "session_window_native", "graph_triangle_count", "s1_scan_order_limit",
 )
+# r5 verdicts (CORRECTNESS_r05.json, 50/50 hash-matched — the freshest):
+DRIVER_VERIFIED_R5 = (
+    "flagship_pricing_summary", "dedup_semantic_clusters",
+    "text_perplexity_buckets_sketch", "vec_covariance_matrix_gram",
+    "pipeline_quality_dedup_split", "text_gopher_quality",
+    "pack_shard_manifest", "sample_temperature_mixture",
+    "dedup_ngram_jaccard", "dedup_shared_passages", "knn_ivf_seeded",
+    "f1_point_lookup", "f2_in_list", "f9_first_match", "j1_doc_feature_join",
+    "j4_snowflake_revenue", "j6_three_table_lookup", "j7_semi_existing_keys",
+    "f4_anti_novelty", "a4_zonemap_minmax", "a6_distinct_keys",
+    "a9_first_seen_dedup", "p14_hashcons_dim", "p18_surrogate_keys",
+    "p6_direction_roundtrip", "o3_union_append", "setop_intersect_except",
+    "agg_rollup_status", "agg_pivot_manual", "a7_counts",
+    "tpch_q3_style_topn", "scalar_subquery_above_avg",
+    "correlated_exists_sql", "grouping_sets_cube",
+    "tpch_q5_style_regional_revenue", "tpch_q7_style_nation_volume",
+    "tpch_q10_style_returns_topn", "tpch_q14_style_promo_revenue",
+    "tpch_q16_style_supplier_variety", "tpch_q17_style_small_qty_revenue",
+    "tpch_q18_style_large_orders", "correlated_not_exists_sql",
+    "tpch_q15_style_top_supplier", "tpch_q6_style_forecast_revenue",
+    "tpch_q8_style_market_share", "tpch_q9_style_nation_profit",
+    "tpch_q11_style_balance_share", "tpch_q13_style_order_distribution",
+    "tpch_q19_style_disjunctive_revenue", "tpch_q20_style_nested_in",
+)
 DRIVER_VERIFIED = tuple(
-    dict.fromkeys(DRIVER_VERIFIED_R12 + DRIVER_VERIFIED_R3 + DRIVER_VERIFIED_R4)
+    dict.fromkeys(
+        DRIVER_VERIFIED_R12
+        + DRIVER_VERIFIED_R3
+        + DRIVER_VERIFIED_R4
+        + DRIVER_VERIFIED_R5
+    )
 )
 
 
@@ -127,32 +141,42 @@ def load_registry() -> dict[str, Q]:
     from . import vectors  # noqa: F401
     from . import advanced  # noqa: F401
 
-    # Round 5: new gates (text_perplexity_buckets_sketch, the Gram-kernel
-    # covariance twin) plus dedup_semantic_clusters, whose output was
-    # redefined this round (n_truncated column from the per-cluster cap) —
-    # its r4 verdict no longer covers current semantics.
+    # Round 6: brand-new gates needing a first verdict.
     newest = (
-        "dedup_semantic_clusters", "text_perplexity_buckets_sketch",
-        "vec_covariance_matrix_gram", "pipeline_quality_dedup_split",
-        "text_gopher_quality", "pack_shard_manifest",
-        "sample_temperature_mixture",
+        "knn_recall_floor", "multimodal_decode_stats",
     )
-    # r3-verified gates whose plan code changed AFTER their last driver
-    # check (the round-4 `heavy=` opt-in touched these three) — rechecked
-    # before merely-old gates.
+    # Gates whose plan code changed AFTER their last driver check —
+    # rechecked before merely-old gates:
+    # - pipeline_quality_dedup_split: the round-6 self-join lineage fix
+    #   (keepers join on the column-name list) after its r5 verdict;
+    # - vec_covariance_matrix: plan construction moved into
+    #   similarity.covariance_matrix_expr this round (identical plan by
+    #   construction, re-verdict anyway) after its r4 verdict;
+    # - the four norm-hoisted gates the round-5 optimization rewrote
+    #   AFTER their r4 verdicts (knn_bruteforce_cosine, knn_ivf,
+    #   knn_lsh_multiprobe, vec_nearest_centroid_confusion) — the hoists
+    #   are bit-identical by commutativity, but the rotation's own rule
+    #   is "plan code changed => re-verdict" (round-5 ADVICE item).
     code_touched = (
-        "dedup_ngram_jaccard", "dedup_shared_passages", "knn_ivf_seeded",
+        "pipeline_quality_dedup_split", "vec_covariance_matrix",
+        "knn_bruteforce_cosine", "knn_ivf", "knn_lsh_multiprobe",
+        "vec_nearest_centroid_confusion",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest + code_touched:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
-    # staleness rotation: anything never driver-verified first (none as of
-    # r4 apart from brand-new gates, already placed), then oldest verdicts
+    # staleness rotation: anything never driver-verified first (brand-new
+    # gates are already placed via `newest`), then oldest verdicts first
     for name, q in REGISTRY.items():
         if name not in DRIVER_VERIFIED and name not in ordered:
             ordered[name] = q
-    for block in (DRIVER_VERIFIED_R12, DRIVER_VERIFIED_R3, DRIVER_VERIFIED_R4):
+    for block in (
+        DRIVER_VERIFIED_R12,
+        DRIVER_VERIFIED_R3,
+        DRIVER_VERIFIED_R4,
+        DRIVER_VERIFIED_R5,
+    ):
         for name in block:
             if name in REGISTRY and name not in ordered:
                 ordered[name] = REGISTRY[name]
