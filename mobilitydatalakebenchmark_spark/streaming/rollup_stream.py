@@ -46,11 +46,25 @@ def upsert_rollup_batch(
     val_col: str,
     keys: tuple[str, ...] = (),
     bucket: str = "hour",
+    txn: tuple[str, int] | None = None,
 ) -> None:
-    """Merge one micro-batch into the stored rollup table. Idempotent per
-    bucket content-wise only if the batch is complete for its buckets —
-    exactly-once across restarts comes from the streaming checkpoint
-    replaying whole epochs, as with any foreachBatch sink."""
+    """Merge one micro-batch into the stored rollup table.
+
+    ``txn = (run_id, epoch_id)`` makes the merge IDEMPOTENT per epoch —
+    the Delta ``txnAppId/txnVersion`` pattern on plain parquet: every
+    bucket row written by this merge is stamped with the txn, and a
+    bucket whose stored stamp already equals the incoming txn is skipped
+    (its partition files are left untouched — dynamic overwrite only
+    rewrites partitions present in the output). A replayed epoch — the
+    crash window between the data write and the checkpoint's offset
+    commit — therefore merges each touched bucket exactly once, where an
+    unstamped re-merge would double-count every sum. Aggregate states
+    have no row ids to anti-join on, so the stamp carries the dedup
+    information the data cannot.
+
+    Without ``txn`` the merge is content-idempotent per bucket only if
+    the batch is complete for its buckets (the pre-round-6 behavior,
+    fine for batch backfills)."""
     spark = batch.sparkSession
     partial = _with_bucket_key(
         build_rollup(batch, ts_col, val_col, keys=keys, bucket=bucket)
@@ -58,15 +72,43 @@ def upsert_rollup_batch(
     touched = [r[_BUCKET_KEY] for r in partial.select(_BUCKET_KEY).distinct().collect()]
     if not touched:
         return
+    existing = None
     if os.path.exists(table_path):
         existing = spark.read.parquet(table_path).filter(
             F.col(_BUCKET_KEY).isin(touched)
         )
-        merged_src = existing.unionByName(partial)
+        for c in ("_txn_run", "_txn_epoch"):  # legacy tables lack stamps
+            if c not in existing.columns:
+                existing = existing.withColumn(c, F.lit(None))
+        if txn is not None:
+            done = [
+                r[_BUCKET_KEY]
+                for r in existing.filter(
+                    (F.col("_txn_run") == txn[0])
+                    & (F.col("_txn_epoch") == txn[1])
+                )
+                .select(_BUCKET_KEY)
+                .distinct()
+                .collect()
+            ]
+            if done:  # replayed epoch: those buckets already merged it
+                touched = [b for b in touched if b not in done]
+                if not touched:
+                    return
+                partial = partial.filter(~F.col(_BUCKET_KEY).isin(done))
+                existing = existing.filter(~F.col(_BUCKET_KEY).isin(done))
+        merged_src = existing.drop("_txn_run", "_txn_epoch").unionByName(
+            partial
+        )
     else:
         merged_src = partial
     merged = _with_bucket_key(
         merge_rollup(merged_src, keys=keys).drop("vavg")
+    ).withColumns(
+        {
+            "_txn_run": F.lit(txn[0] if txn else None).cast("string"),
+            "_txn_epoch": F.lit(txn[1] if txn else None).cast("long"),
+        }
     )
     (
         merged.write.mode("overwrite")
@@ -87,11 +129,23 @@ def stream_rollup(
 ):
     """Attach the incremental-rollup sink to a streaming DataFrame and
     start it (availableNow: drain what exists, then stop — the batch
-    replay mode the driver's workloads use)."""
+    replay mode the driver's workloads use). Each epoch merges under a
+    (checkpoint, epoch) transaction stamp, so the crash window between
+    the partition overwrite and the offset commit cannot double-merge a
+    replayed batch (see upsert_rollup_batch)."""
+    import hashlib
+
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         upsert_rollup_batch(
-            batch, table_path, ts_col, val_col, keys=keys, bucket=bucket
+            batch,
+            table_path,
+            ts_col,
+            val_col,
+            keys=keys,
+            bucket=bucket,
+            txn=(run_id, int(epoch_id)),
         )
 
     return (
@@ -103,5 +157,8 @@ def stream_rollup(
 
 
 def read_rollup(spark, table_path: str) -> DataFrame:
-    """The queryable rollup (drops the partition key helper column)."""
-    return spark.read.parquet(table_path).drop(_BUCKET_KEY)
+    """The queryable rollup (drops the partition-key and txn-stamp
+    helper columns)."""
+    return spark.read.parquet(table_path).drop(
+        _BUCKET_KEY, "_txn_run", "_txn_epoch"
+    )
