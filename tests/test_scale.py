@@ -47,6 +47,12 @@ BOUNDS = {
     "pipeline_quality_dedup_split": 8.0,
     "pack_shard_manifest": 8.0,
     "sample_temperature_mixture": 8.0,
+    # round-6: the recall-floor gate runs brute force + the 8-table LSH
+    # (corpus x probes scoring + bucket equi-join — the candidate-join
+    # shape that would betray a hot bucket), and the multimodal gate's
+    # synthesize->decode kernels must stay linear in rows
+    "knn_recall_floor": 8.0,
+    "multimodal_decode_stats": 8.0,
 }
 
 
