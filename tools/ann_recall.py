@@ -76,18 +76,21 @@ def main() -> None:
     tiers = {
         "lsh_multiprobe": lambda: S.lsh_topk(e, probes, dim=dim, k=k),
         # OR-amplified multi-table tiers (round-6): recall compounds as
-        # 1-(1-r)^L over L independent tables
+        # 1-(1-r)^L over L independent tables; audited through the numpy
+        # bucket kernel (bit-identical to the expression path — pinned by
+        # test — and ~10x the wall, so the audit measures the index, not
+        # interpreted fold expressions)
         "lsh_mt4x8": lambda: S.lsh_topk_multitable(
-            e, probes, dim=dim, n_tables=4, n_planes=8, k=k
+            e, probes, dim=dim, n_tables=4, n_planes=8, k=k, kernel=True
         ),
         "lsh_mt8x8": lambda: S.lsh_topk_multitable(
-            e, probes, dim=dim, n_tables=8, n_planes=8, k=k
+            e, probes, dim=dim, n_tables=8, n_planes=8, k=k, kernel=True
         ),
         "lsh_mt8x10": lambda: S.lsh_topk_multitable(
-            e, probes, dim=dim, n_tables=8, n_planes=10, k=k
+            e, probes, dim=dim, n_tables=8, n_planes=10, k=k, kernel=True
         ),
         "lsh_mt16x10": lambda: S.lsh_topk_multitable(
-            e, probes, dim=dim, n_tables=16, n_planes=10, k=k
+            e, probes, dim=dim, n_tables=16, n_planes=10, k=k, kernel=True
         ),
         "ivf_seeded_np2": lambda: S.ivf_topk(
             *_ivf(S, e, lloyd=0), probes, k=k, nprobe=2
@@ -108,6 +111,11 @@ def main() -> None:
         # randomly, so this tier shows resolution scaling
         "pq_adc_k64_trained2": lambda: _pq(
             S, e, probes, k, train=2, n_codewords=64
+        ),
+        # finer subspaces x larger codebook: 8x8 geometry at 64 codewords
+        # (8 bytes/vector — same budget as 4x16 at 64, double the cells)
+        "pq_adc_m8_k64_trained2": lambda: _pq(
+            S, e, probes, k, train=2, n_codewords=64, m=8, dsub=8
         ),
     }
     for name, fn in tiers.items():
@@ -133,13 +141,13 @@ def _ivf(S, e, lloyd):
     return S.ivf_index(e, n_centroids=16, lloyd_iters=lloyd)
 
 
-def _pq(S, e, probes, k, train, n_codewords=8):
+def _pq(S, e, probes, k, train, n_codewords=8, m=4, dsub=16):
     if train:
-        cb = S.pq_train(e, 4, 16, n_codewords, lloyd_iters=train)
+        cb = S.pq_train(e, m, dsub, n_codewords, lloyd_iters=train)
     else:
-        cb = S.pq_codebook(e, 4, 16, n_codewords)
-    codes = S.pq_encode(e, cb, 4, 16)
-    return S.pq_adc_topk(codes, cb, probes, k=k, m_subspaces=4, dsub=16)
+        cb = S.pq_codebook(e, m, dsub, n_codewords)
+    codes = S.pq_encode(e, cb, m, dsub)
+    return S.pq_adc_topk(codes, cb, probes, k=k, m_subspaces=m, dsub=dsub)
 
 
 if __name__ == "__main__":
