@@ -894,7 +894,11 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     media = synthesize_deterministic_media(d, id_col="doc_id")
-    feats = decode_features(media, decoder=stdlib_decode)
+    # two consumers (audio branch, image branch) — checkpoint so the
+    # synthesize+decode Arrow kernels run once, not once per branch
+    feats = decode_features(media, decoder=stdlib_decode).localCheckpoint(
+        eager=False
+    )
     fa = F.col("features")
     audio = feats.filter(F.col("modality") == "audio").select(
         F.col("media_id").alias("doc_id"),

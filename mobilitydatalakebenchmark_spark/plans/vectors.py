@@ -294,6 +294,9 @@ def knn_recall_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("probe_id")
         .agg(F.count("*").alias("n_returned"), F.count("e_id").alias("n_hits"))
+        # two consumers (per-probe rows + the aggregate floor) — without
+        # the checkpoint each one replays brute force AND the LSH index
+        .localCheckpoint(eager=False)
     )
     total = hits.agg(F.sum("n_hits").alias("_tot"))
     return (
