@@ -144,6 +144,7 @@ def load_registry() -> dict[str, Q]:
     # Round 6: brand-new gates needing a first verdict.
     newest = (
         "knn_recall_floor", "multimodal_decode_stats",
+        "trajectory_trip_segments", "trajectory_stop_detection",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

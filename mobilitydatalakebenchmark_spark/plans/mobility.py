@@ -731,3 +731,168 @@ def spatial_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visits = cell_visits(ev, 2.5, 2.5, id_col="uuid").drop("uuid")
     return cell_pyramid(visits, n_levels=4).orderBy("level", "cx", "cy")
+
+
+# ---------------------------------------------------------------------------
+# Round 6: promote the two remaining pytest-only trajectory operators to
+# oracle-checked gates — trip segmentation (sessionization on movement
+# gaps) and stop detection (speed-threshold runs). Same pseudo lat/lon
+# mapping as trajectory_step_metrics; thresholds calibrated to the
+# synthetic fix spacing (median inter-fix gap ~7 h, so a 12 h gap cuts
+# trips and a 120 m/s "slow" bound creates real runs — the logic, not the
+# physics, is what the gate pins).
+# ---------------------------------------------------------------------------
+
+_TRIP_GAP_S = 43200
+_STOP_SPEED = 120.0
+_STOP_MIN_S = 3600
+
+_HAV_SQL = (
+    "2 * 6371008.8 * asin(sqrt("
+    "sin(radians(lat - plat) / 2) ^ 2"
+    " + cos(radians(plat)) * cos(radians(lat))"
+    " * sin(radians(lon - plon) / 2) ^ 2))"
+)
+
+
+@register(
+    "trajectory_trip_segments",
+    oracle=f"""
+WITH fixes AS (
+  SELECT user_id, event_id, ts,
+         value % 80.0          AS lat,
+         (value * 3.7) % 160.0 AS lon
+  FROM events WHERE user_id < 30
+), stepped AS (
+  SELECT user_id, ts, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER w AS dt_s
+  FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), flagged AS (
+  SELECT user_id, ts, dt_s,
+         CASE WHEN dt_s IS NULL OR dt_s > {_TRIP_GAP_S} THEN 1 ELSE 0 END
+             AS new_trip,
+         round({_HAV_SQL}, 2) AS step_m
+  FROM stepped
+), trips AS (
+  SELECT *, sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS trip_id
+  FROM flagged
+)
+SELECT user_id, trip_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS trip_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS trip_end,
+       count(*) AS n_fixes,
+       round(coalesce(sum(CASE WHEN new_trip = 0 THEN step_m END), 0), 2)
+           AS total_m,
+       round(coalesce(sum(CASE WHEN new_trip = 0 THEN step_m END), 0)
+             / nullif(cast(sum(CASE WHEN new_trip = 0 THEN dt_s END)
+                           AS DOUBLE), 0), 4) AS mean_speed_mps
+FROM trips GROUP BY user_id, trip_id ORDER BY user_id, trip_id
+""",
+    doc="trip segmentation (operators/trajectory.trip_segments): "
+    "sessionization on movement gaps — per-entity lag window flags a new "
+    "trip at gaps > 12 h, running sum numbers trips, per-trip distance/"
+    "speed summaries exclude the inter-trip gap step. One window shuffle "
+    "+ one group shuffle, both keyed by entity",
+    tags=("mobility", "trajectory", "window"),
+)
+def trajectory_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import trip_segments
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    fixes = ev.select(
+        "user_id",
+        "ts",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    trips = trip_segments(
+        fixes, gap_s=_TRIP_GAP_S, id_col="user_id", ts_col="ts",
+        lon_col="lon", lat_col="lat",
+    )
+    return trips.select(
+        "user_id",
+        "trip_id",
+        F.date_format("trip_start", "yyyy-MM-dd HH:mm:ss").alias("trip_start"),
+        F.date_format("trip_end", "yyyy-MM-dd HH:mm:ss").alias("trip_end"),
+        "n_fixes",
+        "total_m",
+        "mean_speed_mps",
+    ).orderBy("user_id", "trip_id")
+
+
+@register(
+    "trajectory_stop_detection",
+    oracle=f"""
+WITH fixes AS (
+  SELECT user_id, event_id, ts,
+         value % 80.0          AS lat,
+         (value * 3.7) % 160.0 AS lon
+  FROM events WHERE user_id < 30
+), stepped AS (
+  SELECT user_id, ts, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+         epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER w AS dt_s
+  FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), speeds AS (
+  SELECT user_id, ts, lat, lon,
+         round({_HAV_SQL} / nullif(cast(dt_s AS DOUBLE), 0), 4) AS speed_mps
+  FROM stepped
+), runs AS (
+  SELECT *,
+         (speed_mps IS NOT NULL AND speed_mps < {_STOP_SPEED}) AS is_slow,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts)
+         - row_number() OVER (
+             PARTITION BY user_id,
+                 (speed_mps IS NOT NULL AND speed_mps < {_STOP_SPEED})
+             ORDER BY ts) AS run_key
+  FROM speeds
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS stop_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS stop_end,
+       count(*) AS n_fixes,
+       round(avg(lon), 6) AS stop_lon,
+       round(avg(lat), 6) AS stop_lat
+FROM runs WHERE is_slow
+GROUP BY user_id, run_key
+HAVING epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000
+       >= {_STOP_MIN_S}
+ORDER BY user_id, stop_start
+""",
+    doc="stop detection (operators/trajectory.detect_stops): maximal runs "
+    "of consecutive below-threshold-speed fixes lasting >= 1 h, grouped "
+    "with the rank-difference trick (two windows over the same entity "
+    "partition — one shuffle). The speed threshold is calibrated to the "
+    "synthetic fixes; the run/dwell logic is what real stay-point "
+    "detection runs on vehicle tracks",
+    tags=("mobility", "trajectory", "window"),
+)
+def trajectory_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import detect_stops
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    fixes = ev.select(
+        "user_id",
+        "ts",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    stops = detect_stops(
+        fixes,
+        speed_thresh_mps=_STOP_SPEED,
+        min_duration_s=_STOP_MIN_S,
+        id_col="user_id",
+        ts_col="ts",
+        lon_col="lon",
+        lat_col="lat",
+    )
+    return stops.select(
+        "user_id",
+        F.date_format("stop_start", "yyyy-MM-dd HH:mm:ss").alias("stop_start"),
+        F.date_format("stop_end", "yyyy-MM-dd HH:mm:ss").alias("stop_end"),
+        "n_fixes",
+        "stop_lon",
+        "stop_lat",
+    ).orderBy("user_id", "stop_start")
