@@ -896,3 +896,112 @@ def trajectory_stop_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stop_lon",
         "stop_lat",
     ).orderBy("user_id", "stop_start")
+
+
+_DP_TOL = 30.0
+
+
+@register(
+    "trajectory_simplify_bounds",
+    # Error-bound-boolean pattern (knn_recall_floor / dedup_simhash): the
+    # Douglas-Peucker kept-set is produced by a recursive numpy kernel no
+    # SQL twin can replay, but its defining guarantees are deterministic
+    # in-plan claims: (a) both endpoints of every track survive; (b)
+    # every DROPPED fix lies within tolerance of the segment between its
+    # flanking KEPT fixes (in DP, an interval is only cleared when its
+    # max deviation is <= tol, and its bounds are then adjacent in the
+    # output); (c) the simplification actually reduces the corpus
+    # (~40% of fixes drop at this tolerance on the synthetic tracks).
+    oracle="""
+WITH fixes AS (
+  SELECT user_id, ts FROM events WHERE user_id < 30
+)
+SELECT user_id, count(*) AS n_points,
+       TRUE AS endpoints_ok, TRUE AS dropped_ok, TRUE AS reduction_ok
+FROM fixes GROUP BY user_id ORDER BY user_id
+""",
+    doc="Douglas-Peucker simplification bounds "
+    "(operators/trajectory.simplify_tracks, tolerance 30 planar deg on "
+    "the pseudo tracks): endpoints survive, every dropped fix is within "
+    "tolerance of the segment between its flanking kept fixes "
+    "(recomputed with window expressions over the kernel's output), and "
+    "the corpus measurably shrinks — the recursive kernel's contract, "
+    "value-checked without replaying the recursion",
+    tags=("mobility", "trajectory", "kernel"),
+)
+def trajectory_simplify_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import simplify_tracks
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    fixes = ev.select(
+        "user_id",
+        "ts",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    simp = simplify_tracks(
+        fixes, tolerance_deg=_DP_TOL, id_col="user_id", ts_col="ts",
+        lon_col="lon", lat_col="lat",
+    ).select("user_id", "ts", F.lit(True).alias("kept"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    j = (
+        fixes.join(simp, ["user_id", "ts"], "left")
+        .withColumn("kept", F.coalesce("kept", F.lit(False)))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("user_id")))
+    )
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_next = w.rowsBetween(1, Window.unboundedFollowing)
+    klat = F.when(F.col("kept"), F.col("lat"))
+    klon = F.when(F.col("kept"), F.col("lon"))
+    j = j.withColumns(
+        {
+            "plat": F.last(klat, ignorenulls=True).over(w_prev),
+            "plon": F.last(klon, ignorenulls=True).over(w_prev),
+            "nlat": F.first(klat, ignorenulls=True).over(w_next),
+            "nlon": F.first(klon, ignorenulls=True).over(w_next),
+        }
+    )
+    dx = F.col("nlon") - F.col("plon")
+    dy = F.col("nlat") - F.col("plat")
+    seg = F.sqrt(dx * dx + dy * dy)
+    # exactly the kernel's point-to-segment formula (planar degrees)
+    dist = F.when(
+        seg == 0.0,
+        F.sqrt(
+            (F.col("lon") - F.col("plon")) ** 2
+            + (F.col("lat") - F.col("plat")) ** 2
+        ),
+    ).otherwise(
+        F.abs(
+            dx * (F.col("plat") - F.col("lat"))
+            - dy * (F.col("plon") - F.col("lon"))
+        )
+        / seg
+    )
+    per_user = j.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum(F.col("kept").cast("int")).alias("_n_kept"),
+        F.bool_and(
+            F.when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.col("kept"))
+            .otherwise(F.lit(True))
+        ).alias("endpoints_ok"),
+        F.bool_and(
+            F.when(~F.col("kept"), dist <= F.lit(_DP_TOL) + 1e-9)
+            .otherwise(F.lit(True))
+        ).alias("dropped_ok"),
+    )
+    totals = per_user.agg(
+        F.sum("n_points").alias("_tot"), F.sum("_n_kept").alias("_tot_kept")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "n_points",
+            "endpoints_ok",
+            "dropped_ok",
+            (F.col("_tot_kept") < F.col("_tot")).alias("reduction_ok"),
+        )
+        .orderBy("user_id")
+    )
