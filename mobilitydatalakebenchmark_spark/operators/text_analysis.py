@@ -390,3 +390,69 @@ def temperature_keep(
     return df.join(
         F.broadcast(rates.select(strata_col, "rate")), strata_col
     ).filter(F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(h < thresh))
+
+
+def misra_gries_candidates(
+    tokens_df: DataFrame, token_col: str = "token", n_counters: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries (mergeable-
+    summaries form, Agarwal et al. 2012): each partition keeps at most
+    ``n_counters`` (token, count) counters; a batch's value_counts is
+    merged in, and when the table overflows, the (k+1)-th largest count
+    is subtracted from every counter and non-positive ones dropped — the
+    batched equivalent of classic decrement-all, preserving the MG
+    guarantee that any token with partition frequency > n_p/(k+1)
+    survives with count underestimated by at most n_p/(k+1).
+
+    Output: one row per surviving counter per partition (token,
+    mg_count) — at most n_counters x n_partitions rows regardless of
+    vocabulary size. That bound is the 100 TB story: the true top-k over
+    an unbounded key space (URLs, n-grams, user ids) reduces to a
+    candidate set that always broadcasts, instead of a full-vocabulary
+    shuffle."""
+    import pandas as pd
+
+    def kernel(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for tok, cnt in pdf[token_col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > n_counters:
+                cut = sorted(counters.values(), reverse=True)[n_counters]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        if counters:
+            yield pd.DataFrame(
+                {token_col: list(counters), "mg_count": list(counters.values())}
+            )
+
+    return tokens_df.select(token_col).mapInPandas(
+        kernel, f"{token_col} string, mg_count long"
+    )
+
+
+def heavy_hitters_topk(
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    k: int = 20,
+    n_counters: int = 64,
+) -> DataFrame:
+    """Exact top-k over an unbounded key space via MG candidates + exact
+    recount: sketch each partition (one pass, no shuffle), broadcast the
+    candidate union back over the tokens for an exact count of ONLY the
+    candidates, then take the top k. The recount makes the emitted
+    counts exact; the sketch bounds what shuffles. Correct whenever
+    every true top-k token exceeds the MG threshold N/(n_counters+1) —
+    guaranteed in particular when n_counters >= vocabulary (no decrement
+    ever fires), the regime the oracle gate runs in; the planted-skew
+    pytest covers the decrementing regime."""
+    cands = misra_gries_candidates(tokens_df, token_col, n_counters).select(
+        token_col
+    ).distinct()
+    counts = (
+        tokens_df.join(F.broadcast(cands), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.desc("n"), F.asc(token_col)).limit(k)

@@ -1812,3 +1812,33 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_token_topk_sketch",
+    # identical oracle to text_token_topk: with n_counters >= the 31-token
+    # synthetic vocabulary no decrement ever fires, so MG candidates cover
+    # everything and the recounted top-20 must EQUAL the exact top-20 —
+    # a full value check of the sketch->recount plumbing. The decrement
+    # regime (vocab >> counters) is pinned by the planted-skew pytest;
+    # this corpus is near-uniform, where no sketch can promise candidate
+    # coverage below vocabulary size.
+    oracle="""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token LIMIT 20
+""",
+    doc="corpus token top-k through the Misra-Gries heavy-hitter path "
+    "(operators/text_analysis.misra_gries_candidates + exact candidate "
+    "recount): per-partition mergeable sketches bound the candidate set "
+    "by n_counters x n_partitions regardless of vocabulary size — the "
+    "scale path for top-k over unbounded key spaces (URLs, n-grams), "
+    "where the plain explode+groupBy shuffles the full vocabulary",
+    tags=("text", "sketch", "kernel"),
+)
+def text_token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import heavy_hitters_topk
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters_topk(toks, "token", k=20, n_counters=64)

@@ -710,3 +710,64 @@ class TestCovarianceDispatch:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "MapInPandas" in plan
         assert out.count() == 256 * 257 // 2
+
+
+class TestMisraGries:
+    """Heavy-hitter sketch under pressure: vocabulary far above the
+    counter budget, so decrements actually fire."""
+
+    @pytest.fixture(scope="class")
+    def skewed_tokens(self, spark):
+        # 3 planted heavy hitters (freqs 3000/2000/1000) over a 2000-token
+        # noise vocabulary appearing ~3x each: N ~= 12000, so with k=16
+        # the MG threshold N/(k+1) ~= 706 < every planted frequency
+        rng = random.Random(11)
+        toks = (
+            ["alpha"] * 3000 + ["beta"] * 2000 + ["gamma"] * 1000
+            + [f"noise{rng.randrange(2000)}" for _ in range(6000)]
+        )
+        rng.shuffle(toks)
+        return spark.createDataFrame(
+            [(t,) for t in toks], "token string"
+        ).repartition(8)
+
+    def test_planted_heavies_survive_decrements(self, skewed_tokens):
+        cands = text_analysis.misra_gries_candidates(
+            skewed_tokens, "token", n_counters=16
+        )
+        kept = {r.token for r in cands.collect()}
+        # candidate bound: at most n_counters per partition
+        per_part = cands.groupBy(F.spark_partition_id()).count()
+        assert {"alpha", "beta", "gamma"} <= kept
+        assert cands.count() <= 16 * 8
+
+    def test_recounted_topk_is_exact_for_heavies(self, skewed_tokens):
+        top = text_analysis.heavy_hitters_topk(
+            skewed_tokens, "token", k=3, n_counters=16
+        ).collect()
+        assert [(r.token, r.n) for r in top] == [
+            ("alpha", 3000), ("beta", 2000), ("gamma", 1000)
+        ]
+
+    def test_mg_counts_underestimate_within_bound(self, skewed_tokens):
+        # per-partition guarantee: mg_count <= true partition count, and
+        # underestimates by at most n_p/(k+1); checked on the global sums
+        # (sum of per-partition bounds = N/(k+1))
+        cands = text_analysis.misra_gries_candidates(
+            skewed_tokens, "token", n_counters=16
+        )
+        mg = {
+            r.token: r.s
+            for r in cands.groupBy("token").agg(F.sum("mg_count").alias("s")).collect()
+        }
+        true = {
+            r.token: r.n
+            for r in skewed_tokens.groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        n_total = sum(true.values())
+        bound = n_total / 17
+        for tok in ("alpha", "beta", "gamma"):
+            assert mg[tok] <= true[tok]
+            assert true[tok] - mg[tok] <= bound
