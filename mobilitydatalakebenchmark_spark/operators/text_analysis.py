@@ -456,3 +456,43 @@ def heavy_hitters_topk(
         .agg(F.count("*").alias("n"))
     )
     return counts.orderBy(F.desc("n"), F.asc(token_col)).limit(k)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "ares",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each row draws u in (0,1] from md5(salt||id) — no
+    RNG state, so the sample replays across runs, partitionings and
+    engines — and is ranked by ln(u)/weight (the monotone log form of
+    u^(1/w)); the top ``k`` per group are the weighted sample. Inclusion
+    probability is proportional to weight, the property temperature/
+    quality-weighted corpus subsetting needs. The key is rounded to 10 dp
+    so both engines rank identical doubles; weights must be > 0.
+
+    One window shuffle keyed by the group (or a single global group for
+    ungrouped sampling — bounded by k after the filter, but the sort is
+    corpus-wide; prefer a group column at scale)."""
+    from pyspark.sql import Window
+
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v.cast("double") + 1.0) / 4294967296.0
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 10)
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(F.desc("ares_key"), F.asc(id_col))
+    return (
+        df.withColumn("ares_key", key)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -146,6 +146,7 @@ def load_registry() -> dict[str, Q]:
         "knn_recall_floor", "multimodal_decode_stats",
         "trajectory_trip_segments", "trajectory_stop_detection",
         "trajectory_simplify_bounds", "text_token_topk_sketch",
+        "sample_weighted_ares",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1842,3 +1842,45 @@ def text_token_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     return heavy_hitters_topk(toks, "token", k=20, n_counters=64)
+
+
+@register(
+    "sample_weighted_ares",
+    oracle="""
+WITH sized AS (
+  SELECT source, doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), keyed AS (
+  SELECT source, doc_id, n_tokens,
+         round(ln((CAST('0x' || substr(md5('ares' || cast(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 1) / 4294967296.0)
+               / cast(n_tokens AS DOUBLE), 10) AS ares_key
+  FROM sized
+)
+SELECT source, doc_id, n_tokens, ares_key, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY ares_key DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= 3 ORDER BY source, rk
+""",
+    doc="deterministic weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-Res, operators/text_analysis.weighted_sample): u from "
+    "md5(salt||id), rank by ln(u)/weight per source, keep top 3 — "
+    "inclusion probability proportional to token count, fully replayable "
+    "in SQL (no RNG state anywhere). The quality/length-weighted corpus "
+    "subsetting primitive; one window shuffle keyed by the group",
+    tags=("text", "sampling"),
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import weighted_sample
+
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    sized = d.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    out = weighted_sample(
+        sized, weight_col="n_tokens", k=3, id_col="doc_id", group_col="source"
+    )
+    return out.select("source", "doc_id", "n_tokens", "ares_key", "rk").orderBy(
+        "source", "rk"
+    )

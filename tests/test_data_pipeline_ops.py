@@ -771,3 +771,64 @@ class TestMisraGries:
         for tok in ("alpha", "beta", "gamma"):
             assert mg[tok] <= true[tok]
             assert true[tok] - mg[tok] <= bound
+
+
+class TestWeightedSample:
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import math
+
+        rows = [(f"s{i % 3}", i, 1 + (i * 7) % 40) for i in range(200)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, w int")
+        got = {
+            (r.source, r.doc_id, r.rk)
+            for r in text_analysis.weighted_sample(
+                df, "w", k=4, id_col="doc_id", group_col="source"
+            ).collect()
+        }
+        keyed = {}
+        for src, d, w in rows:
+            v = int(hashlib.md5(f"ares{d}".encode()).hexdigest()[:8], 16)
+            u = (v + 1) / 4294967296.0
+            keyed.setdefault(src, []).append((round(math.log(u) / w, 10), -d, d))
+        want = set()
+        for src, items in keyed.items():
+            for rk, (_, _, d) in enumerate(sorted(items, reverse=True)[:4], 1):
+                want.add((src, d, rk))
+        assert got == want
+
+    def test_partition_invariant(self, spark):
+        rows = [(f"s{i % 5}", i, 1 + i % 9) for i in range(500)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, w int")
+        a = {
+            (r.source, r.doc_id)
+            for r in text_analysis.weighted_sample(
+                df, "w", k=3, group_col="source"
+            ).collect()
+        }
+        b = {
+            (r.source, r.doc_id)
+            for r in text_analysis.weighted_sample(
+                df.repartition(13), "w", k=3, group_col="source"
+            ).collect()
+        }
+        assert a == b
+
+    def test_weight_biases_inclusion(self, spark):
+        # one heavy doc (w=500) among 99 light (w=1), sampled k=5 across
+        # 40 salts: the heavy doc must be included far more often than a
+        # light baseline (P_incl ~ 1 for heavy vs ~0.04 for light)
+        rows = [("s", i, 500 if i == 0 else 1) for i in range(100)]
+        df = spark.createDataFrame(rows, "source string, doc_id long, w int")
+        heavy = light = 0
+        for salt in range(40):
+            ids = {
+                r.doc_id
+                for r in text_analysis.weighted_sample(
+                    df, "w", k=5, group_col="source", salt=f"s{salt}"
+                ).collect()
+            }
+            heavy += 0 in ids
+            light += 1 in ids
+        assert heavy >= 35
+        assert light <= 15
