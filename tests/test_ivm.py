@@ -1,0 +1,87 @@
+"""Incremental materialized-join maintenance: the view must equal a
+from-scratch recompute after every interleaving of appends."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators.ivm import MaterializedJoin
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_quantity"
+    )
+    df.cache().count()
+    return df
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_equals_recompute(spark, orders, lineitem, tmp_path):
+    mj = MaterializedJoin(str(tmp_path / "mj"), on="o_orderkey")
+    o1 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 3 == 1)
+    o3 = orders.filter(F.col("o_orderkey") % 3 == 2)
+    l1 = lineitem.filter(F.col("l_partkey") % 2 == 0)
+    l2 = lineitem.filter(F.col("l_partkey") % 2 == 1)
+
+    mj.build(o1, l1)
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
+
+    mj.append(left_delta=o2)  # left-only batch
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
+
+    mj.append(right_delta=l2)  # right-only batch
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
+
+    mj.append(left_delta=o3)  # late left rows joining the grown right
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
+
+    # final content is the full join of everything
+    full = orders.join(lineitem, "o_orderkey")
+    assert _rows(mj.view(spark)) == _rows(full)
+
+
+def test_simultaneous_two_sided_batch(spark, orders, lineitem, tmp_path):
+    """One append carrying both sides must include the ΔL ⋈ ΔR cross
+    term exactly once."""
+    mj = MaterializedJoin(str(tmp_path / "mj2"), on="o_orderkey")
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    l1 = lineitem.filter(F.col("l_quantity") <= 25)
+    l2 = lineitem.filter(F.col("l_quantity") > 25)
+    mj.build(o1, l1)
+    mj.append(left_delta=o2, right_delta=l2)
+    assert _rows(mj.view(spark)) == _rows(orders.join(lineitem, "o_orderkey"))
+
+
+def test_view_prunes_key_buckets(spark, orders, lineitem, tmp_path):
+    """The bucket partitioning is the point of the layout: a key-equality
+    read of the view must scan a pruned file subset (partition filters
+    present in the plan)."""
+    mj = MaterializedJoin(str(tmp_path / "mj3"), on="o_orderkey")
+    mj.build(orders, lineitem)
+    some_key = orders.first()["o_orderkey"]
+    q = spark.read.parquet(str(tmp_path / "mj3" / "view.parquet")).filter(
+        (F.col("_key_bucket") == F.pmod(F.xxhash64(F.lit(some_key).cast("long")), 32))
+        & (F.col("o_orderkey") == some_key)
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert q.count() > 0
