@@ -55,6 +55,8 @@ HEADLINE = [
     # round-6 additions
     "knn_recall_floor",
     "multimodal_decode_stats",
+    "trajectory_trip_segments",
+    "text_token_topk_sketch",
 ]
 
 

@@ -53,6 +53,13 @@ BOUNDS = {
     # synthesize->decode kernels must stay linear in rows
     "knn_recall_floor": 8.0,
     "multimodal_decode_stats": 8.0,
+    # trip/stop/simplify are window-shaped per entity; the MG sketch must
+    # stay one pass + bounded candidates; A-Res is a keyed window top-k
+    "trajectory_trip_segments": 8.0,
+    "trajectory_stop_detection": 8.0,
+    "trajectory_simplify_bounds": 8.0,
+    "text_token_topk_sketch": 8.0,
+    "sample_weighted_ares": 8.0,
 }
 
 
