@@ -1,0 +1,90 @@
+"""Streaming maintenance of a materialized equi-join: fact rows arrive
+on a stream, the persisted view stays current per micro-batch.
+
+Each epoch applies ``MaterializedJoin.append(left_delta=batch)`` — the
+delta rule keeps per-batch cost proportional to the arrivals times the
+match rate, never the view size. Replay protection follows the
+``streaming/ingest.stream_to_ann_index`` design: the append is
+IDEMPOTENT (the batch is stripped of row ids the left base already
+holds — so a crash between the view append and the state write, or a
+fresh checkpoint re-delivering old files, cannot double-insert join
+rows), with a checkpoint-scoped epoch high-water mark as the fast path.
+``row_id_col`` must uniquely identify left rows across the stream's
+lifetime (an event id, not the join key — join keys repeat).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ivm import MaterializedJoin
+
+_MISSING = (
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "UNABLE_TO_INFER_SCHEMA",
+    "Unable to infer schema",
+)
+
+
+def stream_to_materialized_join(
+    left_stream: DataFrame,
+    mj: MaterializedJoin,
+    checkpoint: str,
+    row_id_col: str,
+) -> StreamingQuery:
+    """Stream left-side inserts into ``mj`` (built beforehand; the right
+    side is the static/slowly-changing base). Streamed view == batch
+    appends of the same batches, across restarts (pinned by test)."""
+
+    state_path = f"{mj.path}/stream_state.parquet"
+    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_path = f"{state_path}/run_id={run_id}"
+
+    def _last_epoch(spark) -> int:
+        try:
+            row = (
+                spark.read.parquet(run_path)
+                .agg(F.max("last_epoch").alias("e"))
+                .first()
+            )
+        except Exception as exc:  # narrow: only "no state yet" shapes
+            if not any(s in str(exc) for s in _MISSING):
+                raise
+            return -1
+        return -1 if row is None or row["e"] is None else int(row["e"])
+
+    def flush(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        if epoch_id <= _last_epoch(spark):
+            return  # same-run replay: already fully applied
+        hits = [
+            r[0]
+            for r in spark.read.parquet(f"{mj.path}/left.parquet")
+            .select(row_id_col)
+            .join(
+                F.broadcast(batch.select(F.col(row_id_col)).distinct()),
+                row_id_col,
+                "left_semi",
+            )
+            .collect()
+        ]
+        fresh = batch.filter(~F.col(row_id_col).isin(hits)) if hits else batch
+        if not fresh.isEmpty():
+            mj.append(left_delta=fresh)
+        spark.createDataFrame(
+            [(int(epoch_id),)], "last_epoch long"
+        ).coalesce(1).write.mode("overwrite").parquet(run_path)
+
+    return (
+        left_stream.writeStream.foreachBatch(flush)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

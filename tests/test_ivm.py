@@ -85,3 +85,37 @@ def test_view_prunes_key_buckets(spark, orders, lineitem, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert q.count() > 0
+
+
+def test_streamed_left_inserts_keep_view_current(spark, orders, lineitem, tmp_path):
+    """Stream the second half of orders into a view built on the first:
+    final view == full batch join, and a full replay through a fresh
+    checkpoint changes nothing (idempotent append)."""
+    from mobilitydatalakebenchmark_spark.streaming.ivm_stream import (
+        stream_to_materialized_join,
+    )
+
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    mj = MaterializedJoin(str(tmp_path / "mjs"), on="o_orderkey")
+    mj.build(o1, lineitem)
+
+    landing = str(tmp_path / "landing")
+    o2.repartition(2).write.parquet(landing)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(o2.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        stream_to_materialized_join(
+            stream, mj, str(tmp_path / ckpt), row_id_col="o_orderkey"
+        ).awaitTermination(120)
+
+    run("ckpt1")
+    want = _rows(orders.join(lineitem, "o_orderkey"))
+    assert _rows(mj.view(spark)) == want
+
+    run("ckpt2")  # full re-delivery from scratch
+    assert _rows(mj.view(spark)) == want
