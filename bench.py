@@ -86,7 +86,9 @@ def main() -> None:
     # diffuse +6% drift across a run was machine load, confirmed only by
     # a manual re-run). Rule of thumb documented in README: compare
     # trend20 across rounds only when spread_pct is modest (< ~25).
-    _PROBE = "w1_tumbling_hour"  # also HEADLINE[6], so fully warm by 1/3
+    _PROBE = "flagship_pricing_summary"  # HEADLINE[0]: warm from the
+    # first slot, and heavy enough (~0.7s) that spread_pct is not
+    # dominated by scheduler jitter on a sub-second query
 
     def probe() -> float:
         # min of two back-to-back runs: a single sample conflates machine
