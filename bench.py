@@ -84,8 +84,8 @@ def main() -> None:
     # loaded machine shows up as spread between the samples, which makes
     # "this round looks 6% slower" self-adjudicating (round-5 lesson: a
     # diffuse +6% drift across a run was machine load, confirmed only by
-    # a manual re-run). Rule of thumb documented in README: compare
-    # trend20 across rounds only when spread_pct is modest (< ~25).
+    # a manual re-run). Rule of thumb documented in README: idle measures
+    # spread_pct ~15-30 on this sub-second probe; >~50 means loaded.
     _PROBE = "flagship_pricing_summary"  # HEADLINE[0]: warm from the
     # first slot, and heavy enough (~0.7s) that spread_pct is not
     # dominated by scheduler jitter on a sub-second query
