@@ -55,12 +55,50 @@ def read_snapshot_stream(
 def stream_to_flat_store(
     documents: DataFrame, table_path: str, checkpoint: str
 ) -> StreamingQuery:
-    """W5: micro-batch append into the flat parquet store. Each epoch is the
-    reference's 'buffer flush' — explode+flatten+bucket, append."""
+    """W5: micro-batch append into the flat parquet store. Each epoch is
+    the reference's 'buffer flush' — explode+flatten+bucket, append.
+
+    Idempotent under replay (round 6, same contract as the ANN/shard/IVM
+    sinks): a snapshot's timestamp is its identity (`base_store.py:12-14`
+    — one document per timestamp), so each batch is stripped of
+    timestamps the store already holds before appending. A crash between
+    the append and the offset commit, or a fresh checkpoint re-delivering
+    old snapshot files, cannot double-insert a snapshot's rows."""
 
     def flush(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        fresh = batch
+        try:
+            existing = spark.read.parquet(table_path).select("timestamp")
+        except Exception as exc:  # narrow: only "empty store" shapes
+            if not any(
+                s in str(exc)
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                    "Unable to infer schema",
+                )
+            ):
+                raise
+            existing = None
+        if existing is not None:
+            hits = [
+                r[0]
+                for r in existing.join(
+                    F.broadcast(batch.select("timestamp").distinct()),
+                    "timestamp",
+                    "left_semi",
+                ).collect()
+            ]
+            if hits:
+                fresh = batch.filter(~F.col("timestamp").isin(hits))
+        if fresh.isEmpty():
+            return
         (
-            explode_features(batch)
+            explode_features(fresh)
             .withColumn(TS_BUCKET_COL, ts_bucket(F.col("timestamp")))
             .write.mode("append")
             .partitionBy(TS_BUCKET_COL)

@@ -88,3 +88,20 @@ def test_windowed_counts_memory_sink(spark, stream_dirs, snapshots):
     assert all(r.n_vehicles > 0 for r in out)
     # 48 snapshots x 20s = 16 min -> at least 2 closed 5-min windows
     assert len({(r.window_start, r.window_end) for r in out}) >= 2
+
+
+def test_fresh_checkpoint_replay_does_not_duplicate(spark, stream_dirs, snapshots):
+    """A FRESH checkpoint re-delivers every snapshot file; the timestamp
+    anti-membership must drop all of them instead of double-inserting
+    each snapshot's rows (round-6 idempotent-append contract)."""
+    q = stream_to_flat_store(
+        read_snapshot_stream(spark, stream_dirs["data"]),
+        stream_dirs["table"],
+        stream_dirs["ckpt"] + "_fresh",
+    )
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
+    flat = spark.read.parquet(stream_dirs["table"])
+    n_features_expected = sum(len(d["features"]) for _, d in snapshots)
+    assert flat.count() == n_features_expected
