@@ -61,29 +61,61 @@ class VersionedParquetStore:
 
     # -- API -----------------------------------------------------------
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def committed_txn_version(
+        self, spark: SparkSession, txn: tuple[str, int]
+    ) -> int | None:
+        """The version a (run, epoch) transaction committed as, or None.
+        Manifests are one tiny file per version; the scan is bounded by
+        history length (and by ``vacuum``)."""
+        for v in reversed(self._versions()):
+            df = spark.read.parquet(
+                os.path.join(self._manifest_dir(), f"{v}.parquet")
+            )
+            if "txn_run" not in df.columns:
+                continue
+            row = df.select("txn_run", "txn_epoch").first()
+            if row and row["txn_run"] == txn[0] and row["txn_epoch"] == txn[1]:
+                return v
+        return None
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Write ``df`` as a new version; returns the version number.
         ``mode='append'``: the new version is previous + this batch.
         ``mode='overwrite'``: the new version is this batch alone (old
         versions stay readable). The data write happens FIRST and the
         manifest write is the single commit point — a crash before the
-        manifest leaves an unreferenced dir, not a torn version."""
+        manifest leaves an unreferenced dir, not a torn version (the data
+        dir write is an overwrite, so a retried commit reclaims its own
+        orphan). ``txn=(run_id, epoch)`` makes the commit idempotent: a
+        transaction already recorded in a manifest is skipped and its
+        version returned — the streaming replay guard."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported commit mode {mode!r}")
         spark = df.sparkSession
+        if txn is not None:
+            seen = self.committed_txn_version(spark, txn)
+            if seen is not None:
+                return seen
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         new_dir = os.path.join(self.path, "data", f"v{version}")
-        df.write.mode("error").parquet(new_dir)
+        df.write.mode("overwrite").parquet(new_dir)
         dirs: list[tuple[int, str]] = []
         if mode == "append" and prev is not None:
             dirs = [
                 (i, d) for i, d in enumerate(self._read_manifest(spark, prev))
             ]
         dirs.append((len(dirs), new_dir))
-        spark.createDataFrame(dirs, "version int, dir string").coalesce(
-            1
-        ).write.mode("error").parquet(
+        run_id, epoch = txn if txn is not None else (None, None)
+        spark.createDataFrame(
+            [(i, d, run_id, epoch) for i, d in dirs],
+            "version int, dir string, txn_run string, txn_epoch long",
+        ).coalesce(1).write.mode("error").parquet(
             os.path.join(self._manifest_dir(), f"{version}.parquet")
         )
         return version

@@ -70,3 +70,46 @@ def test_vacuum_drops_history_and_orphans(spark, batches, tmp_path):
     assert any(d.endswith("v99") for d in deleted)
     # append-mode manifests reference ALL prior dirs, so vacuum keeps them
     assert not any(d.endswith(("v0", "v1", "v2")) for d in deleted)
+
+
+def test_txn_commit_is_idempotent(spark, batches, tmp_path):
+    s = VersionedParquetStore(str(tmp_path / "vs"))
+    v0 = s.commit(batches[0], txn=("runA", 0))
+    v_again = s.commit(batches[0], txn=("runA", 0))  # replayed epoch
+    assert v_again == v0
+    assert s.history() == [0]
+    v1 = s.commit(batches[1], txn=("runA", 1))  # genuinely new epoch
+    assert v1 == 1
+    assert s.snapshot(spark).count() == 20
+
+
+def test_streamed_commits_one_version_per_epoch(spark, batches, tmp_path):
+    from mobilitydatalakebenchmark_spark.streaming.versioned_stream import (
+        stream_to_versioned_store,
+    )
+
+    landing = str(tmp_path / "landing")
+    data = batches[0].unionByName(batches[1])
+    data.repartition(2).write.parquet(landing)
+    s = VersionedParquetStore(str(tmp_path / "vs"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(data.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        stream_to_versioned_store(
+            stream, s, str(tmp_path / ckpt)
+        ).awaitTermination(120)
+
+    run("ckpt")
+    versions = s.history()
+    assert len(versions) >= 1
+    assert s.snapshot(spark).count() == data.count()
+
+    # restarting the SAME checkpoint re-delivers nothing and, even if an
+    # epoch were replayed, its txn stamp skips the commit
+    run("ckpt")
+    assert s.history() == versions
+    assert s.snapshot(spark).count() == data.count()
