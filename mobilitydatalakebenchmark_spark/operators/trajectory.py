@@ -78,20 +78,30 @@ def trip_segments(
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     trips = stepped.withColumn("trip_id", F.sum(new_trip).over(w_cum))
     # a trip's first step_m/dt_s belongs to the PREVIOUS trip's gap — zero
-    # them out within the new trip so sums only count intra-trip motion
-    in_trip = F.when(new_trip == 0, F.col("step_m")).otherwise(F.lit(None))
+    # them out within the new trip so sums only count intra-trip motion.
+    # Distance is summed as INTEGER CENTIMETERS (step_m is already rounded
+    # to 2 decimals, so round(step_m*100) is lossless): integer sums are
+    # aggregation-order-invariant, so the derived quotient
+    # mean_speed_mps = (cm/100)/dt is bit-identical regardless of
+    # partitioning or partial-agg order — a float sum's order noise
+    # (~1e-13 relative) is enough to flip a round(·, 4) cell whose true
+    # value sits near a half-boundary.
+    in_trip_cm = F.when(
+        new_trip == 0, F.round(F.col("step_m") * 100).cast("long")
+    ).otherwise(F.lit(None).cast("long"))
     in_trip_dt = F.when(new_trip == 0, F.col("dt_s")).otherwise(F.lit(None))
+    cm = F.coalesce(F.sum("_cm"), F.lit(0).cast("long"))
     return (
-        trips.withColumn("_m", in_trip)
+        trips.withColumn("_cm", in_trip_cm)
         .withColumn("_dt", in_trip_dt)
         .groupBy(id_col, "trip_id")
         .agg(
             F.min(ts_col).alias("trip_start"),
             F.max(ts_col).alias("trip_end"),
             F.count("*").alias("n_fixes"),
-            F.round(F.coalesce(F.sum("_m"), F.lit(0.0)), 2).alias("total_m"),
+            F.round(cm / 100.0, 2).alias("total_m"),
             F.round(
-                F.coalesce(F.sum("_m"), F.lit(0.0))
+                (cm / 100.0)
                 / F.nullif(F.sum("_dt").cast("double"), F.lit(0.0)),
                 4,
             ).alias("mean_speed_mps"),

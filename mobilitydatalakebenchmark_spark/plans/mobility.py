@@ -769,10 +769,13 @@ WITH fixes AS (
          epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER w AS dt_s
   FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), flagged AS (
+  -- distance carried as INTEGER CENTIMETERS (lossless: step_m is a
+  -- 2-decimal value) so the per-trip sum is order-invariant and the
+  -- rounded quotient below is bit-identical to Spark's
   SELECT user_id, ts, dt_s,
          CASE WHEN dt_s IS NULL OR dt_s > {_TRIP_GAP_S} THEN 1 ELSE 0 END
              AS new_trip,
-         round({_HAV_SQL}, 2) AS step_m
+         CAST(round(round({_HAV_SQL}, 2) * 100) AS BIGINT) AS step_cm
   FROM stepped
 ), trips AS (
   SELECT *, sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts
@@ -783,9 +786,10 @@ SELECT user_id, trip_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS trip_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS trip_end,
        count(*) AS n_fixes,
-       round(coalesce(sum(CASE WHEN new_trip = 0 THEN step_m END), 0), 2)
-           AS total_m,
-       round(coalesce(sum(CASE WHEN new_trip = 0 THEN step_m END), 0)
+       round(coalesce(sum(CASE WHEN new_trip = 0 THEN step_cm END), 0)
+             / 100.0, 2) AS total_m,
+       round((coalesce(sum(CASE WHEN new_trip = 0 THEN step_cm END), 0)
+              / 100.0)
              / nullif(cast(sum(CASE WHEN new_trip = 0 THEN dt_s END)
                            AS DOUBLE), 0), 4) AS mean_speed_mps
 FROM trips GROUP BY user_id, trip_id ORDER BY user_id, trip_id

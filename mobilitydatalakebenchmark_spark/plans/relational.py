@@ -41,37 +41,65 @@ def t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataF
     "flagship_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
+       cast(round(sum(cast(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS sum_qty,
+       cast(round(sum(cast(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+           AS sum_base_price,
+       cast(round(sum(cast(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_disc_price,
+       cast(round(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_charge,
+       round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_qty,
+       round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price,
+       round(cast(sum(cast(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
-    doc="groupBy two keys + 8 aggregates (SURVEY §2.5; reference A-group)",
+    doc="groupBy two keys + 8 aggregates (SURVEY §2.5; reference A-group). "
+    "Money is summed as exact DECIMAL (TPC-H's own types) and rounded in "
+    "decimal space: float sums of 2-4-decimal money land EXACTLY on "
+    "round-to-2 half-boundaries (margin audit: 4.8e-7 grid units), where "
+    "summation order picks the side; decimal sums are order-invariant and "
+    "decimal HALF_UP ties agree across engines. Averages divide the exact "
+    "decimal sum (as double) by the exact count — one deterministic IEEE "
+    "division, bit-identical everywhere",
     tags=("agg", "flagship"),
 )
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    qty_d = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    price_d = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(qty_d, 2).cast("double").alias("sum_qty"),
+            F.round(price_d, 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(qty_d.cast("double") / n, 4).alias("avg_qty"),
+            F.round(price_d.cast("double") / n, 4).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+                / n,
+                4,
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -521,9 +521,9 @@ def tpch_q8_style_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name AS nation,
        cast(strftime(o.o_orderdate, '%Y') AS INTEGER) AS o_year,
-       round(cast(sum(cast(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6)))
-                  AS DOUBLE), 2) AS profit
+       cast(round(sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))),
+                  2) AS DOUBLE) AS profit
 FROM lineitem l
 JOIN orders o   ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -551,7 +551,10 @@ def tpch_q9_style_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name")
     )
     # decimal(18,6) partial sums are exact and order-independent, so the
-    # cross-engine totals agree bit-for-bit even on round-boundary values
+    # cross-engine totals agree bit-for-bit even on round-boundary values;
+    # the round-to-2 must ALSO happen in decimal space — money sums land
+    # exactly on .xx5 boundaries (margin audit: 0.0 grid units at sf0.01),
+    # where rounding the lossy double cast diverges between engines
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
@@ -564,7 +567,7 @@ def tpch_q9_style_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
