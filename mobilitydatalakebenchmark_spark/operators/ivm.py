@@ -112,6 +112,48 @@ class MaterializedJoin:
         if right_delta is not None:
             self._append_base(right_delta, "right")
 
+    def append_idempotent(self, left_delta: DataFrame, row_id_col: str) -> None:
+        """Replay-safe left-side insert for at-least-once delivery
+        (the streaming sink's path). ``append`` has a crash window: it
+        writes the view delta, THEN the base — so a replay that dedups
+        only against the base re-inserts view rows for a batch that
+        crashed between the two writes. Here each persisted artifact is
+        deduped INDEPENDENTLY against the batch by ``row_id_col``:
+
+        - view delta is computed only for batch rows whose row id is not
+          yet in the view (re-deriving an applied-but-unmatched row is a
+          no-op: it joins to nothing);
+        - the base append takes only batch rows not yet in the base.
+
+        Whatever prefix of a previous attempt survived a crash, the
+        replay completes exactly the missing remainder — each artifact
+        receives each row at most once. Assumes a single writer per
+        store and a right base that does not change between an attempt
+        and its replay (the streaming sink owns both conditions).
+        Everything is executor-side anti-joins; the driver never holds
+        an id list. With a transactional format (Delta MERGE) the two
+        dedups collapse into one atomic commit."""
+        spark = left_delta.sparkSession
+        view_fresh = left_delta.join(
+            self._read(spark, "view").select(row_id_col),
+            row_id_col,
+            "left_anti",
+        )
+        # pin both fresh sets BEFORE any write: their plans read the
+        # artifacts being appended to
+        delta_view = view_fresh.join(
+            self._read(spark, "right"), self.on
+        ).localCheckpoint(eager=True)
+        base_fresh = left_delta.join(
+            self._read(spark, "left").select(row_id_col),
+            row_id_col,
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if not delta_view.isEmpty():
+            self._write_view(delta_view)
+        if not base_fresh.isEmpty():
+            self._append_base(base_fresh, "left")
+
     def view(self, spark: SparkSession) -> DataFrame:
         return self._read(spark, "view").drop(_BUCKET_COL)
 

@@ -33,6 +33,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_MISSING = (
+    "PATH_NOT_FOUND",
+    "Path does not exist",
+    "UNABLE_TO_INFER_SCHEMA",
+    "Unable to infer schema",
+)
+
+
 def _content_md5(id_col: str):
     """Order-canonical content fingerprint: md5 over the sorted id list.
     Bounded by one shard's ids; for shards too large even for that, use
@@ -42,6 +50,28 @@ def _content_md5(id_col: str):
             ",", F.sort_array(F.collect_list(F.col(id_col).cast("string")))
         )
     )
+
+
+def _manifest_rows(df: DataFrame, source_col: str, id_col: str) -> DataFrame:
+    """One manifest row per shard from placed data rows. The manifest's
+    source column is always stored under the canonical name 'source'
+    regardless of the caller's ``source_col`` (renamed at join sites)."""
+    return df.groupBy("shard").agg(
+        F.first(source_col).alias("source"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min(id_col).alias("min_doc_id"),
+        F.max(id_col).alias("max_doc_id"),
+        _content_md5(id_col).alias("content_md5"),
+    )
+
+
+def _write_manifest(spark, new_manifest: DataFrame, path: str) -> None:
+    # materialize before overwriting the file the plan reads from
+    pdf = new_manifest.toPandas()
+    spark.createDataFrame(pdf, new_manifest.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/manifest.parquet")
 
 
 def assign_shards(
@@ -104,17 +134,7 @@ def write_shards(
         .partitionBy("shard")
         .parquet(f"{path}/data.parquet")
     )
-    manifest = (
-        assigned.groupBy("shard")
-        .agg(
-            F.first(source_col).alias("source"),
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min(id_col).alias("min_doc_id"),
-            F.max(id_col).alias("max_doc_id"),
-            _content_md5(id_col).alias("content_md5"),
-        )
-    )
+    manifest = _manifest_rows(assigned, source_col, id_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/manifest.parquet"
     )
@@ -154,19 +174,14 @@ def append_shards(
 
     try:
         manifest = spark.read.parquet(f"{path}/manifest.parquet")
-        prev = manifest.groupBy("source").agg(
-            F.sum("n_tokens").alias("_prev_tokens")
-        )
+        # fill level keyed under the CALLER's source_col (the manifest
+        # stores the canonical 'source') so the placement join below
+        # works for any source_col
+        prev = manifest.groupBy(
+            F.col("source").alias(source_col)
+        ).agg(F.sum("n_tokens").alias("_prev_tokens"))
     except Exception as exc:  # narrow: only "empty store" shapes
-        if not any(
-            s in str(exc)
-            for s in (
-                "PATH_NOT_FOUND",
-                "Path does not exist",
-                "UNABLE_TO_INFER_SCHEMA",
-                "Unable to infer schema",
-            )
-        ):
+        if not any(s in str(exc) for s in _MISSING):
             raise
         manifest, prev = None, None
     placed = pack_sequences(
@@ -208,34 +223,84 @@ def append_shards(
         .partitionBy("shard")
         .parquet(f"{path}/data.parquet")
     )
-    touched = [r["shard"] for r in assigned.select("shard").distinct().collect()]
-    recomputed = (
-        spark.read.parquet(f"{path}/data.parquet")
-        .filter(F.col("shard").isin(touched))
-        .groupBy("shard")
-        .agg(
-            F.first(source_col).alias("source"),
-            F.count("*").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.min(id_col).alias("min_doc_id"),
-            F.max(id_col).alias("max_doc_id"),
-            _content_md5(id_col).alias("content_md5"),
-        )
+    # touched-shard set as a broadcast DataFrame, never a driver list: a
+    # backlog replay can touch backlog/shard_tokens shards, and an isin
+    # of that many literals breaks plan compilation long before memory.
+    # The semi-join on the partition column still prunes directories via
+    # dynamic partition pruning.
+    touched = assigned.select("shard").distinct()
+    recomputed = _manifest_rows(
+        spark.read.parquet(f"{path}/data.parquet").join(
+            F.broadcast(touched), "shard", "left_semi"
+        ),
+        source_col,
+        id_col,
     )
     if manifest is not None:
-        new_manifest = manifest.filter(
-            ~F.col("shard").isin(touched)
+        new_manifest = manifest.join(
+            F.broadcast(touched), "shard", "left_anti"
         ).unionByName(recomputed)
     else:
         new_manifest = recomputed
-    # materialize before overwriting the file the plan reads from
-    pdf = new_manifest.toPandas()
-    spark.createDataFrame(pdf, new_manifest.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/manifest.parquet")
+    _write_manifest(spark, new_manifest, path)
 
 
-def verify_shards(spark, path: str) -> DataFrame:
+def repair_manifest(
+    spark,
+    path: str,
+    ids: DataFrame | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> None:
+    """Re-derive manifest rows from the WRITTEN data for the shards
+    containing ``ids`` (or every shard when ``ids`` is None) and rewrite
+    the manifest. This heals the one non-atomic window in the shard
+    store: a crash between ``append_shards``' data append and its
+    manifest rewrite leaves the manifest understating per-source fill
+    levels, which would place the next batch at overlapping offsets and
+    silently break the token-balanced layout. The data directory is the
+    write-ahead artifact, so recomputing from it is always correct; the
+    streaming sink calls this on replay whenever it detects the batch
+    was (partially) already written."""
+    try:
+        data = spark.read.parquet(f"{path}/data.parquet")
+    except Exception as exc:  # nothing written yet -> nothing to repair
+        if not any(s in str(exc) for s in _MISSING):
+            raise
+        return
+    if ids is not None:
+        touched = (
+            data.join(
+                F.broadcast(ids.select(id_col).distinct()), id_col, "left_semi"
+            )
+            .select("shard")
+            .distinct()
+        )
+    else:
+        touched = data.select("shard").distinct()
+    recomputed = _manifest_rows(
+        data.join(F.broadcast(touched), "shard", "left_semi"),
+        source_col,
+        id_col,
+    )
+    try:
+        manifest = spark.read.parquet(f"{path}/manifest.parquet")
+        new_manifest = manifest.join(
+            F.broadcast(touched), "shard", "left_anti"
+        ).unionByName(recomputed)
+    except Exception as exc:
+        if not any(s in str(exc) for s in _MISSING):
+            raise
+        new_manifest = recomputed
+    _write_manifest(spark, new_manifest, path)
+
+
+def verify_shards(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """Re-derive the manifest from the written shard data and join it
     against the stored manifest — one row per shard with booleans; any
     False means the written files do not match what the manifest claims
@@ -248,8 +313,8 @@ def verify_shards(spark, path: str) -> DataFrame:
         data.groupBy("shard")
         .agg(
             F.count("*").alias("d_n_docs"),
-            F.sum(token_count(F.col("text"))).cast("long").alias("d_n_tokens"),
-            _content_md5("doc_id").alias("d_content_md5"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("d_n_tokens"),
+            _content_md5(id_col).alias("d_content_md5"),
         )
     )
     return (

@@ -85,16 +85,9 @@ def stream_to_flat_store(
                 raise
             existing = None
         if existing is not None:
-            hits = [
-                r[0]
-                for r in existing.join(
-                    F.broadcast(batch.select("timestamp").distinct()),
-                    "timestamp",
-                    "left_semi",
-                ).collect()
-            ]
-            if hits:
-                fresh = batch.filter(~F.col("timestamp").isin(hits))
+            # executor-side anti-join, never a driver timestamp list — a
+            # replayed availableNow backlog is the whole history
+            fresh = batch.join(existing, "timestamp", "left_anti")
         if fresh.isEmpty():
             return
         (
@@ -175,8 +168,8 @@ def stream_to_ann_index(
     epoch-counted. Two layers:
 
     1. Anti-membership: every batch is stripped of ids the store already
-       holds (a left-semi probe of the store's id table against the
-       broadcast batch) before appending. This is what makes at-least-once
+       holds (a left-anti join against the store's id table, entirely
+       executor-side) before appending. This is what makes at-least-once
        delivery effectively once under EVERY replay shape: a crash between
        the codes append and the state write, a fresh checkpoint replaying
        the same source, or an upstream that re-delivers rows across
@@ -228,26 +221,24 @@ def stream_to_ann_index(
         spark = batch.sparkSession
         if epoch_id <= _last_epoch(spark):
             return  # same-run replay: already fully applied
-        # idempotent append: drop ids the store already holds. The batch
-        # side broadcasts (it is micro-batch-sized); the store id scan is
-        # the big side of the semi-join and never leaves the executors —
-        # only the (batch-bounded) hit list returns to the driver.
-        hits = [
-            r[0]
-            for r in store.indexed_ids(spark)
-            .withColumnRenamed("vec_id", id_col)
-            .join(
-                F.broadcast(batch.select(F.col(id_col)).distinct()),
-                id_col,
-                "left_semi",
-            )
-            .collect()
-        ]
-        fresh = (
-            batch.filter(~F.col(id_col).isin(hits)) if hits else batch
-        )
-        if not fresh.isEmpty():
-            store.append(fresh, id_col=id_col, vec_col=vec_col)
+        # idempotent append: drop ids the store already holds, via a
+        # pure executor-side anti-join — nothing returns to the driver.
+        # (A collect()+isin variant is bounded only in steady state: an
+        # availableNow replay after a crash-mid-append delivers the WHOLE
+        # backlog as one batch — the very case idempotence exists for —
+        # and an unbounded isin list breaks plan compilation.) The store
+        # id scan stays the big side; the persist pins the anti-join
+        # result so the isEmpty probe and the append don't run it twice.
+        fresh = batch.join(
+            store.indexed_ids(spark).withColumnRenamed("vec_id", id_col),
+            id_col,
+            "left_anti",
+        ).persist()
+        try:
+            if not fresh.isEmpty():
+                store.append(fresh, id_col=id_col, vec_col=vec_col)
+        finally:
+            fresh.unpersist()
         spark.createDataFrame(
             [(int(epoch_id),)], "last_epoch long"
         ).coalesce(1).write.mode("overwrite").parquet(run_path)

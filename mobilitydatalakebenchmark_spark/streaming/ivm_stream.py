@@ -1,14 +1,14 @@
 """Streaming maintenance of a materialized equi-join: fact rows arrive
 on a stream, the persisted view stays current per micro-batch.
 
-Each epoch applies ``MaterializedJoin.append(left_delta=batch)`` — the
-delta rule keeps per-batch cost proportional to the arrivals times the
-match rate, never the view size. Replay protection follows the
-``streaming/ingest.stream_to_ann_index`` design: the append is
-IDEMPOTENT (the batch is stripped of row ids the left base already
-holds — so a crash between the view append and the state write, or a
-fresh checkpoint re-delivering old files, cannot double-insert join
-rows), with a checkpoint-scoped epoch high-water mark as the fast path.
+Each epoch applies ``MaterializedJoin.append_idempotent`` — the delta
+rule keeps per-batch cost proportional to the arrivals times the match
+rate, never the view size. Replay protection is TWO-SIDED: the view and
+the left base are each deduped independently against the batch by row
+id (executor-side anti-joins), so a crash at ANY point of a previous
+attempt — including between the view write and the base write —
+converges on replay instead of double-inserting join rows or dropping
+base rows. A checkpoint-scoped epoch high-water mark is the fast path.
 ``row_id_col`` must uniquely identify left rows across the stream's
 lifetime (an event id, not the join key — join keys repeat).
 """
@@ -64,20 +64,12 @@ def stream_to_materialized_join(
         spark = batch.sparkSession
         if epoch_id <= _last_epoch(spark):
             return  # same-run replay: already fully applied
-        hits = [
-            r[0]
-            for r in spark.read.parquet(f"{mj.path}/left.parquet")
-            .select(row_id_col)
-            .join(
-                F.broadcast(batch.select(F.col(row_id_col)).distinct()),
-                row_id_col,
-                "left_semi",
-            )
-            .collect()
-        ]
-        fresh = batch.filter(~F.col(row_id_col).isin(hits)) if hits else batch
-        if not fresh.isEmpty():
-            mj.append(left_delta=fresh)
+        # two-sided idempotent apply: the view and the left base are each
+        # deduped independently against the batch (executor-side
+        # anti-joins — no driver id lists), so a crash between the view
+        # write and the base write of a previous attempt converges on
+        # replay instead of double-inserting join rows
+        mj.append_idempotent(batch, row_id_col)
         spark.createDataFrame(
             [(int(epoch_id),)], "last_epoch long"
         ).coalesce(1).write.mode("overwrite").parquet(run_path)

@@ -69,6 +69,12 @@ def upsert_rollup_batch(
     partial = _with_bucket_key(
         build_rollup(batch, ts_col, val_col, keys=keys, bucket=bucket)
     )
+    # unlike the row-id dedup sinks (ANN/shard/IVM — executor-side
+    # anti-joins), this collect is safe under a full-backlog replay: it
+    # carries DISTINCT TIME BUCKETS, bounded by the data's time span
+    # (one key per hour/day), not by row count — and the literal isin on
+    # the partition column buys guaranteed static partition pruning,
+    # which a join-based probe would leave to best-effort DPP
     touched = [r[_BUCKET_KEY] for r in partial.select(_BUCKET_KEY).distinct().collect()]
     if not touched:
         return

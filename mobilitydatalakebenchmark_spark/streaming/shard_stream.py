@@ -11,11 +11,17 @@ batch is O(batch + touched shards), independent of corpus size, exactly
 the ``rollup_stream`` posture.
 
 Replay protection follows ``streaming/ingest.stream_to_ann_index``: the
-append is IDEMPOTENT (each batch is stripped of doc ids the store already
-holds — a replayed epoch, a crash between the data append and the state
-write, or a fresh checkpoint re-delivering old files cannot double-place
-a document), with a per-checkpoint epoch high-water mark as the fast
-path. State reads narrow their error handling to missing-path shapes.
+append is IDEMPOTENT (each batch is stripped, via an executor-side
+anti-join, of doc ids the store already holds — a replayed epoch, a
+crash between the data append and the state write, or a fresh checkpoint
+re-delivering old files cannot double-place a document), with a
+per-checkpoint epoch high-water mark as the fast path. When a replayed
+batch turns out partially-or-fully written, the manifest rows for the
+shards holding it are re-derived from the data first (``repair_manifest``)
+— healing the crash window between a data append and its manifest
+rewrite, which would otherwise leave fill levels understated and place
+later docs at overlapping offsets. State reads narrow their error
+handling to missing-path shapes.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.shards import append_shards
+from ..operators.shards import append_shards, repair_manifest
 
 _MISSING = (
     "PATH_NOT_FOUND",
@@ -81,28 +87,43 @@ def stream_to_shards(
         spark = batch.sparkSession
         if epoch_id <= _last_epoch(spark):
             return  # same-run replay: already fully applied
-        fresh = batch
         existing = _existing_ids(spark)
-        if existing is not None:
-            hits = [
-                r[0]
-                for r in existing.join(
-                    F.broadcast(batch.select(F.col(id_col)).distinct()),
-                    id_col,
-                    "left_semi",
-                ).collect()
-            ]
-            if hits:
-                fresh = batch.filter(~F.col(id_col).isin(hits))
-        if not fresh.isEmpty():
-            append_shards(
-                fresh,
-                path,
-                shard_tokens=shard_tokens,
-                source_col=source_col,
-                id_col=id_col,
-                text_col=text_col,
-            )
+        if existing is None:
+            fresh, n_batch, n_fresh = batch, 1, 1  # empty store: all fresh
+        else:
+            # executor-side anti-join — never a driver id list (an
+            # availableNow replay after a crash delivers the whole
+            # backlog as one batch, the one case idempotence exists for)
+            fresh = batch.join(existing, id_col, "left_anti").persist()
+            n_batch = batch.count()
+            n_fresh = fresh.count()
+        try:
+            if n_fresh < n_batch:
+                # part (or all) of this batch is already in the data but
+                # its manifest rewrite may have been lost to a crash:
+                # re-derive manifest rows for the shards holding the
+                # batch's ids from the written data BEFORE placing
+                # anything, so fill levels are read from a repaired
+                # manifest and offsets can never overlap
+                repair_manifest(
+                    spark,
+                    path,
+                    ids=batch.select(id_col),
+                    source_col=source_col,
+                    id_col=id_col,
+                )
+            if n_fresh > 0:
+                append_shards(
+                    fresh,
+                    path,
+                    shard_tokens=shard_tokens,
+                    source_col=source_col,
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+        finally:
+            if existing is not None:
+                fresh.unpersist()
         spark.createDataFrame(
             [(int(epoch_id),)], "last_epoch long"
         ).coalesce(1).write.mode("overwrite").parquet(run_path)

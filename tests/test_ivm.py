@@ -119,3 +119,69 @@ def test_streamed_left_inserts_keep_view_current(spark, orders, lineitem, tmp_pa
 
     run("ckpt2")  # full re-delivery from scratch
     assert _rows(mj.view(spark)) == want
+
+
+def test_crash_between_view_and_base_write_converges(
+    spark, orders, lineitem, tmp_path
+):
+    """Replay after the append's crash window: a previous attempt wrote
+    the VIEW delta but died before appending the left base. The replayed
+    epoch must complete the base append without double-inserting view
+    rows (two-sided dedup)."""
+    from mobilitydatalakebenchmark_spark.streaming.ivm_stream import (
+        stream_to_materialized_join,
+    )
+
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    mj = MaterializedJoin(str(tmp_path / "mjc"), on="o_orderkey")
+    mj.build(o1, lineitem)
+
+    # crashed attempt: view delta written, base append lost
+    delta = o2.join(mj._read(spark, "right"), "o_orderkey").localCheckpoint()
+    mj._write_view(delta)
+
+    landing = str(tmp_path / "landing")
+    o2.coalesce(1).write.parquet(landing)
+    stream = spark.readStream.schema(o2.schema).parquet(landing)
+    stream_to_materialized_join(
+        stream, mj, str(tmp_path / "ckpt"), row_id_col="o_orderkey"
+    ).awaitTermination(120)
+
+    want = _rows(orders.join(lineitem, "o_orderkey"))
+    assert _rows(mj.view(spark)) == want
+    # unmatched left rows must have reached the base too
+    assert (
+        spark.read.parquet(str(tmp_path / "mjc" / "left.parquet")).count()
+        == orders.count()
+    )
+
+
+def test_crash_between_base_and_view_write_converges(
+    spark, orders, lineitem, tmp_path
+):
+    """The opposite partial state (base rows present, view delta lost)
+    must also converge: the view-side dedup sees nothing for the batch
+    and re-derives its join rows."""
+    from mobilitydatalakebenchmark_spark.streaming.ivm_stream import (
+        stream_to_materialized_join,
+    )
+
+    o1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    o2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    mj = MaterializedJoin(str(tmp_path / "mjb"), on="o_orderkey")
+    mj.build(o1, lineitem)
+
+    # crashed attempt: base appended, view delta lost
+    mj._append_base(o2, "left")
+
+    landing = str(tmp_path / "landing")
+    o2.coalesce(1).write.parquet(landing)
+    stream = spark.readStream.schema(o2.schema).parquet(landing)
+    stream_to_materialized_join(
+        stream, mj, str(tmp_path / "ckpt"), row_id_col="o_orderkey"
+    ).awaitTermination(120)
+
+    want = _rows(orders.join(lineitem, "o_orderkey"))
+    assert _rows(mj.view(spark)) == want
+    assert _rows(mj.recompute(spark)) == want

@@ -203,3 +203,84 @@ def test_streamed_shards_replay_safe(spark, documents, tmp_path):
     run("ckpt2")  # full re-delivery from scratch
     assert _manifest_rows(spark, path) == first
     assert spark.read.parquet(f"{path}/data.parquet").count() == documents.count()
+
+
+def test_crash_between_data_and_manifest_is_repaired(spark, documents, tmp_path):
+    """The one non-atomic window in the shard store: a crash between a
+    batch's data append and its manifest rewrite leaves the manifest
+    understating fill levels. The streaming replay must repair the
+    manifest from data BEFORE placing later batches, so offsets never
+    overlap and the final layout equals the crash-free sequence."""
+    import shutil
+
+    from mobilitydatalakebenchmark_spark.operators.shards import (
+        append_shards,
+        verify_shards,
+    )
+    from mobilitydatalakebenchmark_spark.streaming.shard_stream import (
+        stream_to_shards,
+    )
+
+    h = F.abs(F.xxhash64("doc_id")) % 3
+    b1 = documents.filter(h == 0)
+    b2 = documents.filter(h == 1)
+    b3 = documents.filter(h == 2)
+    path = str(tmp_path / "store")
+
+    append_shards(b1, path, SHARD_TOKENS)
+    # snapshot the manifest, apply b2, then restore the stale manifest —
+    # exactly the on-disk state a crash between b2's data append and its
+    # manifest rewrite leaves behind
+    shutil.copytree(f"{path}/manifest.parquet", str(tmp_path / "m_saved"))
+    append_shards(b2, path, SHARD_TOKENS)
+    shutil.rmtree(f"{path}/manifest.parquet")
+    shutil.copytree(str(tmp_path / "m_saved"), f"{path}/manifest.parquet")
+
+    landing = str(tmp_path / "landing")
+    b2.coalesce(1).write.parquet(landing)
+    b3.coalesce(1).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema(documents.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    stream_to_shards(
+        stream, path, str(tmp_path / "ckpt"), SHARD_TOKENS
+    ).awaitTermination(180)
+
+    checks = verify_shards(spark, path).collect()
+    assert checks and all(
+        r.ok_docs and r.ok_tokens and r.ok_content for r in checks
+    )
+    ref = str(tmp_path / "ref")
+    for b in (b1, b2, b3):
+        append_shards(b, ref, SHARD_TOKENS)
+    got = sorted(
+        (r.doc_id, r.shard, r.start_offset)
+        for r in spark.read.parquet(f"{path}/data.parquet").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.shard, r.start_offset)
+        for r in spark.read.parquet(f"{ref}/data.parquet").collect()
+    )
+    assert got == want
+
+
+def test_append_with_custom_source_col(spark, documents, tmp_path):
+    """append_shards must honor a non-default source_col end-to-end: the
+    manifest stores the canonical 'source' name, so the second append's
+    fill-level join has to rename it back to the caller's column."""
+    from mobilitydatalakebenchmark_spark.operators.shards import (
+        append_shards,
+        verify_shards,
+    )
+
+    docs2 = documents.withColumnRenamed("source", "src")
+    h = F.abs(F.xxhash64("doc_id")) % 2
+    path = str(tmp_path / "custom")
+    append_shards(docs2.filter(h == 0), path, SHARD_TOKENS, source_col="src")
+    append_shards(docs2.filter(h == 1), path, SHARD_TOKENS, source_col="src")
+    checks = verify_shards(spark, path).collect()
+    assert checks and all(
+        r.ok_docs and r.ok_tokens and r.ok_content for r in checks
+    )
