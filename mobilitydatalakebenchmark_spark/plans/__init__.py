@@ -43,29 +43,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # oracle-checked locally by tools/check_oracle.py each round regardless;
 # the ordering only decides which subset gets this round's independent
 # driver verdict. Gates re-verified in a later window GRADUATE out of
-# their old block (round 6 moved the 39 R1-R2 gates and 4 others that
-# CORRECTNESS_r05 re-verified into the R5 block), so each name appears
-# exactly once, under its freshest verdict.
-# r1-r2 verdicts never re-checked since (the oldest — window them first):
-DRIVER_VERIFIED_R12 = (
-    "tpch_q2_style_min_cost_supplier", "tpch_q4_style_priority_exists",
-    "tpch_q12_style_priority_by_flag", "tpch_q21_style_sole_late_supplier",
-    "tpch_q22_style_idle_balance", "w1_tumbling_hour",
-    "a5_batch_range_bounds", "w3_asof_lookup",
-)
-# r3 verdicts (CORRECTNESS_r03.json) still freshest:
+# their old block (round 7 moved the 49 gates CORRECTNESS_r06 hash-
+# matched into the R6 block, emptying the R1-R2 block entirely), so each
+# name appears exactly once, under its freshest verdict. The r7 window
+# is therefore: flagship, the redefined trip-segments gate, any new r7
+# gates, the two decimal-rounding rewrites, then the 17-gate R3 residue
+# and the oldest R4 entries up to 50.
+# r3 verdicts (CORRECTNESS_r03.json) still freshest (the oldest block —
+# the r6 window re-verified the first 28 alphabetically; these 17 are the
+# residue and window first in r7):
 DRIVER_VERIFIED_R3 = (
-    "a1_entity_sequences", "anomaly_zscore_outliers",
-    "asof_join_purchases_clicks", "co_location_contacts", "cohort_retention",
-    "date_functions", "dedup_exact_hash", "dedup_minhash_lsh_candidates",
-    "dedup_minhash_signatures", "event_transition_matrix",
-    "f6_temporal_containment", "funnel_conversion", "json_props_extract",
-    "json_variant_extract", "k_anonymity_cells",
-    "mobility_frequent_locations", "mobility_location_entropy",
-    "mobility_radius_of_gyration", "od_matrix_trips",
-    "p11_fixed_point_roundtrip", "p12_cantor_pairing", "p15_wkt_points",
-    "p4_json_doc_build", "pii_detect_counts", "pii_scrub_stats",
-    "proximity_grid_join", "quantiles_exact", "range_join_value_tiers",
     "ranking_suite", "resample_linear_grid", "rollup_hourly_to_daily",
     "running_totals", "sample_corpus_mixture", "scd2_state_intervals",
     "spatial_tile_pyramid", "text_lang_distribution", "text_line_repetition",
@@ -76,7 +63,7 @@ DRIVER_VERIFIED_R3 = (
 # r4 verdicts (CORRECTNESS_r04.json) still freshest:
 DRIVER_VERIFIED_R4 = (
     "sketch_percentiles", "approx_distinct_users", "knn_pq_adc_seeded",
-    "vec_covariance_matrix", "text_chunk_overlap", "text_zipf_slope",
+    "text_chunk_overlap", "text_zipf_slope",
     "text_perplexity_buckets", "interval_overlap_join",
     "dedup_minhash_verified", "text_fingerprint", "text_token_topk",
     "text_langid", "dedup_simhash", "text_quality_score", "dedup_simhash_md5",
@@ -84,9 +71,9 @@ DRIVER_VERIFIED_R4 = (
     "text_repetition_dup_ngrams", "text_df_idf", "text_tfidf_keywords",
     "sample_hash_split", "sample_deterministic_strata",
     "pack_sequences_contiguous", "contamination_check", "vec_norms",
-    "knn_bruteforce_cosine", "vec_label_centroids", "vec_lsh_buckets",
-    "knn_lsh_multiprobe", "knn_ivf", "vec_neardup_pairs_numpy",
-    "vec_neardup_pairs", "vec_nearest_centroid_confusion",
+    "vec_label_centroids", "vec_lsh_buckets",
+    "vec_neardup_pairs_numpy",
+    "vec_neardup_pairs",
     "vec_nearest_centroid_confusion_numpy", "cdc_upsert_latest_wins",
     "hist_equiwidth_price", "linreg_trend_per_entity",
     "vec_int8_quantization", "point_in_polygon_convex",
@@ -94,11 +81,11 @@ DRIVER_VERIFIED_R4 = (
     "unpivot_measures", "dq_check_suite", "path_trigrams_topk",
     "session_window_native", "graph_triangle_count", "s1_scan_order_limit",
 )
-# r5 verdicts (CORRECTNESS_r05.json, 50/50 hash-matched — the freshest):
+# r5 verdicts (CORRECTNESS_r05.json) still freshest:
 DRIVER_VERIFIED_R5 = (
-    "flagship_pricing_summary", "dedup_semantic_clusters",
+    "dedup_semantic_clusters",
     "text_perplexity_buckets_sketch", "vec_covariance_matrix_gram",
-    "pipeline_quality_dedup_split", "text_gopher_quality",
+    "text_gopher_quality",
     "pack_shard_manifest", "sample_temperature_mixture",
     "dedup_ngram_jaccard", "dedup_shared_passages", "knn_ivf_seeded",
     "f1_point_lookup", "f2_in_list", "f9_first_match", "j1_doc_feature_join",
@@ -118,12 +105,40 @@ DRIVER_VERIFIED_R5 = (
     "tpch_q11_style_balance_share", "tpch_q13_style_order_distribution",
     "tpch_q19_style_disjunctive_revenue", "tpch_q20_style_nested_in",
 )
+# r6 verdicts (CORRECTNESS_r06.json, 49/50 hash-matched — the freshest;
+# graduated here from their old blocks: all 8 r1-r2 gates, the first 28
+# r3 gates, 5 code-touched r4 gates, flagship + pipeline from r5, and
+# the 6 green first-verdict r6 gates. trajectory_trip_segments — the
+# round's one red row — stays OUT until its post-fix r7 verdict):
+DRIVER_VERIFIED_R6 = (
+    "flagship_pricing_summary", "knn_recall_floor",
+    "multimodal_decode_stats", "trajectory_stop_detection",
+    "trajectory_simplify_bounds", "text_token_topk_sketch",
+    "sample_weighted_ares", "pipeline_quality_dedup_split",
+    "vec_covariance_matrix", "knn_bruteforce_cosine", "knn_ivf",
+    "knn_lsh_multiprobe", "vec_nearest_centroid_confusion",
+    "tpch_q2_style_min_cost_supplier", "tpch_q4_style_priority_exists",
+    "tpch_q12_style_priority_by_flag", "tpch_q21_style_sole_late_supplier",
+    "tpch_q22_style_idle_balance", "w1_tumbling_hour",
+    "a5_batch_range_bounds", "w3_asof_lookup",
+    "a1_entity_sequences", "anomaly_zscore_outliers",
+    "asof_join_purchases_clicks", "co_location_contacts", "cohort_retention",
+    "date_functions", "dedup_exact_hash", "dedup_minhash_lsh_candidates",
+    "dedup_minhash_signatures", "event_transition_matrix",
+    "f6_temporal_containment", "funnel_conversion", "json_props_extract",
+    "json_variant_extract", "k_anonymity_cells",
+    "mobility_frequent_locations", "mobility_location_entropy",
+    "mobility_radius_of_gyration", "od_matrix_trips",
+    "p11_fixed_point_roundtrip", "p12_cantor_pairing", "p15_wkt_points",
+    "p4_json_doc_build", "pii_detect_counts", "pii_scrub_stats",
+    "proximity_grid_join", "quantiles_exact", "range_join_value_tiers",
+)
 DRIVER_VERIFIED = tuple(
     dict.fromkeys(
-        DRIVER_VERIFIED_R12
-        + DRIVER_VERIFIED_R3
+        DRIVER_VERIFIED_R3
         + DRIVER_VERIFIED_R4
         + DRIVER_VERIFIED_R5
+        + DRIVER_VERIFIED_R6
     )
 )
 
@@ -141,29 +156,23 @@ def load_registry() -> dict[str, Q]:
     from . import vectors  # noqa: F401
     from . import advanced  # noqa: F401
 
-    # Round 6: brand-new gates needing a first verdict.
+    # Round 7: gates needing a first verdict on CURRENT semantics —
+    # trajectory_trip_segments was the r6 red row, redefined this round
+    # to sum integer centimeters (order-invariant hash); the others are
+    # brand-new r7 gates.
     newest = (
-        "knn_recall_floor", "multimodal_decode_stats",
-        "trajectory_trip_segments", "trajectory_stop_detection",
-        "trajectory_simplify_bounds", "text_token_topk_sketch",
-        "sample_weighted_ares",
+        "trajectory_trip_segments",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:
-    # - pipeline_quality_dedup_split: the round-6 self-join lineage fix
-    #   (keepers join on the column-name list) after its r5 verdict;
-    # - vec_covariance_matrix: plan construction moved into
-    #   similarity.covariance_matrix_expr this round (identical plan by
-    #   construction, re-verdict anyway) after its r4 verdict;
-    # - the four norm-hoisted gates the round-5 optimization rewrote
-    #   AFTER their r4 verdicts (knn_bruteforce_cosine, knn_ivf,
-    #   knn_lsh_multiprobe, vec_nearest_centroid_confusion) — the hoists
-    #   are bit-identical by commutativity, but the rotation's own rule
-    #   is "plan code changed => re-verdict" (round-5 ADVICE item).
+    # - flagship_pricing_summary (r6 verdict): rewritten this round to
+    #   sum exact DECIMAL money and round in decimal space (the margin
+    #   audit found sum_disc_price 4.8e-7 grid units from a half-
+    #   boundary — same fragility class as the r6 red row);
+    # - tpch_q9_style_nation_profit (r5 verdict): its round-to-2 moved
+    #   into decimal space (profit margin was exactly 0 at sf0.01).
     code_touched = (
-        "pipeline_quality_dedup_split", "vec_covariance_matrix",
-        "knn_bruteforce_cosine", "knn_ivf", "knn_lsh_multiprobe",
-        "vec_nearest_centroid_confusion",
+        "tpch_q9_style_nation_profit",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest + code_touched:
@@ -175,10 +184,10 @@ def load_registry() -> dict[str, Q]:
         if name not in DRIVER_VERIFIED and name not in ordered:
             ordered[name] = q
     for block in (
-        DRIVER_VERIFIED_R12,
         DRIVER_VERIFIED_R3,
         DRIVER_VERIFIED_R4,
         DRIVER_VERIFIED_R5,
+        DRIVER_VERIFIED_R6,
     ):
         for name in block:
             if name in REGISTRY and name not in ordered:
