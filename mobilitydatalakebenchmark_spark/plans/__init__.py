@@ -161,7 +161,7 @@ def load_registry() -> dict[str, Q]:
     # to sum integer centimeters (order-invariant hash); the others are
     # brand-new r7 gates.
     newest = (
-        "trajectory_trip_segments",
+        "trajectory_trip_segments", "knn_pq_recall_floor",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

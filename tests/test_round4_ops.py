@@ -487,3 +487,95 @@ def test_interval_overlap_strictness(spark):
     got = {(r.ua, r.ub) for r in pairs}
     assert (1, 2) not in got          # touching, strict
     assert (1, 3) in got and (2, 3) in got
+
+
+# ---------------------------------------------------------------------------
+# Round-7: IVF+PQ residual tier (IVFADC / IVFADC+R)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_numpy_matches_expression_path(spark, embeddings):
+    """The einsum kernel and the in-plan fold must assign identical codes
+    (same distances up to ulp, same lowest-id tie-break)."""
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_encode_numpy,
+    )
+
+    cb = pq_codebook(embeddings, m_subspaces=4, dsub=16, n_codewords=8)
+    a = sorted(
+        tuple(r) for r in pq_encode(embeddings, cb, 4, 16).collect()
+    )
+    b = sorted(
+        tuple(r) for r in pq_encode_numpy(embeddings, cb, 4, 16).collect()
+    )
+    assert a == b
+
+
+def test_unit_normalize(spark):
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        norm,
+        unit_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 0.0])],
+        "id long, v array<double>",
+    ).select("id", unit_normalize(F.col("v")).alias("u"))
+    rows = {r.id: r.u for r in df.collect()}
+    assert rows[1] == pytest.approx([0.6, 0.8])
+    assert rows[2] == [0.0, 0.0]  # zero vector passes through
+    assert rows[3] == pytest.approx([-1.0, 0.0])
+    n = df.select(norm(F.col("u")).alias("n")).collect()
+    assert all(r.n == pytest.approx(1.0) or r.n == 0.0 for r in n)
+
+
+def test_ivfpq_residual_beats_plain_pq(spark, embeddings):
+    """The point of residual encoding + refinement: recall@5 of the
+    refined IVF+PQ tier must beat the plain seeded-PQ tier on the same
+    corpus (audited 0.23 -> 0.46+ at sf0.1; asserted loosely here at
+    sf0.001 to stay fast and stable)."""
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_index,
+        ivfpq_refine_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    probes = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+
+    def hit_total(df):
+        got = {}
+        for r in df.select("probe_id", "vec_id").collect():
+            got.setdefault(r.probe_id, set()).add(r.vec_id)
+        return sum(len(got.get(p, set()) & t) for p, t in truth.items())
+
+    truth = {}
+    for r in brute_force_topk(embeddings, probes, k=5).collect():
+        truth.setdefault(r.probe_id, set()).add(r.vec_id)
+
+    cb = pq_codebook(embeddings, m_subspaces=4, dsub=16, n_codewords=8)
+    plain = hit_total(
+        pq_adc_topk(
+            pq_encode(embeddings, cb, 4, 16), cb, probes, k=5,
+            m_subspaces=4, dsub=16,
+        )
+    )
+    codes, cents, cbr = ivfpq_index(
+        embeddings, n_centroids=16, m_subspaces=8, dsub=8, n_codewords=256,
+        pq_lloyd=1,
+    )
+    refined = hit_total(
+        ivfpq_refine_topk(
+            codes, cents, cbr, probes, embeddings, k=5, nprobe=4,
+            shortlist=50, m_subspaces=8, dsub=8,
+        )
+    )
+    assert refined > plain
+    assert refined >= 15  # >= 0.3 recall at sf0.001 (measured 30)

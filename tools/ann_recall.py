@@ -117,6 +117,12 @@ def main() -> None:
         "pq_adc_m8_k64_trained2": lambda: _pq(
             S, e, probes, k, train=2, n_codewords=64, m=8, dsub=8
         ),
+        # round-7 IVF+PQ residual tiers (IVFADC): unit-normalized,
+        # 64 coarse lists, residual codebook at the full 8-byte budget
+        # (8 subspaces x 256 codewords). codes-only ADC vs the
+        # shortlist-50 exact-refined pipeline (IVFADC+R)
+        "ivfpq_adc_8x256": lambda: _ivfpq(S, e, probes, k, refine=False),
+        "ivfpq_refine_8x256_r50": lambda: _ivfpq(S, e, probes, k, refine=True),
     }
     for name, fn in tiers.items():
         got = run(name, fn)
@@ -139,6 +145,20 @@ def main() -> None:
 
 def _ivf(S, e, lloyd):
     return S.ivf_index(e, n_centroids=16, lloyd_iters=lloyd)
+
+
+def _ivfpq(S, e, probes, k, refine):
+    codes, cents, cb = S.ivfpq_index(
+        e, n_centroids=64, m_subspaces=8, dsub=8, n_codewords=256, pq_lloyd=1
+    )
+    if refine:
+        return S.ivfpq_refine_topk(
+            codes, cents, cb, probes, e, k=k, nprobe=8, shortlist=50,
+            m_subspaces=8, dsub=8,
+        )
+    return S.ivfpq_adc_topk(
+        codes, cents, cb, probes, k=k, nprobe=8, m_subspaces=8, dsub=8
+    )
 
 
 def _pq(S, e, probes, k, train, n_codewords=8, m=4, dsub=16):
