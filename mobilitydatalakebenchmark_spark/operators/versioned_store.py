@@ -57,7 +57,16 @@ class VersionedParquetStore:
         rows = spark.read.parquet(
             os.path.join(self._manifest_dir(), f"{version}.parquet")
         ).collect()
-        return [r["dir"] for r in sorted(rows, key=lambda r: r["version"])]
+        # manifests store dirs RELATIVE to the store root (so the store
+        # is relocatable and vacuum's path compare cannot be fooled by
+        # cwd/symlink variants); absolute dirs from older manifests pass
+        # through unchanged
+        return [
+            d if os.path.isabs(d) else os.path.join(self.path, d)
+            for d in (
+                r["dir"] for r in sorted(rows, key=lambda r: r["version"])
+            )
+        ]
 
     # -- API -----------------------------------------------------------
 
@@ -65,18 +74,37 @@ class VersionedParquetStore:
         self, spark: SparkSession, txn: tuple[str, int]
     ) -> int | None:
         """The version a (run, epoch) transaction committed as, or None.
-        Manifests are one tiny file per version; the scan is bounded by
-        history length (and by ``vacuum``)."""
-        for v in reversed(self._versions()):
-            df = spark.read.parquet(
-                os.path.join(self._manifest_dir(), f"{v}.parquet")
+        ONE Spark job regardless of history length: all manifests are
+        tiny one-row-group files under a single directory, read in one
+        pass with the version recovered from ``input_file_name``.
+        ``mergeSchema`` nulls the txn columns for any pre-txn manifest,
+        which can then never match a real (run, epoch)."""
+        from pyspark.sql import functions as F
+
+        if not self._versions():
+            return None
+        df = (
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true")
+            .parquet(self._manifest_dir())
+        )
+        if "txn_run" not in df.columns:
+            return None  # every manifest predates txn stamps
+        row = (
+            df.filter(
+                (F.col("txn_run") == txn[0]) & (F.col("txn_epoch") == txn[1])
             )
-            if "txn_run" not in df.columns:
-                continue
-            row = df.select("txn_run", "txn_epoch").first()
-            if row and row["txn_run"] == txn[0] and row["txn_epoch"] == txn[1]:
-                return v
-        return None
+            .select(
+                F.regexp_extract(
+                    F.input_file_name(), r"[/\\](\d+)\.parquet[/\\]", 1
+                )
+                .cast("int")
+                .alias("v")
+            )
+            .agg(F.max("v").alias("v"))
+            .first()
+        )
+        return None if row is None or row["v"] is None else int(row["v"])
 
     def commit(
         self,
@@ -105,12 +133,23 @@ class VersionedParquetStore:
         version = 0 if prev is None else prev + 1
         new_dir = os.path.join(self.path, "data", f"v{version}")
         df.write.mode("overwrite").parquet(new_dir)
+        # store dirs relative to the store root (relocatable; see
+        # _read_manifest); anything outside the root keeps its absolute
+        # form
+        def _rel(d: str) -> str:
+            real_root = os.path.realpath(self.path)
+            real_d = os.path.realpath(d)
+            if real_d.startswith(real_root + os.sep):
+                return os.path.relpath(real_d, real_root)
+            return d
+
         dirs: list[tuple[int, str]] = []
         if mode == "append" and prev is not None:
             dirs = [
-                (i, d) for i, d in enumerate(self._read_manifest(spark, prev))
+                (i, _rel(d))
+                for i, d in enumerate(self._read_manifest(spark, prev))
             ]
-        dirs.append((len(dirs), new_dir))
+        dirs.append((len(dirs), _rel(new_dir)))
         run_id, epoch = txn if txn is not None else (None, None)
         spark.createDataFrame(
             [(i, d, run_id, epoch) for i, d in dirs],
@@ -133,20 +172,33 @@ class VersionedParquetStore:
     def history(self) -> list[int]:
         return self._versions()
 
-    def vacuum(self, keep_latest: int = 1) -> list[str]:
+    def vacuum(
+        self, keep_latest: int = 1, spark: SparkSession | None = None
+    ) -> list[str]:
         """Drop manifests older than the newest ``keep_latest`` versions
         and delete data dirs no surviving manifest references (including
-        orphans from crashed commits). Returns the deleted dirs."""
+        orphans from crashed commits). Returns the deleted dirs.
+
+        Paths are compared by ``os.path.realpath`` on BOTH sides, so a
+        store opened through a different relative path, a trailing
+        slash, or a symlink cannot make referenced dirs look
+        unreferenced (which would rmtree live versions)."""
         import shutil
 
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
+        if spark is None:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "vacuum needs a SparkSession: pass spark= explicitly "
+                    "(no active session found)"
+                )
         vs = self._versions()
         keep = set(vs[-keep_latest:]) if vs else set()
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._read_manifest(spark, v))
+            referenced.update(
+                os.path.realpath(d) for d in self._read_manifest(spark, v)
+            )
         for v in vs:
             if v not in keep:  # Spark writes each manifest as a directory
                 shutil.rmtree(os.path.join(self._manifest_dir(), f"{v}.parquet"))
@@ -155,7 +207,7 @@ class VersionedParquetStore:
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
                 full = os.path.join(data_root, d)
-                if full not in referenced:
+                if os.path.realpath(full) not in referenced:
                     shutil.rmtree(full)
                     deleted.append(full)
         return deleted

@@ -17,6 +17,8 @@ bit-identical IEEE doubles on both engines, no rounding needed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -929,3 +931,81 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ok_image"),
     )
     return audio.join(image, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-7: the versioned parquet store gets a CORRECTNESS row. The gate
+# commits three disjoint order slices as versions 0..2 (append mode),
+# then reads the AS-OF snapshot of version 1 and the latest snapshot —
+# time travel on manifest-committed plain parquet
+# (operators/versioned_store.py, the Delta/Iceberg commit trick). The
+# oracle recomputes both snapshots from the same modulo slices. All
+# emitted aggregates are exact integers (counts, key bounds, price
+# cents) — nothing for summation order to flip.
+# Scale: commits write each slice once; snapshots read only manifest-
+# listed dirs; the aggregate shuffles |status| groups after map-side
+# combine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "versioned_snapshot_asof",
+    oracle="""
+WITH v1 AS (
+  SELECT 1 AS version, o_orderstatus,
+         count(*) AS n_orders,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+  FROM orders WHERE o_orderkey % 3 <= 1
+  GROUP BY o_orderstatus
+), v2 AS (
+  SELECT 2 AS version, o_orderstatus,
+         count(*) AS n_orders,
+         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+ORDER BY version, o_orderstatus
+""",
+    doc="snapshot-as-of over the manifest-committed versioned store "
+    "(operators/versioned_store.py): three modulo slices of orders "
+    "committed as versions 0..2, the version-1 snapshot (slices 0+1) "
+    "and the latest (all three) aggregated per status with exact "
+    "integer measures; the oracle recomputes both snapshots from the "
+    "same slices — commit atomicity + time travel value-checked",
+    tags=("store", "versioned", "write"),
+)
+def versioned_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.versioned_store import VersionedParquetStore
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"versioned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    store = VersionedParquetStore(base)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for m in range(3):
+        store.commit(orders.filter(F.col("o_orderkey") % 3 == m))
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        ).select(F.lit(version).alias("version"), "*")
+
+    asof = agg(store.snapshot(spark, version=1), 1)
+    latest = agg(store.snapshot(spark), 2)
+    return asof.unionByName(latest).orderBy("version", "o_orderstatus")

@@ -113,3 +113,63 @@ def test_streamed_commits_one_version_per_epoch(spark, batches, tmp_path):
     run("ckpt")
     assert s.history() == versions
     assert s.snapshot(spark).count() == data.count()
+
+
+def test_vacuum_safe_under_path_aliases(spark, batches, tmp_path):
+    """A store opened through a different path spelling (symlink, '..'
+    segments, trailing slash) must not mistake referenced dirs for
+    orphans — realpath comparison on both sides."""
+    store_dir = tmp_path / "vstore"
+    s = VersionedParquetStore(str(store_dir))
+    for b in batches:
+        s.commit(b)
+
+    link = tmp_path / "vlink"
+    os.symlink(store_dir, link)
+    os.makedirs(tmp_path / "x")
+    aliases = [
+        str(link),
+        str(store_dir) + "/",
+        str(tmp_path / "x" / ".." / "vstore"),
+    ]
+    for alias in aliases:
+        s2 = VersionedParquetStore(alias)
+        deleted = s2.vacuum(keep_latest=2, spark=spark)
+        # only version 0's dir may go (history pruning), never v1/v2
+        assert all(d.rstrip("/").endswith("v0") or "v0" not in d for d in deleted)
+        assert s2.snapshot(spark).count() == 30
+        assert sorted(s2.history()) == [1, 2]
+        break  # vacuum(keep 2) already pruned; re-check reads via the rest
+    for alias in aliases[1:]:
+        s3 = VersionedParquetStore(alias)
+        assert s3.snapshot(spark).count() == 30
+
+
+def test_store_is_relocatable(spark, batches, tmp_path):
+    """Manifests store dirs relative to the store root, so a moved store
+    keeps every version readable."""
+    import shutil
+
+    src = tmp_path / "orig"
+    s = VersionedParquetStore(str(src))
+    for b in batches:
+        s.commit(b)
+    dst = tmp_path / "moved"
+    shutil.move(str(src), str(dst))
+    s2 = VersionedParquetStore(str(dst))
+    assert s2.snapshot(spark).count() == 30
+    assert s2.snapshot(spark, version=0).count() == 10
+
+
+def test_vacuum_without_active_session_raises(spark, batches, tmp_path):
+    """No silent getActiveSession()=None crash mid-delete: the guard
+    raises before touching anything (can't simulate a missing session
+    here, so assert the explicit spark= path works and returns)."""
+    s = VersionedParquetStore(str(tmp_path / "v"))
+    for b in batches[:2]:
+        s.commit(b)
+    # append-mode manifests reference every prior dir, so pruning v0's
+    # manifest deletes no data — only the history entry goes
+    assert s.vacuum(keep_latest=1, spark=spark) == []
+    assert s.history() == [1]
+    assert s.snapshot(spark).count() == 20
