@@ -21,10 +21,17 @@ Layout (plain parquet — reopenable by any session):
     <path>/view.parquet    the materialized join, partitioned by a
                            bucket of the join key for downstream pruning
 
-Inserts only (the reference's stores are append-only; deletes/updates
-need tombstone joins or a transactional format — Delta's MERGE is the
-gated variant). Equality with a from-scratch recompute after any
-interleaving of appends is pinned by test.
+Deletes and updates (round 7) ride on TOMBSTONES — plain parquet is
+immutable, so a delete appends the victim's row id to
+``<path>/<side>_tombstones.parquet`` and every reader (view, recompute,
+the delta-rule probes) applies an anti-join mask. An update is a delete
+of the old row id plus an insert under a NEW row id (``apply_cdc``
+composes this with operators/cdc.py's latest-wins reduction). The one
+invariant this requires: row ids are never reused — a re-inserted id
+would be masked by its own tombstone. CDC feeds satisfy this naturally
+(change/event ids are unique); ``compact()`` folds tombstones into the
+data when they accumulate. Equality with a from-scratch recompute after
+any interleaving of appends and deletes is pinned by test.
 """
 
 from __future__ import annotations
@@ -38,11 +45,23 @@ _BUCKET_COL = "_key_bucket"
 
 class MaterializedJoin:
     """A persisted inner equi-join maintained incrementally under
-    append-only bases."""
+    append-only bases, with tombstone-masked deletes.
 
-    def __init__(self, path: str, on: str):
+    ``left_row_id`` / ``right_row_id`` name the columns that uniquely
+    identify rows of each side FOREVER (never reused — see module
+    docstring); a side without one is insert-only."""
+
+    def __init__(
+        self,
+        path: str,
+        on: str,
+        left_row_id: str | None = None,
+        right_row_id: str | None = None,
+    ):
         self.path = path
         self.on = on
+        self.left_row_id = left_row_id
+        self.right_row_id = right_row_id
 
     # -- internals -----------------------------------------------------
 
@@ -53,6 +72,36 @@ class MaterializedJoin:
 
     def _read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(f"{self.path}/{table}.parquet")
+
+    def _row_id(self, side: str) -> str | None:
+        return self.left_row_id if side == "left" else self.right_row_id
+
+    def _tombstones(self, spark: SparkSession, side: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(f"{self.path}/{side}_tombstones.parquet")
+        except Exception as exc:  # narrow: no deletes yet
+            if not any(
+                s in str(exc)
+                for s in (
+                    "PATH_NOT_FOUND",
+                    "Path does not exist",
+                    "UNABLE_TO_INFER_SCHEMA",
+                    "Unable to infer schema",
+                )
+            ):
+                raise
+            return None
+
+    def _live(self, spark: SparkSession, side: str) -> DataFrame:
+        """The side's base minus its tombstoned rows — what every join
+        (delta-rule probes included) must see."""
+        base = self._read(spark, side)
+        rid = self._row_id(side)
+        tombs = self._tombstones(spark, side) if rid else None
+        if tombs is None:
+            return base
+        # reselect: a USING-column join moves rid to the front
+        return base.join(tombs, rid, "left_anti").select(*base.columns)
 
     def _write_view(self, delta_view: DataFrame) -> None:
         (
@@ -94,9 +143,9 @@ class MaterializedJoin:
         spark = (left_delta or right_delta).sparkSession
         parts = []
         if left_delta is not None:
-            parts.append(left_delta.join(self._read(spark, "right"), self.on))
+            parts.append(left_delta.join(self._live(spark, "right"), self.on))
         if right_delta is not None:
-            parts.append(self._read(spark, "left").join(right_delta, self.on))
+            parts.append(self._live(spark, "left").join(right_delta, self.on))
         if left_delta is not None and right_delta is not None:
             parts.append(left_delta.join(right_delta, self.on))
         delta_view = parts[0]
@@ -142,7 +191,7 @@ class MaterializedJoin:
         # pin both fresh sets BEFORE any write: their plans read the
         # artifacts being appended to
         delta_view = view_fresh.join(
-            self._read(spark, "right"), self.on
+            self._live(spark, "right"), self.on
         ).localCheckpoint(eager=True)
         base_fresh = left_delta.join(
             self._read(spark, "left").select(row_id_col),
@@ -154,9 +203,95 @@ class MaterializedJoin:
         if not base_fresh.isEmpty():
             self._append_base(base_fresh, "left")
 
+    def delete(self, ids: DataFrame, side: str = "left") -> None:
+        """Tombstone the given row ids on one side. O(|ids|) — appends
+        one id column to the side's tombstone table; every reader masks
+        via anti-join, so the view needs no rewrite (``compact`` folds
+        the mask into the files when tombstones accumulate)."""
+        rid = self._row_id(side)
+        if rid is None:
+            raise ValueError(
+                f"{side} side has no row_id column configured — insert-only"
+            )
+        ids.select(F.col(rid)).distinct().write.mode("append").parquet(
+            f"{self.path}/{side}_tombstones.parquet"
+        )
+
+    def apply_cdc(
+        self,
+        changes: DataFrame,
+        seq_cols: tuple[str, ...],
+        delete_col: str,
+        side: str = "left",
+    ) -> None:
+        """Maintain the join under a CDC changelog batch: reduce the
+        batch latest-wins per JOIN KEY (operators/cdc.apply_changes
+        semantics — ``seq_cols`` order versions, ``delete_col`` marks
+        tombstone ops), retire every live row of the touched keys, then
+        insert the surviving upserts. An update is thereby delete+insert
+        under the new row id; the row-id-never-reused invariant holds as
+        long as ``seq_cols``' last element is unique per change (an
+        event/change id). One keyed shuffle over the batch + two
+        key-pruned probes of the live base — O(|batch| · match rate)."""
+        from .cdc import apply_changes
+
+        spark = changes.sparkSession
+        rid = self._row_id(side)
+        if rid is None:
+            raise ValueError(f"{side} side has no row_id column configured")
+        winners = apply_changes(
+            changes.limit(0), changes, keys=[self.on], seq_cols=list(seq_cols)
+        ).localCheckpoint(eager=True)  # reduce BEFORE any store mutation
+        live = self._live(spark, side)
+        old_ids = live.join(
+            winners.select(self.on).distinct(), self.on, "left_semi"
+        ).select(rid).localCheckpoint(eager=True)
+        inserts = winners.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col).localCheckpoint(eager=True)
+        if not old_ids.isEmpty():
+            self.delete(old_ids, side)
+        if not inserts.isEmpty():
+            if side == "left":
+                self.append(left_delta=inserts)
+            else:
+                self.append(right_delta=inserts)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold tombstones into the data: rewrite each base and the view
+        with masks applied, then drop the tombstone tables. Run when the
+        mask's anti-join cost approaches a rewrite (the Delta OPTIMIZE
+        analogue)."""
+        import shutil
+
+        left = self._live(spark, "left").localCheckpoint(eager=True)
+        right = self._live(spark, "right").localCheckpoint(eager=True)
+        masked_view = self.view(spark).localCheckpoint(eager=True)
+        left.write.mode("overwrite").parquet(f"{self.path}/left.parquet")
+        right.write.mode("overwrite").parquet(f"{self.path}/right.parquet")
+        (
+            self._bucket(masked_view)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(f"{self.path}/view.parquet")
+        )
+        for side in ("left", "right"):
+            shutil.rmtree(
+                f"{self.path}/{side}_tombstones.parquet", ignore_errors=True
+            )
+
     def view(self, spark: SparkSession) -> DataFrame:
-        return self._read(spark, "view").drop(_BUCKET_COL)
+        """The materialized join with tombstone masks applied: a view
+        row dies with EITHER of its source rows."""
+        out = self._read(spark, "view").drop(_BUCKET_COL)
+        cols = out.columns
+        for side in ("left", "right"):
+            rid = self._row_id(side)
+            tombs = self._tombstones(spark, side) if rid else None
+            if tombs is not None:
+                out = out.join(tombs, rid, "left_anti")
+        return out.select(*cols)
 
     def recompute(self, spark: SparkSession) -> DataFrame:
-        """From-scratch join of the current bases (the test oracle)."""
-        return self._read(spark, "left").join(self._read(spark, "right"), self.on)
+        """From-scratch join of the current live bases (the test oracle)."""
+        return self._live(spark, "left").join(self._live(spark, "right"), self.on)

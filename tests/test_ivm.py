@@ -185,3 +185,84 @@ def test_crash_between_base_and_view_write_converges(
     want = _rows(orders.join(lineitem, "o_orderkey"))
     assert _rows(mj.view(spark)) == want
     assert _rows(mj.recompute(spark)) == want
+
+
+def test_deletes_interleaved_with_appends_equal_recompute(
+    spark, orders, lineitem, tmp_path
+):
+    """The round-7 tombstone layer: ivm view == recompute under an
+    interleaving of inserts and deletes on both sides."""
+    o = orders.withColumn("o_rid", F.col("o_orderkey"))
+    li = lineitem.withColumn(
+        "l_rid",
+        F.xxhash64("o_orderkey", "l_partkey", "l_quantity"),
+    ).dropDuplicates(["l_rid"])
+    mj = MaterializedJoin(
+        str(tmp_path / "mjd"), on="o_orderkey",
+        left_row_id="o_rid", right_row_id="l_rid",
+    )
+    o1 = o.filter(F.col("o_orderkey") % 3 == 0)
+    o2 = o.filter(F.col("o_orderkey") % 3 == 1)
+    o3 = o.filter(F.col("o_orderkey") % 3 == 2)
+    l1 = li.filter(F.col("l_partkey") % 2 == 0)
+    l2 = li.filter(F.col("l_partkey") % 2 == 1)
+
+    mj.build(o1, l1)
+    mj.append(left_delta=o2)
+    # delete a slice of the left rows inserted so far
+    mj.delete(o1.filter(F.col("o_orderkey") % 5 == 0).select("o_rid"), "left")
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
+
+    # right-side delete, then more inserts on both sides
+    mj.delete(l1.filter(F.col("l_quantity") > 40).select("l_rid"), "right")
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
+    mj.append(left_delta=o3, right_delta=l2)
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
+
+    # new inserts joining keys whose earlier rows died must only match
+    # LIVE rows — cross-check against an independent computation
+    live_o = (
+        o2.unionByName(o3)
+        .unionByName(o1.filter(F.col("o_orderkey") % 5 != 0))
+    )
+    live_l = l2.unionByName(l1.filter(F.col("l_quantity") <= 40))
+    assert _rows(mj.view(spark)) == _rows(live_o.join(live_l, "o_orderkey"))
+
+    # compact folds the masks; results unchanged, tombstones gone
+    mj.compact(spark)
+    assert _rows(mj.view(spark)) == _rows(live_o.join(live_l, "o_orderkey"))
+    import os
+    assert not os.path.exists(str(tmp_path / "mjd" / "left_tombstones.parquet"))
+
+
+def test_apply_cdc_latest_wins_updates_and_deletes(spark, tmp_path):
+    """CDC maintenance: updates replace a key's row (delete old id +
+    insert new id), tombstone ops retire the key, latest-wins within a
+    batch by (seq, change id)."""
+    left = spark.createDataFrame(
+        [(1, 100, "a", 0, False), (2, 200, "b", 1, False), (3, 300, "c", 2, False)],
+        "k long, rid long, payload string, seq long, del boolean",
+    )
+    right = spark.createDataFrame(
+        [(1, "r1"), (2, "r2"), (3, "r3"), (4, "r4")], "k long, rv string"
+    )
+    mj = MaterializedJoin(str(tmp_path / "cdc"), on="k", left_row_id="rid")
+    mj.build(left, right)
+
+    changes = spark.createDataFrame(
+        [
+            (1, 101, "a2", 10, False),   # update key 1
+            (2, 201, "bX", 11, True),    # delete key 2
+            (4, 401, "d", 12, False),    # insert new key 4
+            (4, 402, "d2", 13, False),   # ...then update it IN-BATCH
+        ],
+        "k long, rid long, payload string, seq long, del boolean",
+    )
+    mj.apply_cdc(changes, seq_cols=("seq", "rid"), delete_col="del")
+
+    got = {
+        (r.k, r.payload, r.rv)
+        for r in mj.view(spark).select("k", "payload", "rv").collect()
+    }
+    assert got == {(1, "a2", "r1"), (3, "c", "r3"), (4, "d2", "r4")}
+    assert _rows(mj.view(spark)) == _rows(mj.recompute(spark))
