@@ -246,9 +246,12 @@ class MaterializedJoin:
         old_ids = live.join(
             winners.select(self.on).distinct(), self.on, "left_semi"
         ).select(rid).localCheckpoint(eager=True)
+        # keep the full changelog schema (delete_col included, False on
+        # survivors): the base and view were built with it, and dropping
+        # a column here would append schema-drifted files
         inserts = winners.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
-        ).drop(delete_col).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
         if not old_ids.isEmpty():
             self.delete(old_ids, side)
         if not inserts.isEmpty():

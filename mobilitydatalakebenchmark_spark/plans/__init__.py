@@ -162,7 +162,7 @@ def load_registry() -> dict[str, Q]:
     # brand-new r7 gates.
     newest = (
         "trajectory_trip_segments", "knn_pq_recall_floor",
-        "versioned_snapshot_asof",
+        "versioned_snapshot_asof", "ivm_materialized_join",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

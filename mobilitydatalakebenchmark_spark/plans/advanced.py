@@ -1009,3 +1009,84 @@ def versioned_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof = agg(store.snapshot(spark, version=1), 1)
     latest = agg(store.snapshot(spark), 2)
     return asof.unionByName(latest).orderBy("version", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Round-7: the IVM materialized-join layer gets a CORRECTNESS row too.
+# Build the join view from initial slices, append a second batch via the
+# delta rule, tombstone-delete a modulo slice of the left rows, then
+# aggregate the maintained VIEW. The oracle computes the same aggregate
+# from the equivalent one-shot join with the deleted slice filtered out
+# — so a delta-rule error, a double-applied batch, or a leaky tombstone
+# mask each flips a cell. Exact integer measures only.
+# Scale: the append touches O(|batch| . match rate) rows; the delete
+# appends one id column; the view read is partition-bucket pruned.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivm_materialized_join",
+    oracle="""
+SELECT o.o_orderstatus,
+       count(*) AS n_rows,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS ext_cents,
+       sum(CAST(l.l_quantity AS BIGINT)) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey % 10 != 7
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+    doc="incremental view maintenance end-to-end (operators/ivm.py): "
+    "orders join lineitem built from initial slices, second batches "
+    "appended via the delta rule (dL|><|R U L|><|dR U dL|><|dR), the "
+    "orderkey%10==7 left slice tombstone-deleted, and the maintained "
+    "view aggregated — the oracle recomputes from the one-shot filtered "
+    "join, so delta errors, double-applies and leaky masks all flip "
+    "cells",
+    tags=("ivm", "join", "write"),
+)
+def ivm_materialized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.ivm import MaterializedJoin
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"ivm_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderkey").alias("o_rid"),
+        "o_orderstatus",
+        "o_orderkey",
+    )
+    li = t(spark, sf_dir, "lineitem", heavy=True).select(
+        F.col("l_orderkey").alias("k"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+    )
+    mj = MaterializedJoin(base, on="k", left_row_id="o_rid")
+    mj.build(o.filter(F.col("k") % 2 == 0), li.filter(F.col("l_linenumber") <= 3))
+    mj.append(
+        left_delta=o.filter(F.col("k") % 2 == 1),
+        right_delta=li.filter(F.col("l_linenumber") > 3),
+    )
+    mj.delete(o.filter(F.col("k") % 10 == 7).select("o_rid"), "left")
+    return (
+        mj.view(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "ext_cents"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
