@@ -57,6 +57,14 @@ HEADLINE = [
     "multimodal_decode_stats",
     "trajectory_trip_segments",
     "text_token_topk_sketch",
+    # round-7 additions (versioned_snapshot_asof: 3 commits + 2 time-
+    # travel reads — the cheapest write-path watch). The other r7 gates
+    # stay off the watch list deliberately: knn_pq_recall_floor and
+    # ivm_materialized_join are index-build / store-build workloads
+    # (~10s each at sf0.1) that would triple the bench wall without
+    # adding trend signal — their walls are recorded per-round in
+    # ORACLE_r{N}.json (secs field) and tools/ann_recall.py instead.
+    "versioned_snapshot_asof",
 ]
 
 

@@ -104,8 +104,12 @@ class MaterializedJoin:
         return base.join(tombs, rid, "left_anti").select(*base.columns)
 
     def _write_view(self, delta_view: DataFrame) -> None:
+        # repartition on the bucket key first: each write task then owns
+        # whole buckets, so a delta lands as ~1 file per touched bucket
+        # instead of |input partitions| x |buckets| small files
         (
             self._bucket(delta_view)
+            .repartition(F.col(_BUCKET_COL))
             .write.mode("append")
             .partitionBy(_BUCKET_COL)
             .parquet(f"{self.path}/view.parquet")

@@ -455,7 +455,10 @@ def ivf_topk(
     `nprobe` nearest lists — no driver-side collect, so the probe set can
     be arbitrarily large (the routing shuffle is keyed by probe_id)."""
     spark = indexed_corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    from ..session import local_df
+
+    cent_df = local_df(
+        spark,
         [
             (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
             for _, r in centroids_pdf.iterrows()
@@ -830,7 +833,10 @@ def ivfpq_index(
         id_col=id_col, vec_col=vec_col,
     )
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
+    from ..session import local_df
+
+    cent_df = local_df(
+        spark,
         [
             (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
             for _, r in cents_pdf.iterrows()
@@ -890,7 +896,10 @@ def ivfpq_adc_topk(
     the LUT is |probes| * nprobe * m * k rows, broadcast; codes prune to
     the routed lists through the equi-join."""
     spark = codes.sparkSession
-    cent_df = spark.createDataFrame(
+    from ..session import local_df
+
+    cent_df = local_df(
+        spark,
         [
             (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
             for _, r in centroids_pdf.iterrows()

@@ -151,7 +151,10 @@ class VersionedParquetStore:
             ]
         dirs.append((len(dirs), _rel(new_dir)))
         run_id, epoch = txn if txn is not None else (None, None)
-        spark.createDataFrame(
+        from ..session import local_df
+
+        local_df(
+            spark,
             [(i, d, run_id, epoch) for i, d in dirs],
             "version int, dir string, txn_run string, txn_epoch long",
         ).coalesce(1).write.mode("error").parquet(

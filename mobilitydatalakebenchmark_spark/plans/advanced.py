@@ -990,9 +990,13 @@ def versioned_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     store = VersionedParquetStore(base)
+    # coalesce: each committed slice is MBs at gate scale — without it
+    # every version lands as |input partitions| tiny files and the gate
+    # pays job overhead, not I/O (at fleet scale slices arrive already
+    # reasonably partitioned)
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    ).coalesce(4)
     for m in range(3):
         store.commit(orders.filter(F.col("o_orderkey") % 3 == m))
 
@@ -1058,18 +1062,20 @@ def ivm_materialized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ivm_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     shutil.rmtree(base, ignore_errors=True)
+    # coalesced inputs: gate-scale slices are MBs; uncoalesced they fan
+    # the store's base/view writes into hundreds of tiny files
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderkey").alias("o_rid"),
         "o_orderstatus",
         "o_orderkey",
-    )
+    ).coalesce(4)
     li = t(spark, sf_dir, "lineitem", heavy=True).select(
         F.col("l_orderkey").alias("k"),
         "l_linenumber",
         "l_extendedprice",
         "l_quantity",
-    )
+    ).coalesce(8)
     mj = MaterializedJoin(base, on="k", left_row_id="o_rid")
     mj.build(o.filter(F.col("k") % 2 == 0), li.filter(F.col("l_linenumber") <= 3))
     mj.append(

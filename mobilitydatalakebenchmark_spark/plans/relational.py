@@ -41,21 +41,21 @@ def t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataF
     "flagship_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       cast(round(sum(cast(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+       round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
            AS sum_qty,
-       cast(round(sum(cast(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
            AS sum_base_price,
-       cast(round(sum(cast(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(18,4))), 2) AS DOUBLE)
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) / 10000.0, 2)
            AS sum_disc_price,
-       cast(round(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(18,6))), 2) AS DOUBLE)
+       round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 1000000) AS BIGINT)) / 1000000.0, 2)
            AS sum_charge,
-       round(cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       round((sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0)
              / count(*), 4) AS avg_qty,
-       round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       round((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0)
              / count(*), 4) AS avg_price,
-       round(cast(sum(cast(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+       round((sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0)
              / count(*), 4) AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
@@ -64,41 +64,40 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """,
     doc="groupBy two keys + 8 aggregates (SURVEY §2.5; reference A-group). "
-    "Money is summed as exact DECIMAL (TPC-H's own types) and rounded in "
-    "decimal space: float sums of 2-4-decimal money land EXACTLY on "
-    "round-to-2 half-boundaries (margin audit: 4.8e-7 grid units), where "
-    "summation order picks the side; decimal sums are order-invariant and "
-    "decimal HALF_UP ties agree across engines. Averages divide the exact "
-    "decimal sum (as double) by the exact count — one deterministic IEEE "
-    "division, bit-identical everywhere",
+    "Money is summed as exact INTEGER UNITS (cents / 1e-4 / 1e-6 — each "
+    "column's native decimal grid, lossless per row): float sums of "
+    "2-6-decimal money land EXACTLY on round-to-2 half-boundaries "
+    "(margin audit: 4.8e-7 grid units), where summation order picks the "
+    "side; integer sums are order-invariant and the final divisions are "
+    "single IEEE ops on identical operands — bit-identical everywhere. "
+    "Long sums ride Tungsten's primitive path (~3x faster than the "
+    "decimal(18,x) accumulator measured at sf0.1); at fleet scale where "
+    "a per-group micro-unit sum could exceed 2^63 (~1e12 rows/group), "
+    "swap the accumulator to decimal(38,0) — same plan shape",
     tags=("agg", "flagship"),
 )
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    qty_d = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-    price_d = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+
+    def units(col, scale):
+        return F.sum(F.round(col * scale).cast("long")) / float(scale)
+
+    qty = units(F.col("l_quantity"), 100)
+    price = units(F.col("l_extendedprice"), 100)
     n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(qty_d, 2).cast("double").alias("sum_qty"),
-            F.round(price_d, 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast("decimal(18,4)")), 2)
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.round(F.sum(charge.cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_charge"),
-            F.round(qty_d.cast("double") / n, 4).alias("avg_qty"),
-            F.round(price_d.cast("double") / n, 4).alias("avg_price"),
-            F.round(
-                F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
-                / n,
-                4,
-            ).alias("avg_disc"),
+            F.round(qty, 2).alias("sum_qty"),
+            F.round(price, 2).alias("sum_base_price"),
+            F.round(units(disc_price, 10000), 2).alias("sum_disc_price"),
+            F.round(units(charge, 1000000), 2).alias("sum_charge"),
+            F.round(qty / n, 4).alias("avg_qty"),
+            F.round(price / n, 4).alias("avg_price"),
+            F.round(units(F.col("l_discount"), 100) / n, 4).alias("avg_disc"),
             n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

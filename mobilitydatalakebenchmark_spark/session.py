@@ -63,6 +63,24 @@ def get_spark(
 _SMALL_SCAN_BYTES = 64 * 1024 * 1024
 
 
+def local_df(spark: SparkSession, rows: list, schema: str):
+    """Small driver-local DataFrame via the pandas/Arrow interchange.
+
+    The plain python-list ``createDataFrame`` path executes its local
+    relation roughly 10x slower PER ACTION on this stack (measured
+    2.7-4.1 s vs 0.2-0.4 s for a one-row manifest write) — it pickles
+    through the legacy parallelize path, while a pandas input rides
+    Arrow. Every hot-path site (per-commit manifests, per-epoch stream
+    state, per-query centroid tables) goes through here; ``rows`` is a
+    list of tuples and ``schema`` a DDL string whose names are taken
+    column-wise."""
+    import pandas as pd
+
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False):
     """Read one driver test table with the engine's normalizations applied
     (events.parquet stores TIMESTAMP(NANOS): read nanos-as-long — runtime-

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..session import local_df
+
 from ..operators.flat_store import explode_features
 from ..functions.codecs import ts_bucket
 from ..schemas import FEATURE_COLLECTION_SCHEMA, TS_BUCKET_COL
@@ -239,9 +241,9 @@ def stream_to_ann_index(
                 store.append(fresh, id_col=id_col, vec_col=vec_col)
         finally:
             fresh.unpersist()
-        spark.createDataFrame(
-            [(int(epoch_id),)], "last_epoch long"
-        ).coalesce(1).write.mode("overwrite").parquet(run_path)
+        local_df(spark, [(int(epoch_id),)], "last_epoch long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(run_path)
 
     return (
         embeddings_stream.writeStream.foreachBatch(flush)

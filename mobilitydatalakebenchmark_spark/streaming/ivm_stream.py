@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..session import local_df
+
 from ..operators.ivm import MaterializedJoin
 
 _MISSING = (
@@ -70,9 +72,9 @@ def stream_to_materialized_join(
         # write and the base write of a previous attempt converges on
         # replay instead of double-inserting join rows
         mj.append_idempotent(batch, row_id_col)
-        spark.createDataFrame(
-            [(int(epoch_id),)], "last_epoch long"
-        ).coalesce(1).write.mode("overwrite").parquet(run_path)
+        local_df(spark, [(int(epoch_id),)], "last_epoch long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(run_path)
 
     return (
         left_stream.writeStream.foreachBatch(flush)

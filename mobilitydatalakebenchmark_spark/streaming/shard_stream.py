@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..session import local_df
+
 from ..operators.shards import append_shards, repair_manifest
 
 _MISSING = (
@@ -124,9 +126,9 @@ def stream_to_shards(
         finally:
             if existing is not None:
                 fresh.unpersist()
-        spark.createDataFrame(
-            [(int(epoch_id),)], "last_epoch long"
-        ).coalesce(1).write.mode("overwrite").parquet(run_path)
+        local_df(spark, [(int(epoch_id),)], "last_epoch long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(run_path)
 
     return (
         docs_stream.writeStream.foreachBatch(flush)

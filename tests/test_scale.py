@@ -60,6 +60,14 @@ BOUNDS = {
     "trajectory_simplify_bounds": 8.0,
     "text_token_topk_sketch": 8.0,
     "sample_weighted_ares": 8.0,
+    # round-7: the IVF+PQ gate's encode is n x m x k distance work via
+    # the einsum kernel (linear in rows; a quadratic here means the
+    # shortlist join exploded), the versioned gate is three commits +
+    # two manifest-pruned snapshot reads, the IVM gate's delta rule must
+    # stay O(batch . match rate) with the tombstone mask one anti-join
+    "knn_pq_recall_floor": 10.0,
+    "versioned_snapshot_asof": 8.0,
+    "ivm_materialized_join": 8.0,
 }
 
 

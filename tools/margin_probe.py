@@ -54,8 +54,8 @@ THRESHOLD = 1e-6  # grid units; below this a cell can flip across engines
 # reported, but they do not fail the exit code.
 INVARIANT_SAFE = {
     "flagship_pricing_summary": (
-        "money summed as exact DECIMAL, rounded in decimal space; avgs are "
-        "one IEEE division of exact-sum/count"
+        "money summed as exact integer units (cents/1e-4/1e-6); the "
+        "rounded values derive from exact sums via single IEEE divisions"
     ),
     "tpch_q9_style_nation_profit": (
         "decimal(18,6) exact sum rounded in decimal space before the "
