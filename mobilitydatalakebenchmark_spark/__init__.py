@@ -23,4 +23,4 @@ re-expresses every pipeline Spark-first:
 Everything here is public-knowledge PySpark; no proprietary systems.
 """
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
