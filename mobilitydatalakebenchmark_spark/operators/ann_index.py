@@ -452,3 +452,269 @@ class IVFIndexStore:
         return scored.withColumn("rk", F.row_number().over(w)).filter(
             F.col("rk") <= k
         )
+
+
+class IVFPQIndexStore:
+    """Persisted IVF+PQ residual index (IVFADC) — the round-7 tier's
+    build-once / probe-many form.
+
+    Layout:
+        <path>/meta.parquet       one row: n_centroids, m_subspaces,
+                                  dsub, n_codewords, pq_lloyd, n_vectors
+        <path>/centroids.parquet  (centroid_id, centroid_vec) — coarse
+                                  quantizer over UNIT-NORMALIZED vectors
+        <path>/codebook.parquet   (m, codeword_id, cvec) — the RESIDUAL
+                                  codebook, m*k rows, KBs
+        <path>/codes.parquet/     (vec_id, m, codeword_id), **partitioned
+                                  by centroid_id**
+
+    The partitioning carries the IVF promise into storage exactly as in
+    ``IVFIndexStore``: a probe routes to nprobe lists and the broadcast
+    ADC-LUT join against the partitioned codes dynamic-partition-prunes
+    to nprobe/k of the code files — but here each pruned file holds
+    8-byte codes instead of raw vectors, so probe I/O is both sub-linear
+    AND 64x smaller. Probing reuses the in-plan operators
+    (similarity.ivfpq_adc_topk / ivfpq_refine_topk), so a persisted
+    probe is bit-identical to a fresh one (pinned by test)."""
+
+    def __init__(
+        self,
+        path: str,
+        n_centroids: int = 64,
+        m_subspaces: int = 8,
+        dsub: int = 8,
+        n_codewords: int = 256,
+    ):
+        self.path = path
+        self.n_centroids = n_centroids
+        self.m_subspaces = m_subspaces
+        self.dsub = dsub
+        self.n_codewords = n_codewords
+
+    # -- build ---------------------------------------------------------
+
+    def build(
+        self,
+        corpus: DataFrame,
+        pq_lloyd: int = 1,
+        coarse_lloyd: int = 1,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        from ..session import local_df
+        from .similarity import ivfpq_index
+
+        spark = corpus.sparkSession
+        codes, cents_pdf, codebook = ivfpq_index(
+            corpus,
+            n_centroids=self.n_centroids,
+            m_subspaces=self.m_subspaces,
+            dsub=self.dsub,
+            n_codewords=self.n_codewords,
+            coarse_lloyd=coarse_lloyd,
+            pq_lloyd=pq_lloyd,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        local_df(
+            spark,
+            [
+                (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+                for _, r in cents_pdf.iterrows()
+            ],
+            "centroid_id int, centroid_vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/centroids.parquet"
+        )
+        codebook.write.mode("overwrite").parquet(
+            f"{self.path}/codebook.parquet"
+        )
+        (
+            codes.withColumnRenamed(id_col, "vec_id")
+            .repartition(F.col("centroid_id"))
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/codes.parquet")
+        )
+        self._write_meta(spark, pq_lloyd)
+
+    def append(
+        self,
+        new_corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """Incremental indexing against the FROZEN artifacts: normalize
+        the arrivals, assign to the persisted centroids, encode their
+        residuals with the persisted codebook, append code rows into only
+        the touched list partitions. Per-batch cost is proportional to
+        the arrivals; the trained artifacts never change, so appended
+        codes equal what encoding those vectors at build time would have
+        produced (pinned by test). Caller owns id uniqueness across
+        batches (the streaming sink's anti-join provides it)."""
+        from pyspark.sql import Window
+
+        from .similarity import cosine, pq_encode_numpy, unit_normalize
+
+        spark = new_corpus.sparkSession
+        meta = self._require_geometry(spark)
+        cents = self._read(spark, "centroids")
+        codebook = self._read(spark, "codebook")
+        normed = new_corpus.select(
+            F.col(id_col), unit_normalize(F.col(vec_col)).alias(vec_col)
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("_cs"), F.asc("centroid_id")
+        )
+        res = (
+            normed.crossJoin(F.broadcast(cents))
+            .withColumn("_cs", cosine(F.col(vec_col), F.col("centroid_vec")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.col(id_col),
+                "centroid_id",
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("centroid_vec"),
+                    lambda a, b: a - b,
+                ).alias("_res"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        codes = pq_encode_numpy(
+            res, codebook, self.m_subspaces, self.dsub, id_col, "_res"
+        ).join(res.select(id_col, "centroid_id"), id_col)
+        (
+            codes.withColumnRenamed(id_col, "vec_id")
+            .repartition(F.col("centroid_id"))
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("append")
+            .partitionBy("centroid_id")
+            .parquet(f"{self.path}/codes.parquet")
+        )
+        self._write_meta(spark, meta["pq_lloyd"])
+
+    def indexed_ids(self, spark: SparkSession) -> DataFrame:
+        """Membership side of the streaming append's idempotence
+        anti-join (codes carry m rows per vector; map-side distinct —
+        codes are written clustered by vec_id)."""
+        return self._read(spark, "codes").select("vec_id").distinct()
+
+    # -- internals -----------------------------------------------------
+
+    def _write_meta(self, spark: SparkSession, pq_lloyd: int) -> None:
+        from ..session import local_df
+
+        # recount from persisted codes: self-correcting after a crash
+        # between the codes write and the meta write
+        n_vectors = (
+            self._read(spark, "codes").count() // self.m_subspaces
+        )
+        local_df(
+            spark,
+            [
+                (
+                    self.n_centroids,
+                    self.m_subspaces,
+                    self.dsub,
+                    self.n_codewords,
+                    int(pq_lloyd),
+                    n_vectors,
+                )
+            ],
+            "n_centroids int, m_subspaces int, dsub int, n_codewords int, "
+            "pq_lloyd int, n_vectors long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/meta.parquet"
+        )
+
+    def _require_geometry(self, spark: SparkSession) -> dict:
+        meta = self.meta(spark)
+        got = (
+            meta["n_centroids"],
+            meta["m_subspaces"],
+            meta["dsub"],
+            meta["n_codewords"],
+        )
+        want = (
+            self.n_centroids,
+            self.m_subspaces,
+            self.dsub,
+            self.n_codewords,
+        )
+        if got != want:
+            raise ValueError(
+                f"persisted index geometry {got} != store geometry {want}; "
+                "open with IVFPQIndexStore.load() instead"
+            )
+        return meta
+
+    def _read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(f"{self.path}/{table}.parquet")
+
+    def meta(self, spark: SparkSession) -> dict:
+        return self._read(spark, "meta").first().asDict()
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "IVFPQIndexStore":
+        meta = spark.read.parquet(f"{path}/meta.parquet").first()
+        return cls(
+            path,
+            n_centroids=meta["n_centroids"],
+            m_subspaces=meta["m_subspaces"],
+            dsub=meta["dsub"],
+            n_codewords=meta["n_codewords"],
+        )
+
+    # -- probe ---------------------------------------------------------
+
+    def _centroids_pdf(self, spark: SparkSession):
+        return (
+            self._read(spark, "centroids")
+            .orderBy("centroid_id")
+            .toPandas()
+        )
+
+    def topk(
+        self,
+        probes: DataFrame,
+        k: int = 5,
+        nprobe: int = 8,
+        shortlist: int | None = None,
+        corpus: DataFrame | None = None,
+        probe_id_col: str = "probe_id",
+        probe_vec_col: str = "probe_vec",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """Routed ADC top-k against the persisted codes; pass ``corpus``
+        (and optionally ``shortlist``, default 50) to add the IVFADC+R
+        exact re-rank — only the shortlisted vectors are fetched. Same
+        plans and outputs as the in-plan operators (pinned by test);
+        the broadcast LUT join against the centroid-partitioned codes
+        dynamic-partition-prunes to the routed lists."""
+        from .similarity import ivfpq_adc_topk, ivfpq_refine_topk
+
+        spark = probes.sparkSession
+        codes = self._read(spark, "codes")
+        codebook = self._read(spark, "codebook")
+        cents_pdf = self._centroids_pdf(spark)
+        if corpus is not None:
+            return ivfpq_refine_topk(
+                codes, cents_pdf, codebook, probes, corpus,
+                k=k, nprobe=nprobe, shortlist=shortlist or 50,
+                m_subspaces=self.m_subspaces, dsub=self.dsub,
+                id_col=id_col, vec_col=vec_col,
+                probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+                exclude_self=exclude_self,
+            )
+        return ivfpq_adc_topk(
+            codes, cents_pdf, codebook, probes,
+            k=k, nprobe=nprobe,
+            m_subspaces=self.m_subspaces, dsub=self.dsub,
+            id_col=id_col, probe_id_col=probe_id_col,
+            probe_vec_col=probe_vec_col, exclude_self=exclude_self,
+        )

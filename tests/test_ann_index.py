@@ -445,3 +445,148 @@ def test_new_stream_on_existing_store_keeps_new_data(spark, embeddings, tmp_path
     assert store.meta(spark)["n_vectors"] == embeddings.count()
     ids = {r.vec_id for r in store.indexed_ids(spark).collect()}
     assert ids == {r.vec_id for r in embeddings.select("vec_id").collect()}
+
+
+# ---------------------------------------------------------------------------
+# Round-7: persisted IVF+PQ residual index (IVFADC / IVFADC+R)
+# ---------------------------------------------------------------------------
+
+IVFPQ_GEOM = dict(n_centroids=8, m_subspaces=8, dsub=8, n_codewords=16)
+
+
+def test_ivfpq_persisted_probe_equals_in_plan(
+    spark, embeddings, probes, tmp_path
+):
+    from mobilitydatalakebenchmark_spark.operators.ann_index import (
+        IVFPQIndexStore,
+    )
+    from mobilitydatalakebenchmark_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_index,
+        ivfpq_refine_topk,
+    )
+
+    store = IVFPQIndexStore(str(tmp_path / "ivfpq"), **IVFPQ_GEOM)
+    store.build(embeddings, pq_lloyd=1)
+    loaded = IVFPQIndexStore.load(spark, str(tmp_path / "ivfpq"))
+    assert loaded.n_codewords == 16 and loaded.m_subspaces == 8
+
+    codes, cents, cb = ivfpq_index(
+        embeddings, coarse_lloyd=1, pq_lloyd=1, **IVFPQ_GEOM
+    )
+    fresh_adc = ivfpq_adc_topk(
+        codes, cents, cb, probes, k=5, nprobe=4, m_subspaces=8, dsub=8
+    )
+    got_adc = loaded.topk(probes, k=5, nprobe=4)
+    assert _rows(got_adc) == _rows(fresh_adc)
+
+    fresh_ref = ivfpq_refine_topk(
+        codes, cents, cb, probes, embeddings, k=5, nprobe=4, shortlist=20,
+        m_subspaces=8, dsub=8,
+    )
+    got_ref = loaded.topk(
+        probes, k=5, nprobe=4, shortlist=20, corpus=embeddings
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r.probe_id, r.vec_id, round(r.cos_sim, 9), r.rk)
+        for r in df.collect()
+    )
+    assert rows(got_ref) == rows(fresh_ref)
+
+
+def test_ivfpq_probe_prunes_partitions(spark, embeddings, probes, tmp_path):
+    """The routed LUT join against the centroid-partitioned codes must
+    dynamic-partition-prune — sub-linear probe I/O over 8-byte codes is
+    the store's reason to exist."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import (
+        IVFPQIndexStore,
+    )
+
+    store = IVFPQIndexStore(str(tmp_path / "ivfpq"), **IVFPQ_GEOM)
+    store.build(embeddings, pq_lloyd=0)
+    df = store.topk(probes, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivfpq_append_encodes_against_frozen_artifacts(
+    spark, embeddings, tmp_path
+):
+    """Appended codes must equal what a build-time encode of those
+    vectors would produce: same centroid assignment, same residual
+    codes (the artifacts are frozen, so this is exact)."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import (
+        IVFPQIndexStore,
+    )
+
+    a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    grown = IVFPQIndexStore(str(tmp_path / "grown"), **IVFPQ_GEOM)
+    grown.build(a, pq_lloyd=1)
+    n_a = grown.meta(spark)["n_vectors"]
+    grown.append(b)
+
+    assert grown.meta(spark)["n_vectors"] == embeddings.count()
+    assert grown.indexed_ids(spark).count() == embeddings.count()
+    # re-encoding b through append on a COPY must be deterministic
+    again = IVFPQIndexStore(str(tmp_path / "again"), **IVFPQ_GEOM)
+    again.build(a, pq_lloyd=1)
+    again.append(b)
+    c1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            str(tmp_path / "grown" / "codes.parquet")
+        ).collect()
+    )
+    c2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            str(tmp_path / "again" / "codes.parquet")
+        ).collect()
+    )
+    assert c1 == c2 and n_a * 2 < len(c1)
+
+
+def test_ivfpq_streaming_append_is_idempotent(
+    spark, embeddings, probes, tmp_path
+):
+    """The generic streaming sink composes with the new store: arrivals
+    indexed per micro-batch, full re-delivery through a fresh checkpoint
+    changes nothing."""
+    from mobilitydatalakebenchmark_spark.operators.ann_index import (
+        IVFPQIndexStore,
+    )
+    from mobilitydatalakebenchmark_spark.streaming.ingest import (
+        stream_to_ann_index,
+    )
+
+    a = embeddings.filter(F.col("vec_id") % 2 == 0)
+    b = embeddings.filter(F.col("vec_id") % 2 == 1)
+    store = IVFPQIndexStore(str(tmp_path / "s"), **IVFPQ_GEOM)
+    store.build(a, pq_lloyd=1)
+
+    landing = str(tmp_path / "landing")
+    b.coalesce(1).write.parquet(landing)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(b.schema).parquet(landing)
+        stream_to_ann_index(
+            stream, store, str(tmp_path / ckpt)
+        ).awaitTermination(120)
+
+    run("ckpt1")
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            str(tmp_path / "s" / "codes.parquet")
+        ).collect()
+    )
+    assert store.indexed_ids(spark).count() == embeddings.count()
+    run("ckpt2")  # full re-delivery
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            str(tmp_path / "s" / "codes.parquet")
+        ).collect()
+    )
+    assert got == want
