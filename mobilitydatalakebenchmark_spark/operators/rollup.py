@@ -25,21 +25,34 @@ def build_rollup(
     val_col: str,
     keys: tuple[str, ...] = (),
     bucket: str = "hour",
+    distinct_col: str | None = None,
+    lgk: int = 12,
 ) -> DataFrame:
     """Aggregate raw rows into per-(bucket, keys) mergeable states:
-    n / total / vmin / vmax. One shuffle keyed by (bucket, keys) with
-    map-side partial aggregation; output cardinality is bounded by
-    |buckets| x |key combos|."""
+    n / total / vmin / vmax, plus — when ``distinct_col`` is given — a
+    Datasketches HLL sketch of that column (``distinct_sketch``, binary).
+    The sketch is the continuous-aggregate answer to COUNT(DISTINCT):
+    exact distinct counts do not merge (|A ∪ B| != |A| + |B|), but HLL
+    registers do (element-wise max), so a coarser distinct estimate
+    re-aggregates the rollup like every other state — never the raw
+    table. lgk=12 gives ~1.6% relative standard error in ~4 KB per
+    bucket row. One shuffle keyed by (bucket, keys) with map-side
+    partial aggregation; output cardinality is bounded by |buckets| x
+    |key combos|."""
     b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
-    return (
-        df.groupBy(b, *[F.col(k) for k in keys])
-        .agg(
-            F.count(val_col).alias("n"),
-            F.sum(val_col).alias("total"),
-            F.min(val_col).alias("vmin"),
-            F.max(val_col).alias("vmax"),
+    aggs = [
+        F.count(val_col).alias("n"),
+        F.sum(val_col).alias("total"),
+        F.min(val_col).alias("vmin"),
+        F.max(val_col).alias("vmax"),
+    ]
+    if distinct_col is not None:
+        aggs.append(
+            F.hll_sketch_agg(F.col(distinct_col), lgk).alias(
+                "distinct_sketch"
+            )
         )
-    )
+    return df.groupBy(b, *[F.col(k) for k in keys]).agg(*aggs)
 
 
 def merge_rollup(
@@ -58,13 +71,29 @@ def merge_rollup(
         if bucket
         else F.col("bucket_ts")
     )
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    ]
+    if "distinct_sketch" in rollup.columns:
+        # HLL union is register-wise max — lossless and order-invariant,
+        # so the merged sketch is IDENTICAL to sketching the coarser
+        # bucket's raw rows directly (pinned by test and gate)
+        aggs.append(
+            F.hll_union_agg("distinct_sketch").alias("distinct_sketch")
+        )
     return (
         rollup.groupBy(b, *[F.col(k) for k in keys])
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("total").alias("total"),
-            F.min("vmin").alias("vmin"),
-            F.max("vmax").alias("vmax"),
-        )
+        .agg(*aggs)
         .withColumn("vavg", F.col("total") / F.col("n"))
+    )
+
+
+def approx_distinct(rollup: DataFrame) -> DataFrame:
+    """Read-side estimate column from the mergeable sketch state."""
+    return rollup.withColumn(
+        "approx_distinct",
+        F.hll_sketch_estimate(F.col("distinct_sketch")),
     )

@@ -653,6 +653,73 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_distinct_sketch",
+    # Error-bound-boolean pattern for the mergeable HLL distinct state
+    # (round 7): exact distinct counts do not merge across buckets, so
+    # the continuous-aggregate answer to COUNT(DISTINCT) is a
+    # Datasketches HLL register set per bucket. The gate merges hourly
+    # sketches to daily and asserts, IN-PLAN, (a) the merged estimate
+    # tracks sketching the day's raw rows directly within 3 sigma —
+    # conceptually union is register-wise max, but the library's union
+    # gadget (HLL_8 target, sparse->dense transitions) shifts dense-mode
+    # estimates slightly (measured max 1.05% of exact at sf0.1) — and
+    # (b) the merged estimate sits within 5 sigma of the exact daily
+    # distinct (rsd = 1.04/sqrt(2^12) ~ 1.6%; measured max 1.5%).
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       cast(count(value) AS BIGINT) AS n_events,
+       cast(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       TRUE AS ok_merge, TRUE AS ok_estimate
+FROM events
+GROUP BY day
+ORDER BY day
+""",
+    doc="mergeable approx-distinct rollup (operators/rollup.py + Spark "
+    "4 hll_sketch_agg/hll_union_agg): hourly HLL states merged to daily "
+    "track the direct daily sketch within 3 sigma and the exact count "
+    "within 5 sigma, both asserted in-plan — the continuous-aggregate "
+    "COUNT(DISTINCT) story",
+    tags=("time", "agg", "rollup", "sketch"),
+)
+def rollup_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import approx_distinct, build_rollup, merge_rollup
+
+    ev = t(spark, sf_dir, "events")
+    hourly = build_rollup(
+        ev, "ts", "value", bucket="hour", distinct_col="user_id"
+    )
+    daily = approx_distinct(merge_rollup(hourly, bucket="day")).select(
+        F.col("bucket_ts"), "n", F.col("approx_distinct").alias("est_merged")
+    )
+    direct = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias(
+            "est_direct"
+        ),
+        F.countDistinct("user_id").alias("exact_distinct"),
+    )
+    rsd = 1.04 / (2**12) ** 0.5
+    return (
+        daily.join(direct, "bucket_ts")
+        .select(
+            F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_events"),
+            "exact_distinct",
+            (
+                F.abs(F.col("est_merged") - F.col("est_direct"))
+                <= 3 * rsd * F.col("exact_distinct")
+            ).alias("ok_merge"),
+            (
+                F.abs(F.col("est_merged") - F.col("exact_distinct"))
+                <= 5 * rsd * F.col("exact_distinct")
+            ).alias("ok_estimate"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
     "k_anonymity_cells",
     oracle=f"""
 WITH obs AS (

@@ -47,6 +47,7 @@ def upsert_rollup_batch(
     keys: tuple[str, ...] = (),
     bucket: str = "hour",
     txn: tuple[str, int] | None = None,
+    distinct_col: str | None = None,
 ) -> None:
     """Merge one micro-batch into the stored rollup table.
 
@@ -67,7 +68,10 @@ def upsert_rollup_batch(
     fine for batch backfills)."""
     spark = batch.sparkSession
     partial = _with_bucket_key(
-        build_rollup(batch, ts_col, val_col, keys=keys, bucket=bucket)
+        build_rollup(
+            batch, ts_col, val_col, keys=keys, bucket=bucket,
+            distinct_col=distinct_col,
+        )
     )
     # unlike the row-id dedup sinks (ANN/shard/IVM — executor-side
     # anti-joins), this collect is safe under a full-backlog replay: it
@@ -132,6 +136,7 @@ def stream_rollup(
     val_col: str,
     keys: tuple[str, ...] = (),
     bucket: str = "hour",
+    distinct_col: str | None = None,
 ):
     """Attach the incremental-rollup sink to a streaming DataFrame and
     start it (availableNow: drain what exists, then stop — the batch
@@ -152,6 +157,7 @@ def stream_rollup(
             keys=keys,
             bucket=bucket,
             txn=(run_id, int(epoch_id)),
+            distinct_col=distinct_col,
         )
 
     return (

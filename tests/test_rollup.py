@@ -69,3 +69,62 @@ class TestRollupMerge:
         merged = merge_rollup(hourly, bucket="day")
         for r in merged.collect():
             assert abs(r["vavg"] - r["total"] / r["n"]) < 1e-12
+
+
+class TestDistinctSketch:
+    """Mergeable HLL distinct state (round 7): hourly sketches merged to
+    any coarser grain track both the direct sketch and the exact
+    distinct within their published error."""
+
+    def test_merged_estimate_tracks_direct_and_exact(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.rollup import (
+            approx_distinct,
+        )
+
+        df = _events(spark, n=800)
+        hourly = build_rollup(
+            df, "ts", "value", bucket="hour", distinct_col="k"
+        )
+        daily = approx_distinct(merge_rollup(hourly, bucket="day"))
+        direct = df.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_ts")
+        ).agg(
+            F.countDistinct("k").alias("exact"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("k", 12)).alias("d"),
+        )
+        rows = daily.join(direct, "bucket_ts").collect()
+        assert rows
+        rsd = 1.04 / (2**12) ** 0.5
+        for r in rows:
+            assert abs(r["approx_distinct"] - r["exact"]) <= max(
+                1, 5 * rsd * r["exact"]
+            )
+            assert abs(r["approx_distinct"] - r["d"]) <= max(
+                1, 3 * rsd * r["exact"]
+            )
+
+    def test_sketch_survives_parquet_roundtrip(self, spark, tmp_path):
+        """The binary state must persist and keep merging after a
+        write/read cycle — the continuous-aggregate storage contract."""
+        from mobilitydatalakebenchmark_spark.operators.rollup import (
+            approx_distinct,
+        )
+
+        df = _events(spark, n=400)
+        hourly = build_rollup(
+            df, "ts", "value", bucket="hour", distinct_col="k"
+        )
+        p = str(tmp_path / "roll")
+        hourly.write.parquet(p)
+        daily = approx_distinct(
+            merge_rollup(spark.read.parquet(p), bucket="day")
+        )
+        exact = {
+            r["bucket_ts"]: r["x"]
+            for r in df.groupBy(
+                F.date_trunc("day", "ts").alias("bucket_ts")
+            ).agg(F.countDistinct("k").alias("x")).collect()
+        }
+        for r in daily.collect():
+            # 3 distinct keys per day — sparse-mode HLL is exact here
+            assert r["approx_distinct"] == exact[r["bucket_ts"]]

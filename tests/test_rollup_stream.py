@@ -139,3 +139,52 @@ def test_stamped_table_still_equals_batch_rollup(spark, tmp_path):
     # within-lineage replays, which is the crash window that exists.)
     _drain(spark, data_dir, table, ckpt)
     assert _snapshot(read_rollup(spark, table)) == expected
+
+
+def test_streamed_distinct_sketch_matches_batch(spark, tmp_path):
+    """The sketch column rides the incremental maintenance unchanged:
+    streamed rollup estimates == batch rollup estimates over the same
+    rows (micro-batched ingest, txn-stamped merge)."""
+    from mobilitydatalakebenchmark_spark.operators.rollup import (
+        approx_distinct,
+        merge_rollup,
+    )
+    from mobilitydatalakebenchmark_spark.streaming.rollup_stream import (
+        stream_rollup,
+    )
+
+    data_dir = str(tmp_path / "in")
+    rows = _rows(0, 40, "a") + _rows(3, 40, "b") + _rows(700, 30, "c")
+    spark.createDataFrame(rows, SCHEMA).repartition(3).write.parquet(data_dir)
+    table = str(tmp_path / "roll")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    q = stream_rollup(
+        stream, table, str(tmp_path / "ck"), "ts", "value",
+        keys=("k",), distinct_col="k",
+    )
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
+
+    batch = build_rollup(
+        spark.createDataFrame(rows, SCHEMA), "ts", "value",
+        keys=("k",), bucket="hour", distinct_col="k",
+    )
+    got = {
+        (r["bucket_ts"], r["k"]): r["approx_distinct"]
+        for r in approx_distinct(
+            merge_rollup(read_rollup(spark, table), keys=("k",))
+        ).collect()
+    }
+    want = {
+        (r["bucket_ts"], r["k"]): r["approx_distinct"]
+        for r in approx_distinct(
+            merge_rollup(batch, keys=("k",))
+        ).collect()
+    }
+    assert got == want and got
