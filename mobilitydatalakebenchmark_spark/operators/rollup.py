@@ -27,6 +27,8 @@ def build_rollup(
     bucket: str = "hour",
     distinct_col: str | None = None,
     lgk: int = 12,
+    quantiles: bool = False,
+    kll_k: int = 200,
 ) -> DataFrame:
     """Aggregate raw rows into per-(bucket, keys) mergeable states:
     n / total / vmin / vmax, plus — when ``distinct_col`` is given — a
@@ -51,6 +53,16 @@ def build_rollup(
             F.hll_sketch_agg(F.col(distinct_col), lgk).alias(
                 "distinct_sketch"
             )
+        )
+    if quantiles:
+        # KLL quantile sketch over the value column: exact percentiles
+        # do not merge either; the KLL state does (mergeable with the
+        # published normalized rank error ~1.65% at k=200), giving the
+        # continuous-aggregate percentile story (p50/p95/p99 per bucket,
+        # re-aggregatable to any coarser grain)
+        aggs.append(
+            F.kll_sketch_agg_double(F.col(val_col).cast("double"), kll_k)
+            .alias("quantile_sketch")
         )
     return df.groupBy(b, *[F.col(k) for k in keys]).agg(*aggs)
 
@@ -84,6 +96,12 @@ def merge_rollup(
         aggs.append(
             F.hll_union_agg("distinct_sketch").alias("distinct_sketch")
         )
+    if "quantile_sketch" in rollup.columns:
+        aggs.append(
+            F.kll_merge_agg_double("quantile_sketch").alias(
+                "quantile_sketch"
+            )
+        )
     return (
         rollup.groupBy(b, *[F.col(k) for k in keys])
         .agg(*aggs)
@@ -97,3 +115,20 @@ def approx_distinct(rollup: DataFrame) -> DataFrame:
         "approx_distinct",
         F.hll_sketch_estimate(F.col("distinct_sketch")),
     )
+
+
+def approx_quantiles(
+    rollup: DataFrame, probs: tuple[float, ...] = (0.5, 0.95, 0.99)
+) -> DataFrame:
+    """Read-side percentile columns (``p50``-style names) from the
+    mergeable KLL state."""
+    out = rollup
+    for p in probs:
+        name = f"p{str(p).replace('0.', '').ljust(2, '0')}"
+        out = out.withColumn(
+            name,
+            F.kll_sketch_get_quantile_double(
+                F.col("quantile_sketch"), F.lit(float(p))
+            ),
+        )
+    return out

@@ -163,7 +163,8 @@ def load_registry() -> dict[str, Q]:
     newest = (
         "trajectory_trip_segments", "knn_pq_recall_floor",
         "versioned_snapshot_asof", "ivm_materialized_join",
-        "rollup_distinct_sketch",
+        "rollup_distinct_sketch", "rollup_quantile_sketch",
+        "segment_theta_overlap",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

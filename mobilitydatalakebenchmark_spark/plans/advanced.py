@@ -1096,3 +1096,99 @@ def ivm_materialized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: Theta-sketch segment overlap (operators/segments.py). Exact
+# pairwise intersections need a distinct-pairs self-join per question;
+# the sketches answer every pair from KB-sized states. The gate runs
+# BOTH in one plan: exact pairwise intersection/union from a distinct
+# self-join, sketch estimates from the theta algebra, and error-bound
+# booleans (|est - exact| <= 5 * rse * |A u B|, rse ~ 1/sqrt(2^12); at
+# these cardinalities the sketches are in exact mode and the measured
+# error is 0 at all three SFs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_theta_overlap",
+    oracle="""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (
+  SELECT event_type, count(*) AS n FROM d GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+         count(*) AS exact_intersection
+  FROM d a JOIN d b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+  GROUP BY seg_a, seg_b
+)
+SELECT p.seg_a, p.seg_b,
+       cast(p.exact_intersection AS BIGINT) AS exact_intersection,
+       cast(sa.n + sb.n - p.exact_intersection AS BIGINT) AS exact_union,
+       TRUE AS ok_intersection, TRUE AS ok_union
+FROM pairs p
+JOIN sizes sa ON sa.event_type = p.seg_a
+JOIN sizes sb ON sb.event_type = p.seg_b
+ORDER BY p.seg_a, p.seg_b
+""",
+    doc="audience-segment overlap via Theta sketch set algebra "
+    "(operators/segments.py, Spark 4 theta_sketch_agg/theta_intersection"
+    "/theta_union): per event-type-pair estimated intersection and "
+    "union bounded in-plan against the exact distinct self-join "
+    "(|est - exact| <= 5 rse |A u B|) — every pairwise audience "
+    "question answered from KB states, one fact scan total",
+    tags=("agg", "sketch", "segments"),
+)
+def segment_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.segments import segment_overlap, segment_sketches
+
+    ev = t(spark, sf_dir, "events")
+    est = segment_overlap(segment_sketches(ev, "event_type", "user_id"))
+    d = ev.select("event_type", "user_id").distinct()
+    sizes = d.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = d.select(F.col("event_type").alias("seg_a"), "user_id")
+    b = d.select(F.col("event_type").alias("seg_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").alias("exact_intersection"))
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("seg_a"),
+                                     F.col("n").alias("_na"))),
+            "seg_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("seg_b"),
+                                     F.col("n").alias("_nb"))),
+            "seg_b",
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            "exact_intersection",
+            (F.col("_na") + F.col("_nb") - F.col("exact_intersection"))
+            .alias("exact_union"),
+        )
+    )
+    rse = 1.0 / (2**12) ** 0.5
+    return (
+        est.join(exact, ["seg_a", "seg_b"])
+        .select(
+            "seg_a",
+            "seg_b",
+            "exact_intersection",
+            "exact_union",
+            (
+                F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+                <= 5 * rse * F.col("exact_union")
+            ).alias("ok_intersection"),
+            (
+                F.abs(F.col("est_union") - F.col("exact_union"))
+                <= 5 * rse * F.col("exact_union")
+            ).alias("ok_union"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )

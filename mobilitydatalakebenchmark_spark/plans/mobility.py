@@ -1076,3 +1076,85 @@ def trajectory_simplify_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "rollup_quantile_sketch",
+    # Mergeable percentiles (round 7): exact quantiles do not merge, the
+    # KLL state does (published normalized rank error ~1.65% at k=200).
+    # The gate merges hourly KLL states to daily and asserts in-plan
+    # that each estimate lands between the exact order statistics at
+    # p +/- 0.05 (a 3x margin on the rank error). Exact bounds are
+    # DATA VALUES picked by rank — no interpolation arithmetic, so both
+    # engines read the identical parquet double.
+    oracle="""
+WITH v AS (
+  SELECT date_trunc('day', ts) AS d, value,
+         row_number() OVER (PARTITION BY date_trunc('day', ts)
+                            ORDER BY value) AS rk,
+         count(*) OVER (PARTITION BY date_trunc('day', ts)) AS n
+  FROM events
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       cast(max(n) AS BIGINT) AS n_events,
+       round(max(CASE WHEN rk = (n - 1) // 2 + 1 THEN value END), 6)
+           AS p50_value,
+       TRUE AS ok_p50, TRUE AS ok_p95
+FROM v GROUP BY d ORDER BY day
+""",
+    doc="mergeable percentile rollup (operators/rollup.py + Spark 4 "
+    "kll_sketch_agg_double/kll_merge_agg_double): hourly KLL states "
+    "merged to daily, p50/p95 estimates bounded in-plan by the exact "
+    "rank-(p +/- 0.05) order statistics — the continuous-aggregate "
+    "percentile story (TimescaleDB percentile_agg analogue)",
+    tags=("time", "agg", "rollup", "sketch"),
+)
+def rollup_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import (
+        approx_quantiles,
+        build_rollup,
+        merge_rollup,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    hourly = build_rollup(ev, "ts", "value", bucket="hour", quantiles=True)
+    daily = approx_quantiles(
+        merge_rollup(hourly, bucket="day"), probs=(0.5, 0.95)
+    ).select("bucket_ts", "n", "p50", "p95")
+
+    w = Window.partitionBy(F.date_trunc("day", F.col("ts"))).orderBy("value")
+    v = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy(F.date_trunc("day", F.col("ts")))
+        ).alias("nn"),
+    )
+
+    def at_rank(rank_expr):
+        return F.max(F.when(F.col("rk") == rank_expr, F.col("value")))
+
+    r = lambda p: F.floor((F.col("nn") - 1) * p) + 1  # noqa: E731
+    bounds = v.groupBy("bucket_ts").agg(
+        at_rank(r(0.5)).alias("p50_value"),
+        at_rank(r(0.45)).alias("_lo50"),
+        at_rank(r(0.55)).alias("_hi50"),
+        at_rank(r(0.90)).alias("_lo95"),
+        F.max("value").alias("_hi95"),
+    )
+    return (
+        daily.join(bounds, "bucket_ts")
+        .select(
+            F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+            F.col("n").alias("n_events"),
+            F.round("p50_value", 6).alias("p50_value"),
+            F.col("p50").between(F.col("_lo50"), F.col("_hi50")).alias(
+                "ok_p50"
+            ),
+            F.col("p95").between(F.col("_lo95"), F.col("_hi95")).alias(
+                "ok_p95"
+            ),
+        )
+        .orderBy("day")
+    )

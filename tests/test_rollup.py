@@ -128,3 +128,64 @@ class TestDistinctSketch:
         for r in daily.collect():
             # 3 distinct keys per day — sparse-mode HLL is exact here
             assert r["approx_distinct"] == exact[r["bucket_ts"]]
+
+
+class TestQuantileSketch:
+    """Mergeable KLL percentile state (round 7)."""
+
+    def test_merged_quantiles_within_rank_bounds(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.rollup import (
+            approx_quantiles,
+        )
+
+        df = _events(spark, n=1000)
+        hourly = build_rollup(df, "ts", "value", bucket="hour", quantiles=True)
+        daily = approx_quantiles(
+            merge_rollup(hourly, bucket="day"), probs=(0.5, 0.95)
+        )
+        exact = {
+            r["bucket_ts"]: sorted(v["value"] for v in rows)
+            for r in daily.collect()
+            for rows in [
+                df.filter(
+                    F.date_trunc("day", "ts") == r["bucket_ts"]
+                ).select("value").collect()
+            ]
+        }
+        for r in daily.collect():
+            vals = exact[r["bucket_ts"]]
+            n = len(vals)
+            lo50, hi50 = vals[int((n - 1) * 0.45)], vals[int((n - 1) * 0.55)]
+            assert lo50 <= r["p50"] <= hi50
+            assert vals[int((n - 1) * 0.90)] <= r["p95"] <= vals[-1]
+
+    def test_sketch_merge_equals_direct_build(self, spark):
+        """Merging hourly KLL states to daily must estimate like a direct
+        daily sketch (same k, same data) within the rank error."""
+        df = _events(spark, n=600)
+        hourly = build_rollup(df, "ts", "value", bucket="hour", quantiles=True)
+        merged = merge_rollup(hourly, bucket="day")
+        direct = build_rollup(df, "ts", "value", bucket="day", quantiles=True)
+        m = {
+            r["bucket_ts"]: r["q"]
+            for r in merged.select(
+                "bucket_ts",
+                F.kll_sketch_get_quantile_double(
+                    "quantile_sketch", F.lit(0.5)
+                ).alias("q"),
+            ).collect()
+        }
+        d = {
+            r["bucket_ts"]: r["q"]
+            for r in direct.select(
+                "bucket_ts",
+                F.kll_sketch_get_quantile_double(
+                    "quantile_sketch", F.lit(0.5)
+                ).alias("q"),
+            ).collect()
+        }
+        assert m.keys() == d.keys()
+        for k in m:
+            # both are retained data values near the true median; at a few
+            # hundred rows per day KLL(k=200) retains everything -> equal
+            assert abs(m[k] - d[k]) <= 1e-9, (k, m[k], d[k])
