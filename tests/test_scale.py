@@ -68,6 +68,12 @@ BOUNDS = {
     "knn_pq_recall_floor": 10.0,
     "versioned_snapshot_asof": 8.0,
     "ivm_materialized_join": 8.0,
+    # sketch-state gates: one fact shuffle each; a quadratic would mean
+    # the exact-comparison side (distinct self-join / rank window)
+    # exploded
+    "rollup_distinct_sketch": 8.0,
+    "rollup_quantile_sketch": 8.0,
+    "segment_theta_overlap": 8.0,
 }
 
 
