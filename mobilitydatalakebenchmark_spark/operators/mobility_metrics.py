@@ -179,3 +179,76 @@ def cell_pyramid(
     for lvl in out[1:]:
         result = result.unionByName(lvl)
     return result.select("level", "cx", "cy", "n_obs")
+
+
+def hotspot_clusters(
+    df: DataFrame,
+    cell_lat_deg: float = 1.0,
+    cell_lon_deg: float = 1.0,
+    min_pts: int = 5,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Density-based spatial hotspot clustering: grid-bucket the
+    observations, keep cells with at least ``min_pts`` points (the
+    DBSCAN core-cell idea at grid resolution), and merge 8-adjacent
+    dense cells into clusters via connected components. Output: one row
+    per dense cell — (cx, cy, n_points, cluster) with ``cluster`` = the
+    minimum cell key of the component (deterministic, engine-replayable).
+
+    Scale: the raw scan collapses to |cells| rows in one shuffle; the
+    adjacency self-join and the O(log diameter) component rounds touch
+    only DENSE cells (bounded by the grid, not the data). The cell key
+    packs (cx, cy) as (cx + 2e6) * 4e6 + (cy + 2e6) — exact for any
+    grid within +/- 2 million cells per axis, i.e. resolutions down to
+    ~1e-4 degrees globally."""
+    from .components import connected_components
+
+    cells = (
+        df.select(
+            F.floor(F.col(lat_col) / cell_lat_deg).cast("long").alias("cx"),
+            F.floor(F.col(lon_col) / cell_lon_deg).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_points"))
+        .filter(F.col("n_points") >= min_pts)
+    )
+    key = ((F.col("cx") + 2_000_000) * 4_000_000 + F.col("cy") + 2_000_000)
+    dense = cells.withColumn("cell_key", key).localCheckpoint(eager=False)
+    # 8-neighborhood edges between dense cells: explode one side to its
+    # neighbor offsets, equi-join on the neighbor's coordinates. Each
+    # unordered pair appears once per direction; components symmetrize
+    # anyway.
+    neighbors = F.array(
+        *[
+            F.struct(
+                (F.col("cx") + dx).alias("nx"), (F.col("cy") + dy).alias("ny")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    a = dense.select(
+        F.col("cell_key").alias("key_a"), F.explode(neighbors).alias("_n")
+    ).select("key_a", F.col("_n.nx").alias("cx"), F.col("_n.ny").alias("cy"))
+    edges = a.join(
+        dense.select("cx", "cy", F.col("cell_key").alias("key_b")),
+        ["cx", "cy"],
+    ).select("key_a", "key_b")
+    comp = connected_components(
+        edges, src="key_a", dst="key_b", max_iter=max_iter
+    )
+    return (
+        dense.join(comp, dense.cell_key == comp.node, "left")
+        .select(
+            "cx",
+            "cy",
+            "n_points",
+            # isolated dense cells never appear in edges: own component
+            F.coalesce(F.col("component"), F.col("cell_key")).alias(
+                "cluster"
+            ),
+        )
+    )

@@ -164,7 +164,7 @@ def load_registry() -> dict[str, Q]:
         "trajectory_trip_segments", "knn_pq_recall_floor",
         "versioned_snapshot_asof", "ivm_materialized_join",
         "rollup_distinct_sketch", "rollup_quantile_sketch",
-        "segment_theta_overlap",
+        "segment_theta_overlap", "mobility_hotspot_clusters",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1158,3 +1158,80 @@ def rollup_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "mobility_hotspot_clusters",
+    # Density hotspots via grid cells + connected components (round 7):
+    # the DBSCAN core-cell idea at grid resolution. Spark merges
+    # 8-adjacent dense cells with O(log diameter) pointer-doubling
+    # label propagation (operators/components.py); the DuckDB twin
+    # closes the same adjacency graph with a recursive CTE — the
+    # iterative-algorithm gate pattern of dedup_drop_near_duplicates.
+    oracle="""
+WITH cells AS (
+  SELECT cast(floor((value % 80.0) / 2.5) AS BIGINT)        AS cx,
+         cast(floor(((value * 3.7) % 160.0) / 2.5) AS BIGINT) AS cy,
+         count(*) AS n_points
+  FROM events
+  GROUP BY cx, cy
+), stats AS (
+  SELECT sum(n_points) AS total, count(*) AS n_cells FROM cells
+), dense AS (
+  -- scale-free density cut at 2x the mean cell count, compared in
+  -- EXACT integer arithmetic (n * n_cells >= 2 * total) so no float
+  -- threshold can flip a boundary cell between engines
+  SELECT c.cx, c.cy, c.n_points FROM cells c, stats s
+  WHERE c.n_points * s.n_cells >= 2 * s.total
+), keyed AS (
+  SELECT cx, cy, n_points,
+         (cx + 2000000) * 4000000 + cy + 2000000 AS k
+  FROM dense
+), edges AS (
+  SELECT a.k AS u, b.k AS v
+  FROM keyed a JOIN keyed b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.k != b.k
+), reach AS (
+  WITH RECURSIVE walk(node, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, walk.r FROM walk JOIN edges e ON e.u = walk.node
+  )
+  SELECT node, min(r) AS component FROM walk GROUP BY node
+)
+SELECT keyed.cx, keyed.cy, cast(keyed.n_points AS BIGINT) AS n_points,
+       coalesce(reach.component, keyed.k) AS cluster
+FROM keyed LEFT JOIN reach ON reach.node = keyed.k
+ORDER BY cx, cy
+""",
+    doc="spatial hotspot clustering (operators/mobility_metrics."
+    "hotspot_clusters): grid-density core cells (>= 2x the mean cell "
+    "count, integer-exact threshold) merged across the 8-neighborhood "
+    "by connected components — the density-cluster primitive behind "
+    "hotspot maps; dense-cell count bounds every downstream join, and "
+    "the component loop is O(log diameter)",
+    tags=("mobility", "spatial", "iterative"),
+)
+def mobility_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mobility_metrics import hotspot_clusters
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    # scale-free density cut: ceil(2 * total / n_cells) is integer-
+    # equivalent to the oracle's n * n_cells >= 2 * total predicate
+    cells = ev.select(
+        F.floor(F.col("lat") / 2.5).cast("long").alias("cx"),
+        F.floor(F.col("lon") / 2.5).cast("long").alias("cy"),
+    ).groupBy("cx", "cy").count()
+    st = cells.agg(
+        F.sum("count").alias("t"), F.count("*").alias("c")
+    ).first()
+    min_pts = -((-2 * int(st["t"])) // int(st["c"]))
+    out = hotspot_clusters(
+        ev, cell_lat_deg=2.5, cell_lon_deg=2.5, min_pts=min_pts
+    )
+    return out.select(
+        "cx", "cy", "n_points", "cluster"
+    ).orderBy("cx", "cy")

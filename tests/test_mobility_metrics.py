@@ -114,3 +114,45 @@ class TestCellPyramid:
             key = (math.floor(lat / 10.0), math.floor(lon / 10.0))
             direct[key] = direct.get(key, 0) + 1
         assert by_level[2] == direct
+
+
+class TestHotspotClusters:
+    """Grid-density hotspots: planted dense regions must merge across
+    the 8-neighborhood and stay separated across gaps."""
+
+    def test_planted_clusters_merge_and_separate(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.mobility_metrics import (
+            hotspot_clusters,
+        )
+
+        rows = []
+        # cluster 1: two diagonal-adjacent dense cells (0,0) and (1,1)
+        rows += [(0.5, 0.5)] * 10 + [(1.5, 1.5)] * 10
+        # cluster 2: isolated dense cell far away
+        rows += [(10.5, 10.5)] * 10
+        # sparse noise below the threshold
+        rows += [(5.5, 5.5)] * 2
+        df = spark.createDataFrame(rows, "lat double, lon double")
+        out = hotspot_clusters(
+            df, cell_lat_deg=1.0, cell_lon_deg=1.0, min_pts=5
+        ).collect()
+        cells = {(r.cx, r.cy): r for r in out}
+        assert set(cells) == {(0, 0), (1, 1), (10, 10)}
+        assert cells[(0, 0)].cluster == cells[(1, 1)].cluster
+        assert cells[(10, 10)].cluster != cells[(0, 0)].cluster
+        assert cells[(10, 10)].n_points == 10
+
+    def test_chain_of_cells_is_one_cluster(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.mobility_metrics import (
+            hotspot_clusters,
+        )
+
+        rows = [
+            (x + 0.5, 0.5) for x in range(8) for _ in range(6)
+        ]  # 8-cell horizontal chain
+        df = spark.createDataFrame(rows, "lat double, lon double")
+        out = hotspot_clusters(
+            df, cell_lat_deg=1.0, cell_lon_deg=1.0, min_pts=5
+        ).collect()
+        assert len(out) == 8
+        assert len({r.cluster for r in out}) == 1
