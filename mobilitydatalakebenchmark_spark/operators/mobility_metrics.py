@@ -233,10 +233,18 @@ def hotspot_clusters(
     a = dense.select(
         F.col("cell_key").alias("key_a"), F.explode(neighbors).alias("_n")
     ).select("key_a", F.col("_n.nx").alias("cx"), F.col("_n.ny").alias("cy"))
-    edges = a.join(
-        dense.select("cx", "cy", F.col("cell_key").alias("key_b")),
-        ["cx", "cy"],
-    ).select("key_a", "key_b")
+    edges = (
+        a.join(
+            dense.select("cx", "cy", F.col("cell_key").alias("key_b")),
+            ["cx", "cy"],
+        )
+        .select("key_a", "key_b")
+        # dense-cell edges are grid-bounded (thousands, not billions):
+        # collapsing to one partition turns every component-loop round
+        # into a local job instead of a 32-task shuffle of near-empty
+        # partitions. A planet-scale fine grid would lift this.
+        .coalesce(1)
+    )
     comp = connected_components(
         edges, src="key_a", dst="key_b", max_iter=max_iter
     )

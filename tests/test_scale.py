@@ -74,6 +74,10 @@ BOUNDS = {
     "rollup_distinct_sketch": 8.0,
     "rollup_quantile_sketch": 8.0,
     "segment_theta_overlap": 8.0,
+    # hotspot: the raw scan collapses to grid cells in one shuffle; the
+    # component loop's cost tracks dense-cell count and diameter, not
+    # rows, so 4x data must stay near-flat
+    "mobility_hotspot_clusters": 8.0,
 }
 
 
