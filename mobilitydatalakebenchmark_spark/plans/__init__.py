@@ -165,6 +165,7 @@ def load_registry() -> dict[str, Q]:
         "versioned_snapshot_asof", "ivm_materialized_join",
         "rollup_distinct_sketch", "rollup_quantile_sketch",
         "segment_theta_overlap", "mobility_hotspot_clusters",
+        "zorder_morton_key", "skew_salted_sum",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1192,3 +1192,91 @@ def segment_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_a", "seg_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7: the functions/ utility layer gets CORRECTNESS rows too.
+# Z-order (Morton) keys are pure integer bit algebra — the DuckDB twin
+# recomputes the same normalize + 16-term interleave, so any drift in
+# the clustering codec flips values. The salted two-phase aggregation
+# must be EXACTLY the plain aggregation (algebraic merge) — oracle is
+# the direct group-by with integer-cent sums.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _zorder_oracle() -> str:
+    cells = (1 << _Z_BITS) - 1
+    def rank(expr, lo, hi):
+        return (
+            f"CAST(round(least(greatest(({expr} - {lo}) / {hi - lo}, 0.0), "
+            f"1.0) * {cells}) AS BIGINT)"
+        )
+    x = rank("(value % 80.0)", 0.0, 80.0)
+    y = rank("((value * 3.7) % 160.0)", 0.0, 160.0)
+    terms = " | ".join(
+        f"(((xr >> {i}) & 1) << {2 * i}) | (((yr >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    )
+    return f"""
+WITH r AS (
+  SELECT event_id, {x} AS xr, {y} AS yr
+  FROM events WHERE event_id < 500
+)
+SELECT event_id, {terms} AS zkey
+FROM r ORDER BY event_id
+"""
+
+
+@register(
+    "zorder_morton_key",
+    oracle=_zorder_oracle(),
+    doc="Z-order / Morton clustering key (functions/zorder.py — the "
+    "Delta OPTIMIZE ZORDER idea as a pure column expression): fixed-"
+    "range rank normalization + 16-bit interleave, value-checked "
+    "against a DuckDB twin that recomputes the same bit algebra; "
+    "sorting row groups by this key is what makes 2-D bbox filters "
+    "prune parquet min/max stats",
+    tags=("codec", "spatial", "clustering"),
+)
+def zorder_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.zorder import zorder_key
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    key = zorder_key(
+        (F.col("value") % 80.0),
+        ((F.col("value") * 3.7) % 160.0),
+        x_range=(0.0, 80.0),
+        y_range=(0.0, 160.0),
+        bits=_Z_BITS,
+    )
+    return ev.select("event_id", key.alias("zkey")).orderBy("event_id")
+
+
+@register(
+    "skew_salted_sum",
+    oracle="""
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT)) AS total,
+       cast(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    doc="skew-safe two-phase aggregation (functions/skew.py): hot keys "
+    "spread over 16 hash salts in phase 1, algebraic merge in phase 2 "
+    "— must equal the direct group-by EXACTLY (integer-cent sums), "
+    "which the oracle computes in one pass; the pattern that keeps a "
+    "power-law key distribution from pinning one reducer",
+    tags=("agg", "skew"),
+)
+def skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_sum_count
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return (
+        salted_sum_count(ev, ["user_id"], "cents", n_salts=16)
+        .select("user_id", "total", "n")
+        .orderBy("user_id")
+    )
