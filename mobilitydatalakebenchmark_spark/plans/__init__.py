@@ -166,6 +166,7 @@ def load_registry() -> dict[str, Q]:
         "rollup_distinct_sketch", "rollup_quantile_sketch",
         "segment_theta_overlap", "mobility_hotspot_clusters",
         "zorder_morton_key", "skew_salted_sum",
+        "cusum_changepoints", "ewma_truncated_exact",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

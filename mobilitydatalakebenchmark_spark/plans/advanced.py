@@ -1280,3 +1280,123 @@ def skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "total", "n")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation: time-series change detection + smoothing
+# (operators/timeseries.py). Both gates are EXACT BIGINT end-to-end —
+# CUSUM via the clamp-unrolling identity S_t = P_t - min(0, prefix-min P),
+# n-scaled so the mean reference needs no division; EWMA via power-of-two
+# weights on a 16-lag truncation. Hash-robust under any aggregation order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoints",
+    oracle="""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), st AS (
+  SELECT user_id, ts, event_id, cents,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         sum(cents) OVER (PARTITION BY user_id) AS total
+  FROM x
+), p AS (
+  SELECT user_id, ts, event_id, n_events,
+         sum(n_events * cents - total) OVER w AS pref
+  FROM st
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT user_id, ts, event_id, n_events,
+         pref - least(min(pref) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS s_scaled
+  FROM p
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN s_scaled > n_events * 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       max(s_scaled) AS max_excursion_scaled,
+       any_value(n_events) AS n_events,
+       min(CASE WHEN s_scaled > n_events * 200 THEN event_id END) AS first_alarm
+FROM s GROUP BY user_id ORDER BY user_id
+""",
+    doc="CUSUM change-point excursions (operators/timeseries.py — Page's "
+    "clamped recursion unrolled to prefix algebra: S_t = P_t - min(0, "
+    "prefix-min P), one window sum + one window min sharing a single "
+    "per-entity sort; deviations n-scaled to exact BIGINT cents so no "
+    "aggregation order can flip a cell; alarms at 2.00 above the mean)",
+    tags=("window", "time", "changepoint"),
+)
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import cusum_alarm_summary
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        cusum_alarm_summary(
+            ev, "user_id", ["ts", "event_id"], "cents",
+            threshold_cents=200, first_alarm_col="event_id",
+        )
+        .select("user_id", "n_alarms", "max_excursion_scaled", "n_events", "first_alarm")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "ewma_truncated_exact",
+    oracle="""
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), e AS (
+  SELECT user_id, ts, event_id, cents,
+         {terms} AS ewma_scaled
+  FROM x
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       max(ewma_scaled) AS max_ewma_scaled,
+       min(ewma_scaled) AS min_ewma_scaled,
+       sum(ewma_scaled) AS sum_ewma_scaled,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY user_id ORDER BY user_id
+""".replace(
+        "{terms}",
+        " + ".join(
+            f"coalesce(lag(cents, {j}) OVER w, 0) * {1 << (15 - j)}"
+            for j in range(16)
+        ),
+    ),
+    doc="truncated EWMA smoother (operators/timeseries.py — alpha=1/2, "
+    "16-lag truncation: y_t*2^16 = sum x_(t-j)*2^(15-j), the bounded-"
+    "state streaming form of the recursive smoother; power-of-two "
+    "weights keep the scaled series exact BIGINT, 16 coalesced lags "
+    "share one per-entity window sort, all whole-stage codegen)",
+    tags=("window", "time", "smoothing"),
+)
+def ewma_truncated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import ewma_scaled
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sm = ewma_scaled(ev, "user_id", ["ts", "event_id"], "cents", window=16)
+    return (
+        sm.groupBy("user_id")
+        .agg(
+            F.max("ewma_scaled").alias("max_ewma_scaled"),
+            F.min("ewma_scaled").alias("min_ewma_scaled"),
+            F.sum("ewma_scaled").alias("sum_ewma_scaled"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,127 @@
+"""CUSUM / EWMA operators vs the direct sequential recursions."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators.timeseries import (
+    cusum_alarm_summary,
+    cusum_excursions,
+    ewma_scaled,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "entity string, seq int, cents long")
+
+
+def _cusum_ref(xs: list[int], threshold_cents: int):
+    """The textbook clamped recursion, n-scaled exactly like the operator."""
+    n, total = len(xs), sum(xs)
+    s, series, alarms = 0, [], 0
+    first = None
+    for i, x in enumerate(xs):
+        s = max(0, s + (n * x - total))
+        series.append(s)
+        if s > n * threshold_cents:
+            alarms += 1
+            if first is None:
+                first = i
+    return series, alarms, max(series), first
+
+
+class TestCusum:
+    def test_matches_sequential_recursion(self, spark):
+        rng = random.Random(7)
+        xs = [rng.randint(-500, 500) for _ in range(80)]
+        # plant a mean shift in the back half
+        xs += [rng.randint(200, 900) for _ in range(40)]
+        df = _mk(spark, [("a", i, x) for i, x in enumerate(xs)])
+        got = (
+            cusum_excursions(df, "entity", ["seq"], "cents", 300)
+            .orderBy("seq")
+            .select("s_scaled", "alarm")
+            .collect()
+        )
+        series, alarms, peak, first = _cusum_ref(xs, 300)
+        assert [r["s_scaled"] for r in got] == series
+        assert sum(r["alarm"] for r in got) == alarms
+        summ = cusum_alarm_summary(
+            df, "entity", ["seq"], "cents", 300, first_alarm_col="seq"
+        ).collect()[0]
+        assert summ["n_alarms"] == alarms
+        assert summ["max_excursion_scaled"] == peak
+        assert summ["first_alarm"] == first
+
+    def test_shift_detected_steady_state_quiet(self, spark):
+        # steady series: excursions stay small, no alarms at a loose threshold
+        steady = [("q", i, 100 + (i % 3)) for i in range(60)]
+        # shifted series: +5.00 step halfway through must alarm
+        shifted = [("s", i, 100) for i in range(30)] + [
+            ("s", i, 600) for i in range(30, 60)
+        ]
+        df = _mk(spark, steady + shifted)
+        out = {
+            r["entity"]: r
+            for r in cusum_alarm_summary(df, "entity", ["seq"], "cents", 200).collect()
+        }
+        assert out["q"]["n_alarms"] == 0
+        assert out["s"]["n_alarms"] > 0
+
+    def test_partitioning_invariance(self, spark):
+        rng = random.Random(11)
+        rows = [
+            (f"e{k}", i, rng.randint(-300, 300))
+            for k in range(5)
+            for i in range(50)
+        ]
+        df1 = _mk(spark, rows)
+        df8 = df1.repartition(8)
+        a = sorted(
+            cusum_alarm_summary(df1, "entity", ["seq"], "cents", 150).collect()
+        )
+        b = sorted(
+            cusum_alarm_summary(df8, "entity", ["seq"], "cents", 150).collect()
+        )
+        assert a == b
+
+
+class TestEwma:
+    def test_matches_truncated_recursion(self, spark):
+        rng = random.Random(3)
+        xs = [rng.randint(-1000, 1000) for _ in range(40)]
+        df = _mk(spark, [("a", i, x) for i, x in enumerate(xs)])
+        got = [
+            r["ewma_scaled"]
+            for r in ewma_scaled(df, "entity", ["seq"], "cents", window=16)
+            .orderBy("seq")
+            .collect()
+        ]
+        for t, g in enumerate(got):
+            expected = sum(
+                xs[t - j] * (1 << (15 - j)) for j in range(16) if t - j >= 0
+            )
+            assert g == expected, t
+
+    def test_tracks_recursive_smoother_within_truncation(self, spark):
+        # vs the untruncated recursion y_t = (x_t + y_{t-1}) / 2: the
+        # truncated form differs by < sup|x| / 2^16
+        xs = [((i * 37) % 400) - 200 for i in range(100)]
+        df = _mk(spark, [("a", i, x) for i, x in enumerate(xs)])
+        got = [
+            r["ewma_scaled"] / 2.0**16
+            for r in ewma_scaled(df, "entity", ["seq"], "cents", window=16)
+            .orderBy("seq")
+            .collect()
+        ]
+        y = 0.0
+        for t, x in enumerate(xs):
+            y = (x + y) / 2.0
+            assert abs(got[t] - y) <= 200 / 2.0**16 + 1e-9
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
