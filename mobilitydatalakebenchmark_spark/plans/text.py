@@ -1884,3 +1884,109 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "n_tokens", "ares_key", "rk").orderBy(
         "source", "rk"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation: inverted-index ranked retrieval (operators/
+# retrieval.py). BM25 is float, so the gate enforces the determinism
+# discipline end-to-end: exact-integer inputs (tf, dl, df, N, sum_dl),
+# ONE shared parenthesization (float literals below are repr()'d from the
+# same Python floats both engines parse), an ordered per-document fold
+# over term scores, and ranking on the 4-decimal-rounded score with
+# doc_id tiebreak. The fold makes the pre-rounded value aggregation-
+# order-invariant, so the only cross-engine noise is libm ln() ulps
+# (~1e-13 relative); hand-probed rounding margins (the margin_probe
+# rewrite applied at the fold CTE, over ALL candidate rows, not just
+# top-k) are >= 7.7e-6 grid units at sf0.001/0.01/0.1 — 7x the repo
+# threshold and ~7 orders above the noise floor.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = {
+    "q1": "spark join window",
+    "q2": "dup merge stream",
+    "q3": "vector scan fast",
+}
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 10
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(
+        f"('{qid}', '{term}')"
+        for qid, text in sorted(_BM25_QUERIES.items())
+        for term in dict.fromkeys(text.split())
+    )
+    k1, k1p1, one_b, b = (
+        repr(_BM25_K1), repr(_BM25_K1 + 1.0), repr(1.0 - _BM25_B), repr(_BM25_B)
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY term, doc_id
+),
+ds AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ds
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+per AS (
+  SELECT q.query_id, p.doc_id, p.term,
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(p.tf AS DOUBLE) * {k1p1})
+           / (CAST(p.tf AS DOUBLE)
+              + {k1} * ({one_b} + {b} * (CAST(ds.dl * c.n_docs AS DOUBLE)
+                                         / CAST(c.sum_dl AS DOUBLE))))
+           AS term_score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN ds USING (doc_id)
+  CROSS JOIN corpus c
+),
+folded AS (
+  SELECT query_id, doc_id,
+         round(list_sum(list(term_score ORDER BY term)), 4) AS score
+  FROM per GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM folded
+)
+SELECT query_id, rank, doc_id, score
+FROM ranked WHERE rank <= {_BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "bm25_ranked_retrieval",
+    oracle=_bm25_oracle(),
+    doc="BM25 ranked retrieval over an inverted index (operators/"
+    "retrieval.py — Okapi BM25, k1=1.2 b=0.75): postings built by one "
+    "explode+group-by, query joins touch only the query terms' posting "
+    "lists (broadcast df + corpus stats), per-document score is an "
+    "ordered fold over exact-integer inputs, ranking on the 4-decimal "
+    "rounded score with doc_id tiebreak — the corpus-search primitive "
+    "for contamination triage and training-data debugging",
+    tags=("text", "retrieval", "index"),
+)
+def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, build_postings, literal_queries
+
+    docs = t(spark, sf_dir, "documents")
+    postings, doc_stats = build_postings(docs)
+    queries = literal_queries(spark, _BM25_QUERIES)
+    return bm25_topk(
+        postings, doc_stats, queries,
+        k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
+    ).orderBy("query_id", "rank")
