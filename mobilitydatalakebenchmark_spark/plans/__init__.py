@@ -167,7 +167,7 @@ def load_registry() -> dict[str, Q]:
         "segment_theta_overlap", "mobility_hotspot_clusters",
         "zorder_morton_key", "skew_salted_sum",
         "cusum_changepoints", "ewma_truncated_exact",
-        "bm25_ranked_retrieval",
+        "bm25_ranked_retrieval", "contrastive_negative_mining",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

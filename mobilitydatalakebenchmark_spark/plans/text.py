@@ -1990,3 +1990,55 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings, doc_stats, queries,
         k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "contrastive_negative_mining",
+    oracle="""
+WITH cand AS (
+  SELECT doc_id AS neg_id, lang AS neg_label,
+         CAST(CAST('0x' || substr(md5('cand:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 8 AS INT) AS bucket
+  FROM documents
+),
+anc AS (
+  SELECT doc_id AS anchor_id, lang AS anchor_label,
+         CAST(CAST('0x' || substr(md5('probe:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 8 AS INT) AS bucket
+  FROM documents WHERE doc_id < 60
+),
+j AS (
+  SELECT anchor_id, neg_id, neg_label,
+         md5(CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)) AS draw
+  FROM anc JOIN cand USING (bucket)
+  WHERE neg_label <> anchor_label AND neg_id <> anchor_id
+),
+r AS (
+  SELECT anchor_id, neg_id, neg_label,
+         CAST(row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY draw, neg_id) AS INT) AS neg_rank
+  FROM j
+)
+SELECT anchor_id, neg_rank, neg_id, neg_label
+FROM r WHERE neg_rank <= 4
+ORDER BY anchor_id, neg_rank
+""",
+    doc="blocked contrastive negative mining (operators/contrastive.py — "
+    "k=4 other-language negatives per anchor WITHOUT a cross join: "
+    "candidates bucketed by md5, each anchor probes one pseudo-random "
+    "bucket, per-anchor md5 draw ranks the bucket's other-label rows; "
+    "join size n*(n/B) = linear for B ~ n, every step engine-"
+    "reproducible hash algebra so the oracle replays the exact sample)",
+    tags=("text", "sampling", "contrastive"),
+)
+def contrastive_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.contrastive import negative_samples
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        negative_samples(
+            docs, "doc_id", "lang", k=4, n_buckets=8,
+            anchors=docs.filter(F.col("doc_id") < 60),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
