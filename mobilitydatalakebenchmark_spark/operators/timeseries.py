@@ -47,18 +47,27 @@ def cusum_excursions(
     order_cols: list[str],
     cents_col: str,
     threshold_cents: int,
+    ref_cents: int | None = None,
 ) -> DataFrame:
-    """Per-row one-sided CUSUM excursion above the entity mean.
+    """Per-row one-sided CUSUM excursion above a reference level.
 
-    Adds columns:
+    Two reference modes:
 
-    * ``n_events`` — the entity's row count (the exactness scale factor),
-    * ``s_scaled`` — ``n * S_t`` where ``S_t`` is the clamped CUSUM of
-      ``(x - mean)`` in cents (BIGINT, exact),
-    * ``alarm`` — ``S_t > threshold_cents`` i.e. ``s_scaled > n*threshold``.
+    * ``ref_cents=None`` (default) — the entity's own mean, n-scaled so
+      the deviation ``n*x - total`` stays BIGINT (no division). The
+      excursion column is ``n * S_t`` and the alarm compares it against
+      ``n * threshold``. This is the retrospective/batch form (the mean
+      needs the whole series).
+    * ``ref_cents=<int>`` — a fixed target level. Deviations are plain
+      ``x - ref`` cents, ``s_scaled`` is the UNSCALED ``S_t``, and the
+      alarm compares against ``threshold_cents`` directly. This form
+      needs no global statistic, so it is the one the streaming twin
+      (``streaming/stateful.streaming_cusum``) can maintain with O(1)
+      state per entity.
 
-    ``order_cols`` must be a total order within each entity (append a
-    unique id as tiebreak) — otherwise the prefix sums are nondeterministic.
+    Adds columns ``n_events``, ``s_scaled``, ``alarm``. ``order_cols``
+    must be a total order within each entity (append a unique id as
+    tiebreak) — otherwise the prefix sums are nondeterministic.
     """
     part = Window.partitionBy(entity_col)
     w_ord = (
@@ -67,8 +76,13 @@ def cusum_excursions(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     n = F.count(F.lit(1)).over(part)
-    total = F.sum(cents_col).over(part)
-    dev = n * F.col(cents_col) - total
+    if ref_cents is None:
+        total = F.sum(cents_col).over(part)
+        dev = n * F.col(cents_col) - total
+        limit = F.col("n_events") * F.lit(int(threshold_cents))
+    else:
+        dev = F.col(cents_col) - F.lit(int(ref_cents))
+        limit = F.lit(int(threshold_cents))
     out = (
         df.withColumn("n_events", n)
         .withColumn("_dev", dev)
@@ -79,9 +93,7 @@ def cusum_excursions(
     # folds in the empty prefix P_0 = 0
     prefix_min = F.least(F.min("_pref").over(w_ord), F.lit(0))
     out = out.withColumn("s_scaled", F.col("_pref") - prefix_min).drop("_dev", "_pref")
-    return out.withColumn(
-        "alarm", F.col("s_scaled") > F.col("n_events") * F.lit(int(threshold_cents))
-    )
+    return out.withColumn("alarm", F.col("s_scaled") > limit)
 
 
 def cusum_alarm_summary(
@@ -91,6 +103,7 @@ def cusum_alarm_summary(
     cents_col: str,
     threshold_cents: int,
     first_alarm_col: str | None = None,
+    ref_cents: int | None = None,
 ) -> DataFrame:
     """Per-entity change-point summary: alarm count, peak excursion, and
     (optionally) the ``first_alarm_col`` value of the earliest alarm row.
@@ -98,7 +111,9 @@ def cusum_alarm_summary(
     Everything BIGINT (``s_scaled`` is n-scaled cents), so the aggregate
     hashes identically under any partial-agg order.
     """
-    ex = cusum_excursions(df, entity_col, order_cols, cents_col, threshold_cents)
+    ex = cusum_excursions(
+        df, entity_col, order_cols, cents_col, threshold_cents, ref_cents=ref_cents
+    )
     aggs = [
         F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
         F.max("s_scaled").alias("max_excursion_scaled"),

@@ -228,3 +228,82 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM monitor: the fixed-reference form of operators/
+# timeseries.cusum_excursions as data ARRIVES. The mean-referenced batch
+# form needs the whole series (the reference is a global statistic); the
+# process-control form S_t = max(0, S_{t-1} + (x - ref)) needs only the
+# current excursion — O(1) BIGINT state per entity, sharded by the state
+# store. Everything stays exact integer cents, so the streamed series is
+# bit-identical to the batch unrolling at every prefix.
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("s_scaled", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("max_excursion_scaled", T.LongType()),
+    ]
+)
+
+_CUSUM_STATE = T.StructType(
+    [
+        T.StructField("s", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("alarms", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def _make_cusum_fn(ref_cents: int, threshold_cents: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("seq")
+        s, n, alarms, peak = state.get if state.exists else (0, 0, 0, 0)
+        for x in batch["cents"].astype("int64"):
+            s = max(0, s + (int(x) - ref_cents))
+            n += 1
+            peak = max(peak, s)
+            if s > threshold_cents:
+                alarms += 1
+        state.update((int(s), int(n), int(alarms), int(peak)))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]],
+                "s_scaled": [s],
+                "n_events": [n],
+                "n_alarms": [alarms],
+                "max_excursion_scaled": [peak],
+            }
+        )
+
+    return fn
+
+
+def streaming_cusum(
+    events: DataFrame,
+    ref_cents: int,
+    threshold_cents: int,
+) -> DataFrame:
+    """Per-entity streaming CUSUM over ``(entity string, seq, cents)``
+    rows: one emission per (entity, micro-batch) carrying the current
+    excursion and the cumulative alarm count / peak. Within a micro-batch
+    rows are ordered by ``seq``; cross-batch ordering is arrival order
+    (the monitoring contract — a replayed/late fix belongs to a watermark
+    policy upstream)."""
+    return events.groupBy("entity").applyInPandasWithState(
+        _make_cusum_fn(int(ref_cents), int(threshold_cents)),
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

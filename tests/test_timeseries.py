@@ -123,5 +123,87 @@ class TestEwma:
             assert abs(got[t] - y) <= 200 / 2.0**16 + 1e-9
 
 
+class TestStreamingCusum:
+    def test_streamed_equals_batch(self, spark, tmp_path):
+        import random
+
+        from mobilitydatalakebenchmark_spark.streaming.stateful import streaming_cusum
+
+        rng = random.Random(23)
+        rows = []
+        seq = 0
+        for _ in range(120):
+            for e in ("a", "b", "c"):
+                rows.append((e, seq, rng.randint(-200, 400)))
+                seq += 1
+        df = spark.createDataFrame(rows, "entity string, seq long, cents long")
+
+        # 6 parquet files = 6 micro-batches, seq-contiguous so arrival
+        # order equals the batch sort order
+        data_dir = tmp_path / "cusum_data"
+        chunk = len(rows) // 6
+        for i in range(6):
+            spark.createDataFrame(
+                rows[i * chunk : (i + 1) * chunk],
+                "entity string, seq long, cents long",
+            ).coalesce(1).write.parquet(str(data_dir / f"b{i}"))
+        stream = (
+            spark.readStream.schema("entity string, seq long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data_dir / "*"))
+        )
+        out = streaming_cusum(stream, ref_cents=100, threshold_cents=1500)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cusum_stream")
+            .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.processAllAvailable()
+            q.stop()
+        # last emission per entity = the stream's final state
+        import pandas as pd  # noqa: F401
+
+        emitted = spark.sql(
+            "SELECT * FROM cusum_stream"
+        ).toPandas()
+        final = {}
+        for e in ("a", "b", "c"):
+            sub = emitted[emitted.entity == e]
+            final[e] = sub[sub.n_events == sub.n_events.max()].iloc[0]
+
+        ex = cusum_excursions(
+            df, "entity", ["seq"], "cents", 1500, ref_cents=100
+        )
+        from pyspark.sql import Window
+
+        last = (
+            ex.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("entity").orderBy(F.desc("seq"))
+                ),
+            )
+            .filter("rn = 1")
+            .select("entity", "s_scaled")
+            .collect()
+        )
+        batch_final_s = {r["entity"]: r["s_scaled"] for r in last}
+        batch_sum = {
+            r["entity"]: r
+            for r in cusum_alarm_summary(
+                df, "entity", ["seq"], "cents", 1500, ref_cents=100
+            ).collect()
+        }
+        for e in ("a", "b", "c"):
+            assert final[e]["s_scaled"] == batch_final_s[e], e
+            assert final[e]["n_alarms"] == batch_sum[e]["n_alarms"], e
+            assert final[e]["max_excursion_scaled"] == batch_sum[e]["max_excursion_scaled"], e
+            assert final[e]["n_events"] == 120
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
