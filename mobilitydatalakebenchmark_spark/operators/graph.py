@@ -165,3 +165,68 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return closed.agg(F.count("*").alias("n_triangles")).crossJoin(
         total_wedges
     ).select("n_triangles", "n_wedges")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node keeps
+    degree >= k (Seidman 1983) — the standard density screen for spam/
+    bot subgraph triage in link-quality pipelines.
+
+    Peeling loop on SYMMETRIZED arcs: each round recomputes degrees over
+    the surviving arc set and drops every node below k; arcs lose both
+    endpoints' rows via two semi-joins. Converged when no node fell.
+
+    ``max_rounds=None`` runs to convergence (the true k-core).
+    ``max_rounds=r`` truncates the peel — each round is a pure
+    deterministic relational step, so a SQL oracle can unroll exactly r
+    rounds and match BIGINT-for-BIGINT (the pagerank_part_supplier gate
+    pattern for iterative algorithms).
+
+    Scale posture: every round is one groupBy(node) count + two semi
+    joins, all hash-partitioned on node ids; the arc set only shrinks.
+    ``localCheckpoint`` every round truncates the growing lineage (the
+    components.py discipline). Rounds needed = the graph's degeneracy
+    ordering depth — O(log n) for real-world skewed graphs, never more
+    than the node count.
+    """
+    # canonicalize to unordered pairs first: an input holding both (a,b)
+    # and (b,a) must not double an arc (symmetrize alone dedups only
+    # directed pairs), or degrees double-count those neighbors
+    undirected = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("src"),
+            F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    arcs = symmetrize(undirected).localCheckpoint(eager=True)
+    rounds = 0
+    while True:
+        deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = (
+            arcs.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        done = max_rounds is not None and rounds >= max_rounds
+        if not done:
+            # converged when no arc fell this round (cheap: count compare)
+            done = nxt.count() == arcs.count()
+        arcs = nxt
+        if done:
+            break
+    return (
+        arcs.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .withColumnRenamed("src", "node")
+    )

@@ -1400,3 +1400,87 @@ def ewma_truncated_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (operators/graph.k_core): the density screen for link-graph
+# triage. The GATE pins a 4-round TRUNCATED peel (k=6) — each round is a
+# pure relational step, so the oracle unrolls exactly 4 rounds and
+# matches BIGINT-for-BIGINT at any SF (the pagerank unrolled-iteration
+# pattern; full-convergence peeling is verified against a literal Python
+# peel in tests/test_components.py::TestKCore, since rounds-to-converge
+# grows with data: 5/9/11 at sf0.001/0.01/0.1).
+# ---------------------------------------------------------------------------
+
+_KCORE_K, _KCORE_ROUNDS = 6, 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+WITH e0 AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+         'p' || CAST(l_partkey AS VARCHAR) AS b
+  FROM lineitem
+),
+arcs0 AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e0
+)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+keep{r} AS (
+  SELECT src FROM arcs{r - 1} GROUP BY src HAVING count(*) >= {_KCORE_K}
+),
+arcs{r} AS (
+  SELECT src, dst FROM arcs{r - 1}
+  WHERE src IN (SELECT src FROM keep{r}) AND dst IN (SELECT src FROM keep{r})
+)"""
+        )
+    parts.append(
+        f""",
+final AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+  FROM arcs{_KCORE_ROUNDS} GROUP BY src
+)
+SELECT substr(node, 1, 1) AS node_type,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       sum(core_degree) AS total_degree,
+       max(core_degree) AS max_degree
+FROM final GROUP BY substr(node, 1, 1) ORDER BY node_type
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    doc="k-core peel, 4 truncated rounds at k=6 over the order-part "
+    "bipartite graph (operators/graph.k_core — per round: one degree "
+    "count + two semi-joins, arc set only shrinks, localCheckpoint "
+    "truncates lineage; convergence mode pytest-verified vs a literal "
+    "Python peel)",
+    tags=("graph", "iterative"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    core = k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return (
+        core.groupBy(F.substring("node", 1, 1).alias("node_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("core_degree").alias("total_degree"),
+            F.max("core_degree").alias("max_degree"),
+        )
+        .orderBy("node_type")
+    )

@@ -77,3 +77,88 @@ def test_empty_edges_triangle_contract(spark):
     row = triangle_count(empty).collect()[0]
     assert row.n_triangles == 0
     assert row.n_wedges == 0
+
+
+class TestKCore:
+    """k_core convergence mode vs a literal Python peel."""
+
+    @staticmethod
+    def _py_kcore(edges, k):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        nodes = set(adj)
+        while True:
+            drop = {n for n in nodes if sum(1 for m in adj[n] if m in nodes) < k}
+            if not drop:
+                break
+            nodes -= drop
+        return {
+            n: sum(1 for m in adj[n] if m in nodes) for n in nodes
+        }
+
+    def _check(self, spark, edges, k):
+        from mobilitydatalakebenchmark_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["core_degree"] for r in k_core(df, k).collect()
+        }
+        assert got == self._py_kcore(edges, k)
+
+    def test_clique_plus_tail_peels_tail(self, spark):
+        # K5 survives k=4; a pendant chain hanging off it is peeled away
+        clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+        tail = [("c0", "t1"), ("t1", "t2"), ("t2", "t3")]
+        self._check(spark, clique + tail, 4)
+
+    def test_cascading_peel(self, spark):
+        # two triangles joined by a bridge: k=2 keeps both triangles,
+        # bridge endpoints keep degree >= 2 via their triangles
+        tri1 = [("a", "b"), ("b", "c"), ("c", "a")]
+        tri2 = [("x", "y"), ("y", "z"), ("z", "x")]
+        bridge = [("a", "x")]
+        self._check(spark, tri1 + tri2 + bridge, 2)
+        # k=3: everything dies (no node has 3 neighbors after the peel)
+        self._check(spark, tri1 + tri2 + bridge, 3)
+
+    def test_random_graph_matches_python(self, spark):
+        import random
+
+        rng = random.Random(5)
+        edges = list(
+            {
+                (f"n{rng.randint(0, 60)}", f"n{rng.randint(0, 60)}")
+                for _ in range(260)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        for k in (2, 3, 4):
+            self._check(spark, edges, k)
+
+    def test_truncated_rounds_monotone(self, spark):
+        """More peel rounds never grow the arc set; truncation at the
+        convergence round equals convergence."""
+        from mobilitydatalakebenchmark_spark.operators.graph import k_core
+
+        import random
+
+        rng = random.Random(9)
+        edges = list(
+            {
+                (f"n{rng.randint(0, 40)}", f"n{rng.randint(0, 40)}")
+                for _ in range(140)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        sizes = [
+            k_core(df, 3, max_rounds=r).count() for r in (1, 2, 4, 8)
+        ]
+        assert sizes == sorted(sizes, reverse=True)
+        conv = sorted(map(tuple, k_core(df, 3).collect()))
+        assert sorted(map(tuple, k_core(df, 3, max_rounds=8).collect())) == conv
