@@ -168,7 +168,7 @@ def load_registry() -> dict[str, Q]:
         "zorder_morton_key", "skew_salted_sum",
         "cusum_changepoints", "ewma_truncated_exact",
         "bm25_ranked_retrieval", "contrastive_negative_mining",
-        "graph_kcore_peel", "snapshot_diff_report",
+        "graph_kcore_peel", "snapshot_diff_report", "gdpr_retract_rollup",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

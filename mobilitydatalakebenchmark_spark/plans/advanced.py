@@ -1551,3 +1551,45 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status", "n_rows", "n_changed_event_type", "n_changed_cents")
         .orderBy("status")
     )
+
+
+@register(
+    "gdpr_retract_rollup",
+    oracle="""
+WITH survivors AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id % 7 <> 0
+)
+SELECT bucket_ts,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(cents) AS total,
+       min(cents) AS vmin,
+       max(cents) AS vmax
+FROM survivors GROUP BY bucket_ts ORDER BY bucket_ts
+""",
+    doc="right-to-be-forgotten rollup retraction (operators/forget.py — "
+    "n/total subtract algebraically from the erasure batch's own "
+    "partials, min/max rescan ONLY attained-extreme buckets, emptied "
+    "buckets drop; the oracle rebuilds from the surviving rows, so the "
+    "gate proves incremental == rebuild at every SF)",
+    tags=("rollup", "privacy", "maintenance"),
+)
+def gdpr_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.forget import retract_from_rollup
+    from ..operators.rollup import build_rollup
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    forget = (
+        ev.select("user_id").distinct().filter(F.col("user_id") % 7 == 0)
+    )
+    rollup = build_rollup(ev, "ts", "cents", bucket="hour")
+    return (
+        retract_from_rollup(
+            rollup, ev, forget, "user_id", "ts", "cents", bucket="hour"
+        )
+        .select("bucket_ts", "n", "total", "vmin", "vmax")
+        .orderBy("bucket_ts")
+    )
