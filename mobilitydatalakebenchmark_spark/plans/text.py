@@ -2042,3 +2042,74 @@ def contrastive_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation: BPE merge-rule training (operators/bpe.py) — the
+# "needs a driver loop" algorithm as ONE lazy plan: per round, the 1-row
+# winning pair cross-joins back into the corpus (no collect), and the
+# oracle replays the identical rounds with scalar subqueries. Literal
+# replace is left-to-right non-overlapping in both engines — exactly
+# BPE's greedy application order.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    parts = ["WITH t0 AS (SELECT doc_id, text FROM documents)"]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(list_transform(
+        range(1, len(string_split(text, ' '))),
+        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+    )) AS pair
+    FROM t{r - 1}
+  ) GROUP BY pair
+),
+top{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1),
+t{r} AS (
+  -- sentinel-prefixed rendering makes the pattern self-delimiting:
+  -- literal replace == greedy BPE application, even through runs
+  SELECT doc_id,
+         trim(replace(
+           replace(chr(1) || replace(text, ' ', ' ' || chr(1)) || ' ',
+                   chr(1) || replace((SELECT pair FROM top{r}),
+                                     ' ', ' ' || chr(1)) || ' ',
+                   chr(1) || replace((SELECT pair FROM top{r}),
+                                     ' ', '@') || ' '),
+           chr(1), '')) AS text
+  FROM t{r - 1}
+),
+s{r} AS (
+  SELECT {r} AS round,
+         (SELECT pair FROM top{r}) AS pair,
+         (SELECT c FROM top{r}) AS pair_count,
+         (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+          FROM t{r}) AS corpus_tokens_after
+)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, _BPE_ROUNDS + 1))
+    parts.append(f"\n{union} ORDER BY round")
+    return "".join(parts)
+
+
+@register(
+    "bpe_train_rounds",
+    oracle=_bpe_oracle(),
+    doc="BPE merge-rule training, 3 rounds as one declarative plan "
+    "(operators/bpe.py — per round: adjacent-pair histogram, 1-row "
+    "argmax broadcast-cross-joined back, greedy left-to-right corpus "
+    "rewrite; no driver collect anywhere; winner order (count desc, "
+    "pair asc) is a total order so the replay is exact)",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_train_rounds_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_rounds
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    rules, _ = bpe_train_rounds(docs, "text", n_rounds=_BPE_ROUNDS)
+    return rules.orderBy("round")
