@@ -78,6 +78,22 @@ BOUNDS = {
     # component loop's cost tracks dense-cell count and diameter, not
     # rows, so 4x data must stay near-flat
     "mobility_hotspot_clusters": 8.0,
+    # round-7 continuation: BM25's query-time work is |query terms|
+    # posting lists (a quadratic means the semi-join stopped pruning);
+    # contrastive mining's bucket join is n x (n/B) — 4x data with fixed
+    # B=8 is 16x join rows, so the bound rides the join's own growth
+    # (the construction holds B ∝ n in production; here we bound the
+    # fixed-B gate loosely to catch a full cross join, which would be
+    # 64x); k-core peels a 4x arc set through the same 4 rounds; CUSUM/
+    # EWMA are single-sort window chains; the diff is one outer join;
+    # the GDPR retract must stay O(rollup + touched buckets)
+    "bm25_ranked_retrieval": 8.0,
+    "contrastive_negative_mining": 24.0,
+    "graph_kcore_peel": 8.0,
+    "cusum_changepoints": 8.0,
+    "ewma_truncated_exact": 8.0,
+    "snapshot_diff_report": 8.0,
+    "gdpr_retract_rollup": 8.0,
 }
 
 
