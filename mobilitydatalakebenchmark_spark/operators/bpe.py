@@ -77,7 +77,21 @@ def bpe_train_rounds(
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("pair_count"))
         )
-        top = pairs.orderBy(F.desc("pair_count"), F.asc("pair")).limit(1)
+        # a corpus with NO adjacent pairs (all single-token rows) must make
+        # the round a no-op, not an empty cross join that wipes the corpus:
+        # a NULL sentinel row loses to any real pair and guards the rewrite
+        sentinel = (
+            docs.sparkSession.range(1)
+            .select(
+                F.lit(None).cast("string").alias("pair"),
+                F.lit(-1).cast("long").alias("pair_count"),
+            )
+        )
+        top = (
+            pairs.unionByName(sentinel)
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+        )
         sent = F.lit("\x01")
         # render '\x01tok ' per token; the pattern '\x01a \x01b ' is then
         # self-delimiting, so literal replace == greedy BPE application
@@ -94,7 +108,10 @@ def bpe_train_rounds(
         )
         merged = cur.crossJoin(F.broadcast(top)).withColumn(
             text_col,
-            F.trim(F.replace(F.replace(padded, search, repl), sent, F.lit(""))),
+            F.when(
+                F.col("pair").isNotNull(),
+                F.trim(F.replace(F.replace(padded, search, repl), sent, F.lit(""))),
+            ).otherwise(F.col(text_col)),
         ).drop("pair", "pair_count")
         rule_frames.append(
             merged.agg(
@@ -114,4 +131,6 @@ def bpe_train_rounds(
     rules = rule_frames[0]
     for f in rule_frames[1:]:
         rules = rules.unionByName(f)
+    # sentinel rounds (no pairs anywhere) carry a NULL pair — drop them
+    rules = rules.filter(F.col("pair").isNotNull())
     return rules, cur

@@ -307,3 +307,71 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming truncated EWMA: the 16-lag smoother (operators/timeseries.
+# ewma_scaled) as data arrives. The truncation IS the streaming story:
+# state carries exactly the last window-1 cents per entity (a bounded
+# array — the untruncated recursion would need unbounded history to
+# replay), so the streamed scaled series is bit-identical to the batch
+# window unrolling at every row.
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("entity", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ewma_scaled", T.LongType()),
+    ]
+)
+
+_EWMA_STATE = T.StructType([T.StructField("lags", T.ArrayType(T.LongType()))])
+
+
+def _make_ewma_fn(window: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("seq")
+        (lags,) = state.get if state.exists else ([],)
+        lags = [int(x) for x in lags]  # newest LAST
+        out_seq, out_val = [], []
+        for seq, x in zip(batch["seq"].astype("int64"), batch["cents"].astype("int64")):
+            lags.append(int(x))
+            if len(lags) > window:
+                lags = lags[-window:]
+            # y_t * 2^window = sum_j x_(t-j) * 2^(window-1-j), j = age
+            val = sum(
+                v << (window - 1 - age)
+                for age, v in enumerate(reversed(lags))
+            )
+            out_seq.append(int(seq))
+            out_val.append(int(val))
+        state.update((lags,))
+        yield pd.DataFrame(
+            {
+                "entity": [key[0]] * len(out_seq),
+                "seq": out_seq,
+                "ewma_scaled": out_val,
+            }
+        )
+
+    return fn
+
+
+def streaming_ewma(events: DataFrame, window: int = 16) -> DataFrame:
+    """Per-entity streaming truncated EWMA over ``(entity string, seq,
+    cents)`` rows: one emission PER ROW carrying the scaled smoother
+    value — bit-identical to ``operators/timeseries.ewma_scaled`` on the
+    same rows in ``seq`` order. State = the last ``window`` cents."""
+    return events.groupBy("entity").applyInPandasWithState(
+        _make_ewma_fn(int(window)),
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -269,3 +269,86 @@ def test_temperature_alpha_one_keeps_everything(spark):
     rates = temperature_rates(df, "source", alpha=1.0)
     assert all(r.rate == 1.0 for r in rates.collect())
     assert temperature_keep(df, rates, "source").count() == 60
+
+
+# ---------------------------------------------------------------------------
+# Round-7 continuation: property tests for the clamp-unrolling identity
+# (CUSUM) and greedy BPE merge application against literal recursions.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60
+    )
+)
+def test_cusum_clamp_identity_property(spark, xs):
+    """prefix-algebra CUSUM == the literal clamped recursion, any ints."""
+    from mobilitydatalakebenchmark_spark.operators.timeseries import cusum_excursions
+
+    df = spark.createDataFrame(
+        [("e", i, x) for i, x in enumerate(xs)], "entity string, seq int, cents long"
+    )
+    got = [
+        r["s_scaled"]
+        for r in cusum_excursions(df, "entity", ["seq"], "cents", 1, ref_cents=0)
+        .orderBy("seq")
+        .collect()
+    ]
+    s, want = 0, []
+    for x in xs:
+        s = max(0, s + x)
+        want.append(s)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_bpe_greedy_merge_property(spark, texts):
+    """one BPE round == literal greedy merge on arbitrary 4-symbol corpora
+    (exercises repeated-token runs heavily)."""
+    import collections
+
+    from mobilitydatalakebenchmark_spark.operators.bpe import bpe_train_rounds
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rules, merged = bpe_train_rounds(docs, "text", n_rounds=1)
+    got_rules = rules.collect()
+    got_texts = [r["text"] for r in merged.orderBy("doc_id").collect()]
+
+    counts: collections.Counter = collections.Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - 1):
+            counts[f"{toks[i]} {toks[i + 1]}"] += 1
+    if not counts:  # all single-token docs: no-op round, corpus untouched
+        assert got_rules == [] and got_texts == texts
+        return
+    got_rule = got_rules[0]
+    pair = min(counts, key=lambda p: (-counts[p], p))
+    a, b = pair.split(" ")
+    want_texts = []
+    for t in texts:
+        toks = t.split(" ")
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + "@" + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        want_texts.append(" ".join(out))
+    assert (got_rule["pair"], got_rule["pair_count"]) == (pair, counts[pair])
+    assert got_texts == want_texts

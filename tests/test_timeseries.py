@@ -207,3 +207,53 @@ class TestStreamingCusum:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+class TestStreamingEwma:
+    def test_streamed_equals_batch_per_row(self, spark, tmp_path):
+        import random
+
+        from mobilitydatalakebenchmark_spark.streaming.stateful import streaming_ewma
+
+        rng = random.Random(41)
+        rows = []
+        seq = 0
+        for _ in range(90):
+            for e in ("a", "b"):
+                rows.append((e, seq, rng.randint(-500, 500)))
+                seq += 1
+        data_dir = tmp_path / "ewma_data"
+        chunk = len(rows) // 5
+        for i in range(5):
+            spark.createDataFrame(
+                rows[i * chunk : (i + 1) * chunk],
+                "entity string, seq long, cents long",
+            ).coalesce(1).write.parquet(str(data_dir / f"b{i}"))
+        stream = (
+            spark.readStream.schema("entity string, seq long, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(data_dir / "*"))
+        )
+        q = (
+            streaming_ewma(stream, window=16)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ewma_stream")
+            .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.processAllAvailable()
+            q.stop()
+        got = {
+            (r["entity"], r["seq"]): r["ewma_scaled"]
+            for r in spark.sql("SELECT * FROM ewma_stream").collect()
+        }
+        df = spark.createDataFrame(rows, "entity string, seq long, cents long")
+        want = {
+            (r["entity"], r["seq"]): r["ewma_scaled"]
+            for r in ewma_scaled(df, "entity", ["seq"], "cents", window=16).collect()
+        }
+        assert got == want
+        assert len(got) == len(rows)
