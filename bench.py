@@ -65,6 +65,15 @@ HEADLINE = [
     # adding trend signal — their walls are recorded per-round in
     # ORACLE_r{N}.json (secs field) and tools/ann_recall.py instead.
     "versioned_snapshot_asof",
+    # round-7 continuation watch entries (sub-2s each at sf0.1). The
+    # heavier continuation gates stay off for the same reason as above:
+    # bm25_ranked_retrieval (~4s: 3 corpus passes incl. two broadcast-
+    # build jobs), graph_kcore_peel (~5s: 4 eagerly-checkpointed peel
+    # rounds), bpe_train_rounds (~9s: 3 unrolled training rounds) — all
+    # recorded per-round in ORACLE_r{N}.json secs.
+    "cusum_changepoints",
+    "snapshot_diff_report",
+    "gdpr_retract_rollup",
 ]
 
 

@@ -113,6 +113,10 @@ def bpe_train_rounds(
                 F.trim(F.replace(F.replace(padded, search, repl), sent, F.lit(""))),
             ).otherwise(F.col(text_col)),
         ).drop("pair", "pair_count")
+        # each merged corpus feeds BOTH the round summary and the next
+        # round's histogram: lazy localCheckpoint caps the chain at one
+        # rewrite per round instead of O(rounds²) replays
+        merged = merged.localCheckpoint(eager=False)
         rule_frames.append(
             merged.agg(
                 F.sum(F.size(F.split(F.col(text_col), " "))).alias(

@@ -230,3 +230,59 @@ def k_core(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .withColumnRenamed("src", "node")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007), ``rounds`` bounded.
+
+    Every node starts as its own community; each round it adopts the most
+    frequent label among its neighbors (ties → smallest label; isolated
+    nodes keep theirs). Bounded rounds are the HONEST semantics here:
+    synchronous LPA can oscillate on bipartite structure, so a
+    convergence loop may never finish — and a fixed unroll is what a SQL
+    oracle can replay exactly (the k_core/pagerank gate pattern).
+
+    Scale: per round one arcs⋈labels equi-join (hash-partitioned on the
+    node id), one (node, label) count, one per-node argmax window over
+    label candidates (bounded by each node's distinct neighbor labels).
+    ``localCheckpoint`` per round caps lineage. Community detection at
+    corpus scale = near-dup cluster triage beyond connected components:
+    LPA splits dense-vs-sparse regions components lump together.
+    """
+    undirected = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("src"),
+            F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    arcs = symmetrize(undirected).localCheckpoint(eager=True)
+    labels = (
+        arcs.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        neigh = arcs.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counted = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -89,7 +89,11 @@ def bm25_topk(
     # document frequency of the query's terms only (semi-join prunes the
     # index scan to |query terms| posting lists)
     qterms = queries.select("term").distinct()
-    hits = postings.join(F.broadcast(qterms), "term")
+    # hits feeds BOTH the df build (a broadcast, i.e. its own job) and
+    # the scoring join — localCheckpoint so the postings group-by runs
+    # once, not per consumer (the repo's multi-consumer discipline;
+    # blocks are not fault-tolerant, the right trade for bounded jobs)
+    hits = postings.join(F.broadcast(qterms), "term").localCheckpoint(eager=False)
     df_tbl = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     scored = (

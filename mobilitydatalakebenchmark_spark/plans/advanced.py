@@ -1593,3 +1593,83 @@ def gdpr_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket_ts", "n", "total", "vmin", "vmax")
         .orderBy("bucket_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (operators/graph.label_propagation): the
+# density-aware community screen beyond connected components. Bounded
+# rounds are the honest semantics (sync LPA can oscillate on bipartite
+# structure — this graph IS bipartite), and a fixed unroll is exactly
+# what the oracle replays. All integer/string algebra.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        """
+WITH e0 AS (
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+         'p' || CAST(l_partkey AS VARCHAR) AS b
+  FROM lineitem
+),
+arcs AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b AS src, a AS dst FROM e0
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM arcs)"""
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+c{r} AS (
+  SELECT a.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM arcs a JOIN l{r - 1} l ON l.node = a.dst
+  GROUP BY a.src, l.label
+),
+l{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{r}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS size
+FROM l{_LPA_ROUNDS} GROUP BY label
+ORDER BY size DESC, community LIMIT 20
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc="label-propagation communities, 3 synchronous rounds over the "
+    "order-part bipartite graph (operators/graph.label_propagation — "
+    "per round one arcs-labels equi-join + per-node argmax window, "
+    "localCheckpoint caps lineage; top-20 communities by size; the "
+    "density-aware complement to connected components for near-dup "
+    "cluster triage)",
+    tags=("graph", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )

@@ -162,3 +162,68 @@ class TestKCore:
         assert sizes == sorted(sizes, reverse=True)
         conv = sorted(map(tuple, k_core(df, 3).collect()))
         assert sorted(map(tuple, k_core(df, 3, max_rounds=8).collect())) == conv
+
+
+class TestLabelPropagation:
+    """label_propagation vs a literal synchronous Python LPA."""
+
+    @staticmethod
+    def _py_lpa(edges, rounds):
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        labels = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n in adj:
+                counts = collections.Counter(labels[m] for m in adj[n])
+                nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+            labels = nxt
+        return labels
+
+    def _check(self, spark, edges, rounds):
+        from mobilitydatalakebenchmark_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == self._py_lpa(edges, rounds)
+
+    def test_two_cliques_with_bridge(self, spark):
+        c1 = [(f"a{i}", f"a{j}") for i in range(4) for j in range(i + 1, 4)]
+        c2 = [(f"b{i}", f"b{j}") for i in range(4) for j in range(i + 1, 4)]
+        for rounds in (1, 2, 3):
+            self._check(spark, c1 + c2 + [("a0", "b0")], rounds)
+        # after 3 rounds the two cliques carry distinct labels
+        from mobilitydatalakebenchmark_spark.operators.graph import label_propagation
+
+        df = spark.createDataFrame(
+            c1 + c2 + [("a0", "b0")], "src string, dst string"
+        )
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, rounds=3).collect()
+        }
+        assert len({got[f"a{i}"] for i in range(4)}) == 1
+        assert len({got[f"b{i}"] for i in range(4)}) == 1
+        assert got["a1"] != got["b1"]
+
+    def test_random_graph_matches_python(self, spark):
+        import random
+
+        rng = random.Random(17)
+        edges = list(
+            {
+                (f"n{rng.randint(0, 50)}", f"n{rng.randint(0, 50)}")
+                for _ in range(180)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        for rounds in (1, 3):
+            self._check(spark, edges, rounds)

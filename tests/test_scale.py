@@ -94,6 +94,7 @@ BOUNDS = {
     "ewma_truncated_exact": 8.0,
     "snapshot_diff_report": 8.0,
     "gdpr_retract_rollup": 8.0,
+    "graph_label_propagation": 8.0,
 }
 
 
