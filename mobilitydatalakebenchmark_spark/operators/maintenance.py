@@ -34,6 +34,7 @@ def compact_partitions(
     path: str,
     partition_col: str = TS_BUCKET_COL,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder: tuple[str, str, tuple[float, float], tuple[float, float]] | None = None,
 ) -> dict:
     """Rewrite `path` with ~target_file_bytes files per partition.
 
@@ -41,7 +42,15 @@ def compact_partitions(
     rewrite repartitions by (partition_col, uniform salt) so each output
     task writes one file of its own partition. Swap is
     write-temp -> delete -> rename (same barrier pattern as
-    TemporalStore.append_batch)."""
+    TemporalStore.append_batch).
+
+    ``zorder=(x_col, y_col, x_range, y_range)`` additionally clusters
+    every rewritten file by the 2-D Morton key (the Delta
+    ``OPTIMIZE ... ZORDER BY`` maintenance job): partitionBy keeps
+    handling time, the within-file sort tightens each row group's
+    per-column min/max envelope so later bbox filters skip row groups —
+    compaction is exactly when that sort is free, since the data is
+    being rewritten anyway."""
     total_bytes = dir_size(path)
     df = spark.read.parquet(path)
     n_parts = max(df.select(partition_col).distinct().count(), 1)
@@ -50,16 +59,34 @@ def compact_partitions(
 
     before_files = _count_data_files(spark, path)
     tmp = path + "__compacting"
-    (
-        df.repartition(
+    if zorder is not None:
+        # OPTIMIZE ... ZORDER BY semantics: RANGE-partition on the Morton
+        # key (a salt would scatter each z-block uniformly over the
+        # bucket's files, leaving every FILE spanning the whole bbox),
+        # so each output file covers one contiguous z block and its
+        # file/row-group min-max envelope is tight enough to skip
+        from ..functions.zorder import zorder_key
+
+        x_col, y_col, x_range, y_range = zorder
+        zk = zorder_key(F.col(x_col), F.col(y_col), x_range, y_range)
+        out = (
+            df.withColumn("_z", zk)
+            .repartitionByRange(
+                n_parts * files_per_partition, F.col(partition_col), F.col("_z")
+            )
+            .sortWithinPartitions(partition_col, "_z")
+            .drop("_z")
+        )
+    else:
+        out = df.repartition(
             n_parts * files_per_partition,
             F.col(partition_col),
-            F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), files_per_partition),
+            F.pmod(
+                F.spark_partition_id() + F.monotonically_increasing_id(),
+                files_per_partition,
+            ),
         )
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(tmp)
-    )
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     jvm, fs = _hadoop_fs(spark)
     dst = jvm.org.apache.hadoop.fs.Path(path)
     fs.delete(dst, True)

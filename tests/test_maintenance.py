@@ -55,3 +55,63 @@ def test_expire_partitions(spark, tmp_path, documents_df, snapshots):
         len(d["features"]) for ts, d in snapshots if ts[:13] == cutoff
     )
     assert remaining.count() == n_last_bucket
+
+
+def test_compaction_with_zorder_clusters_files(spark, tmp_path):
+    """compact_partitions(zorder=...) preserves the row multiset AND
+    tightens per-file spatial envelopes vs plain compaction (the min/max
+    stats later bbox scans prune on)."""
+    import random
+
+    from mobilitydatalakebenchmark_spark.operators.maintenance import (
+        compact_partitions,
+    )
+
+    rng = random.Random(29)
+    rows = [
+        (f"2024-03-01T{h:02d}", rng.uniform(4.25, 4.45), rng.uniform(50.79, 50.91))
+        for h in (10, 11)
+        for _ in range(8000)
+    ]
+    path = str(tmp_path / "zc")
+    df = spark.createDataFrame(rows, "ts_bucket string, lon double, lat double")
+    df.repartition(8).write.partitionBy("ts_bucket").parquet(path)
+
+    def avg_file_area(p):
+        d = spark.read.parquet(p).withColumn(
+            "f", F.input_file_name()
+        )
+        stats = (
+            d.groupBy("f")
+            .agg(
+                (F.max("lon") - F.min("lon")).alias("w"),
+                (F.max("lat") - F.min("lat")).alias("h"),
+            )
+            .agg(F.avg(F.col("w") * F.col("h")))
+            .collect()
+        )
+        return stats[0][0]
+
+    plain_path = str(tmp_path / "plain")
+    spark.read.parquet(path).write.partitionBy("ts_bucket").parquet(plain_path)
+
+    before = sorted(
+        map(tuple, spark.read.parquet(path).select("lon", "lat").collect())
+    )
+    # small target -> several files per partition, each z-clustered
+    compact_partitions(
+        spark,
+        path,
+        partition_col="ts_bucket",
+        target_file_bytes=16 * 1024,
+        zorder=("lon", "lat", (4.25, 4.45), (50.79, 50.91)),
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(path).select("lon", "lat").collect())
+    )
+    assert after == before
+    # each file covers one contiguous z block; with ~16 files per bucket
+    # the average file bbox must be well under the full-extent files the
+    # plain rewrite produces (ragged z-boundaries keep this short of the
+    # ideal 1/F, hence the conservative 1/3 bound)
+    assert avg_file_area(path) < avg_file_area(plain_path) / 3
