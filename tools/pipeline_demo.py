@@ -12,6 +12,9 @@ build would, printing ONE JSON line of stage-by-stage counts:
     -> temperature mixture resample (token-share^(alpha-1) keep rates)
     -> train/val/test hash split
     -> token-balanced shard export + manifest verify
+    -> BM25 contamination probe over the surviving corpus (round 7)
+    -> GDPR erasure rehearsal: drop one source + incrementally retract
+       its rollup contribution, verified == rebuild (round 7)
 
 Each stage is lazy until the single write at the end — the whole
 pipeline is ONE Spark plan per output, with the dedup/candidate joins
@@ -105,6 +108,53 @@ def main() -> None:
     stages["shards"] = len(checks)
     ok = all(r.ok_docs and r.ok_tokens and r.ok_content for r in checks)
 
+    # 7. retrieval probe over the SURVIVING corpus (round-7 operators):
+    # the contamination-triage question "which kept docs match this eval
+    # query" — postings touch only the query terms' lists
+    from mobilitydatalakebenchmark_spark.operators.retrieval import (
+        bm25_topk,
+        build_postings,
+        literal_queries,
+    )
+
+    postings, doc_stats = build_postings(kept)
+    probe = literal_queries(spark, {"probe": "spark join window"})
+    stages["retrieval_hits"] = bm25_topk(
+        postings, doc_stats, probe, topk=10
+    ).count()
+
+    # 8. erasure rehearsal (GDPR cascade): drop one source's docs and
+    # retract them from the per-source daily token rollup incrementally
+    from mobilitydatalakebenchmark_spark.operators.forget import (
+        forget_rows,
+        retract_from_rollup,
+    )
+    from mobilitydatalakebenchmark_spark.operators.rollup import build_rollup
+
+    tokens = kept.select(
+        "doc_id",
+        F.lit("2024-01-01T00:00:00").cast("timestamp").alias("ts"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        "source",
+    )
+    rollup = build_rollup(tokens, "ts", "n_tokens", keys=("source",), bucket="day")
+    biggest = (
+        kept.groupBy("source").count().orderBy(F.desc("count"), "source").first()
+    )["source"]
+    erase = kept.filter(F.col("source") == biggest).select("doc_id")
+    maintained = retract_from_rollup(
+        rollup, tokens, erase, "doc_id", "ts", "n_tokens",
+        keys=("source",), bucket="day",
+    )
+    survivors = forget_rows(tokens, erase, "doc_id")
+    rebuilt = build_rollup(survivors, "ts", "n_tokens", keys=("source",), bucket="day")
+    cols = ["bucket_ts", "source", "n", "total", "vmin", "vmax"]
+    retract_ok = sorted(map(tuple, maintained.select(cols).collect())) == sorted(
+        map(tuple, rebuilt.select(cols).collect())
+    )
+    stages["erased_docs"] = erase.count()
+    stages["post_erasure_sources"] = maintained.select("source").distinct().count()
+
     print(
         json.dumps(
             {
@@ -113,10 +163,11 @@ def main() -> None:
                 "out": out,
                 "stages": stages,
                 "manifest_verified": ok,
+                "erasure_retraction_verified": retract_ok,
             }
         )
     )
-    if not ok:
+    if not (ok and retract_ok):
         sys.exit(1)
 
 
