@@ -496,3 +496,49 @@ def weighted_sample(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-grouped batching (the padding-efficiency primitive —
+    HF's ``group_by_length``): documents land in power-of-two length
+    buckets (``bucket = floor(log2(n_tokens))``), and within each bucket
+    a deterministic md5 shuffle assigns fixed-size batches. Padding waste
+    per batch is bounded by the bucket's 2x length spread instead of the
+    corpus-wide max.
+
+    Emits per-doc ``(bucket, batch_idx, pos_in_batch, n_tokens)`` plus
+    the batch's ``pad_to`` length (the bucket-batch max — what the
+    collator pads to).
+
+    Scale posture: one window per bucket (uniform md5 order — no skew
+    beyond the true length distribution), one bucket-batch max; both
+    share the (bucket) shuffle. No global sort.
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    # floor(log2(n)) via INTEGER bit algebra (length of the binary string
+    # minus one) — a float log2 sits 1 ulp from flipping floor() at exact
+    # powers of two, and both engines' libm would disagree there
+    base = df.select(id_col, n_tok.alias("n_tokens")).withColumn(
+        "bucket",
+        (F.length(F.bin(F.greatest(F.col("n_tokens"), F.lit(1)))) - 1).cast("int"),
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    placed = (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("batch_idx", ((F.col("rn") - 1) / batch_size).cast("long"))
+        .withColumn(
+            "pos_in_batch", ((F.col("rn") - 1) % batch_size).cast("int")
+        )
+        .drop("rn")
+    )
+    pad = Window.partitionBy("bucket", "batch_idx")
+    return placed.withColumn("pad_to", F.max("n_tokens").over(pad))

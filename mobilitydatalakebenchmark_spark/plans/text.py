@@ -2113,3 +2113,62 @@ def bpe_train_rounds_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     rules, _ = bpe_train_rounds(docs, "text", n_rounds=_BPE_ROUNDS)
     return rules.orderBy("round")
+
+
+@register(
+    "length_bucketed_batches",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         CAST(length(bin(greatest(
+             length(text) - length(replace(text, ' ', '')) + 1, 1))) - 1
+           AS INT) AS bucket
+  FROM documents
+), placed AS (
+  SELECT doc_id, n_tokens, bucket,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM base
+), batched AS (
+  SELECT doc_id, n_tokens, bucket,
+         CAST((rn - 1) // 8 AS BIGINT) AS batch_idx,
+         CAST((rn - 1) % 8 AS INT) AS pos_in_batch
+  FROM placed
+)
+SELECT bucket, batch_idx,
+       CAST(count(*) AS BIGINT) AS batch_docs,
+       max(n_tokens) AS pad_to,
+       CAST(count(*) AS BIGINT) * max(n_tokens) - sum(n_tokens)
+         AS padding_waste,
+       min(doc_id) AS first_doc
+FROM batched
+GROUP BY bucket, batch_idx
+ORDER BY bucket, batch_idx
+""",
+    doc="length-grouped batching (operators/text_analysis."
+    "length_bucketed_batches — HF group_by_length semantics): power-of-"
+    "two length buckets via INTEGER bit algebra (a float log2 would flip "
+    "floor at exact powers), md5-shuffled fixed-size batches per bucket, "
+    "pad-to = bucket-batch max; the per-batch padding_waste column IS "
+    "the metric the op exists to minimize",
+    tags=("text", "batching", "training"),
+)
+def length_bucketed_batches_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import length_bucketed_batches
+
+    docs = t(spark, sf_dir, "documents")
+    placed = length_bucketed_batches(docs, batch_size=8)
+    return (
+        placed.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).alias("batch_docs"),
+            F.max("n_tokens").alias("pad_to"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")).alias(
+                "padding_waste"
+            ),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("bucket", "batch_idx")
+    )

@@ -194,3 +194,56 @@ class TestSketchPercentiles:
         exact = df.agg(F.expr("percentile(value, array(0.5, 0.95))").alias("e")).first()["e"]
         for a, e in zip(approx, exact):
             assert a == pytest.approx(e, rel=0.02)
+
+
+class TestLengthBucketedBatches:
+    def _df(self, spark):
+        rows = [
+            (i, " ".join(["w"] * n))
+            for i, n in enumerate([1, 2, 3, 4, 7, 8, 9, 15, 16, 31, 33, 64, 100, 5, 6])
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_buckets_are_power_of_two_ranges(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            length_bucketed_batches,
+        )
+
+        got = length_bucketed_batches(self._df(spark), batch_size=4).collect()
+        for r in got:
+            assert (1 << r["bucket"]) <= r["n_tokens"] < (1 << (r["bucket"] + 1)), r
+        # exact power-of-two boundaries land in their own bucket (the
+        # float-log2 landmine this op avoids via integer bit algebra)
+        by_id = {r["doc_id"]: r for r in got}
+        assert by_id[5]["bucket"] == 3   # n=8
+        assert by_id[8]["bucket"] == 4   # n=16
+        assert by_id[11]["bucket"] == 6  # n=64
+
+    def test_batches_bounded_and_pad_to_is_max(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            length_bucketed_batches,
+        )
+
+        got = length_bucketed_batches(self._df(spark), batch_size=2).collect()
+        import collections
+
+        batches = collections.defaultdict(list)
+        for r in got:
+            batches[(r["bucket"], r["batch_idx"])].append(r)
+        for rows in batches.values():
+            assert len(rows) <= 2
+            m = max(r["n_tokens"] for r in rows)
+            assert all(r["pad_to"] == m for r in rows)
+            assert sorted(r["pos_in_batch"] for r in rows) == list(range(len(rows)))
+
+    def test_deterministic_across_partitionings(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            length_bucketed_batches,
+        )
+
+        df = self._df(spark)
+        a = sorted(map(tuple, length_bucketed_batches(df, 4).collect()))
+        b = sorted(
+            map(tuple, length_bucketed_batches(df.repartition(7), 4).collect())
+        )
+        assert a == b
