@@ -72,10 +72,14 @@ def bpe_train_rounds(
     cur = docs
     rule_frames: list[DataFrame] = []
     for r in range(1, n_rounds + 1):
+        # internal columns are _bpe_-prefixed so the cross join can never
+        # clobber (or collide with) caller columns named 'pair'/'pair_count'
         pairs = (
-            cur.select(F.explode(_adjacent_pairs(F.col(text_col))).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("pair_count"))
+            cur.select(
+                F.explode(_adjacent_pairs(F.col(text_col))).alias("_bpe_pair")
+            )
+            .groupBy("_bpe_pair")
+            .agg(F.count(F.lit(1)).alias("_bpe_count"))
         )
         # a corpus with NO adjacent pairs (all single-token rows) must make
         # the round a no-op, not an empty cross join that wipes the corpus:
@@ -83,13 +87,13 @@ def bpe_train_rounds(
         sentinel = (
             docs.sparkSession.range(1)
             .select(
-                F.lit(None).cast("string").alias("pair"),
-                F.lit(-1).cast("long").alias("pair_count"),
+                F.lit(None).cast("string").alias("_bpe_pair"),
+                F.lit(-1).cast("long").alias("_bpe_count"),
             )
         )
         top = (
             pairs.unionByName(sentinel)
-            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .orderBy(F.desc("_bpe_count"), F.asc("_bpe_pair"))
             .limit(1)
         )
         sent = F.lit("\x01")
@@ -100,19 +104,21 @@ def bpe_train_rounds(
         )
         search = F.concat(
             sent,
-            F.replace(F.col("pair"), F.lit(" "), F.lit(" \x01")),
+            F.replace(F.col("_bpe_pair"), F.lit(" "), F.lit(" \x01")),
             F.lit(" "),
         )
         repl = F.concat(
-            sent, F.replace(F.col("pair"), F.lit(" "), F.lit(joiner)), F.lit(" ")
+            sent,
+            F.replace(F.col("_bpe_pair"), F.lit(" "), F.lit(joiner)),
+            F.lit(" "),
         )
         merged = cur.crossJoin(F.broadcast(top)).withColumn(
             text_col,
             F.when(
-                F.col("pair").isNotNull(),
+                F.col("_bpe_pair").isNotNull(),
                 F.trim(F.replace(F.replace(padded, search, repl), sent, F.lit(""))),
             ).otherwise(F.col(text_col)),
-        ).drop("pair", "pair_count")
+        ).drop("_bpe_pair", "_bpe_count")
         # each merged corpus feeds BOTH the round summary and the next
         # round's histogram: lazy localCheckpoint caps the chain at one
         # rewrite per round instead of O(rounds²) replays
@@ -126,8 +132,8 @@ def bpe_train_rounds(
             .crossJoin(F.broadcast(top))
             .select(
                 F.lit(r).alias("round"),
-                "pair",
-                "pair_count",
+                F.col("_bpe_pair").alias("pair"),
+                F.col("_bpe_count").alias("pair_count"),
                 "corpus_tokens_after",
             )
         )

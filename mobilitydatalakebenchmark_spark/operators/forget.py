@@ -77,38 +77,45 @@ def retract_from_rollup(
     group = ["bucket_ts", *keys]
 
     deleted = base.join(forget_keys.select(key_col), key_col, "left_semi")
-    del_partials = build_rollup(
-        deleted, ts_col, val_col, keys=keys, bucket=bucket
-    ).select(
-        *group,
-        F.col("n").alias("_dn"),
-        F.col("total").alias("_dtotal"),
-        F.col("vmin").alias("_dmin"),
-        F.col("vmax").alias("_dmax"),
+    # manual partials rather than build_rollup: the retraction needs the
+    # deleted ROW count too — `n`/count(val) ignores NULL values, and a
+    # bucket whose deletions are all NULL-valued still loses rows
+    del_partials = deleted.groupBy(
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        *[F.col(k) for k in keys],
+    ).agg(
+        F.count(F.lit(1)).alias("_drows"),
+        F.count(val_col).alias("_dn"),
+        F.sum(val_col).alias("_dtotal"),
+        F.min(val_col).alias("_dmin"),
+        F.max(val_col).alias("_dmax"),
     )
 
     j = rollup.join(del_partials, group, "left")
-    touched = F.col("_dn").isNotNull()
+    touched = F.col("_drows").isNotNull()
     new_n = F.when(touched, F.col("n") - F.col("_dn")).otherwise(F.col("n"))
-    # rescan only where a deleted row attained an extreme (or, with
-    # sketches aboard, wherever anything was deleted — sketches cannot
-    # retract at all)
+    # rescan where a deleted row attained an extreme, where the bucket's
+    # non-NULL count hits zero (the rollup cannot tell "remaining rows
+    # are all NULL-valued" from "no rows remain" — the rescan can), or,
+    # with sketches aboard, wherever anything was deleted — sketches
+    # cannot retract at all. NULL-valued deletions leave min/max intact
+    # (min/max ignore NULLs) and subtract 0 from total.
     if has_sketch:
         needs_rescan: Column = touched
     else:
         needs_rescan = touched & (
-            (F.col("_dmin") <= F.col("vmin")) | (F.col("_dmax") >= F.col("vmax"))
+            F.coalesce(F.col("_dmin") <= F.col("vmin"), F.lit(False))
+            | F.coalesce(F.col("_dmax") >= F.col("vmax"), F.lit(False))
+            | (new_n == 0)
         )
-    j = (
-        j.withColumn("_new_n", new_n)
-        .filter(F.col("_new_n") > 0)
-        .withColumn("_rescan", F.coalesce(needs_rescan, F.lit(False)))
+    j = j.withColumn("_new_n", new_n).withColumn(
+        "_rescan", F.coalesce(needs_rescan, F.lit(False))
     )
 
     adjusted = j.filter(~F.col("_rescan")).select(
         *group,
         F.col("_new_n").alias("n"),
-        F.when(touched, F.col("total") - F.col("_dtotal"))
+        F.when(touched, F.col("total") - F.coalesce(F.col("_dtotal"), F.lit(0)))
         .otherwise(F.col("total"))
         .alias("total"),
         "vmin",

@@ -207,6 +207,13 @@ def k_core(
         .distinct()
     )
     arcs = symmetrize(undirected).localCheckpoint(eager=True)
+    if max_rounds is not None and max_rounds <= 0:
+        # zero truncated rounds = the raw degrees of the canonical graph
+        return (
+            arcs.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+            .withColumnRenamed("src", "node")
+        )
     rounds = 0
     while True:
         deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -241,8 +248,12 @@ def label_propagation(
     """Synchronous label propagation (Raghavan 2007), ``rounds`` bounded.
 
     Every node starts as its own community; each round it adopts the most
-    frequent label among its neighbors (ties → smallest label; isolated
-    nodes keep theirs). Bounded rounds are the HONEST semantics here:
+    frequent label among its neighbors (ties → smallest label). The node
+    universe is nodes with at least one NON-self-loop edge — self-loops
+    are dropped during canonicalization, so a node whose only edges are
+    self-loops (or that has no edges) is absent from the output; join
+    the result back to your node table if full coverage matters.
+    Bounded rounds are the HONEST semantics here:
     synchronous LPA can oscillate on bipartite structure, so a
     convergence loop may never finish — and a fixed unroll is what a SQL
     oracle can replay exactly (the k_core/pagerank gate pattern).

@@ -534,7 +534,11 @@ def length_bucketed_batches(
     )
     placed = (
         base.withColumn("rn", F.row_number().over(w))
-        .withColumn("batch_idx", ((F.col("rn") - 1) / batch_size).cast("long"))
+        # integer `div`, not float division-then-cast: same exactness
+        # rationale as the bucket computation above
+        .withColumn(
+            "batch_idx", F.expr(f"(rn - 1) div {int(batch_size)}").cast("long")
+        )
         .withColumn(
             "pos_in_batch", ((F.col("rn") - 1) % batch_size).cast("int")
         )

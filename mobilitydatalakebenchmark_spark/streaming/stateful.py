@@ -312,10 +312,10 @@ def streaming_cusum(
 # ---------------------------------------------------------------------------
 # Streaming truncated EWMA: the 16-lag smoother (operators/timeseries.
 # ewma_scaled) as data arrives. The truncation IS the streaming story:
-# state carries exactly the last window-1 cents per entity (a bounded
-# array — the untruncated recursion would need unbounded history to
-# replay), so the streamed scaled series is bit-identical to the batch
-# window unrolling at every row.
+# state carries exactly the last `window` cents per entity (a bounded
+# array — lags 0..window-1 all contribute; the untruncated recursion
+# would need unbounded history to replay), so the streamed scaled series
+# is bit-identical to the batch window unrolling at every row.
 # ---------------------------------------------------------------------------
 
 EWMA_OUTPUT = T.StructType(

@@ -143,5 +143,71 @@ class TestRetract:
         assert est(got) == est(want)
 
 
+class TestRetractNulls:
+    """NULL-valued rows: n counts non-NULL; deletions of NULL rows must
+    not poison totals or drop buckets the rebuild keeps."""
+
+    def _rows(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "row_id long, user_id long, ts timestamp, v long"
+        )
+
+    def _check(self, spark, base, ids):
+        rollup = build_rollup(base, "ts", "v", bucket="hour")
+        got = retract_from_rollup(
+            rollup, base, _keys(spark, ids), "user_id", "ts", "v", bucket="hour"
+        )
+        want = build_rollup(
+            forget_rows(base, _keys(spark, ids), "user_id"), "ts", "v", bucket="hour"
+        )
+        assert _plain(got) == _plain(want)
+
+    def test_deleting_only_null_rows(self, spark):
+        base = self._rows(
+            spark,
+            [
+                (1, 0, T0, None),
+                (2, 1, T0, 5),
+                (3, 1, T0, 7),
+            ],
+        )
+        self._check(spark, base, [0])  # total must stay 12, not NULL
+
+    def test_remaining_rows_all_null(self, spark):
+        base = self._rows(
+            spark,
+            [
+                (1, 0, T0, 9),
+                (2, 1, T0, None),
+            ],
+        )
+        # deleting user 0 leaves one NULL-valued row: bucket survives
+        # with n=0, exactly like the rebuild
+        self._check(spark, base, [0])
+
+    def test_untouched_all_null_bucket_passes_through(self, spark):
+        import datetime
+
+        base = self._rows(
+            spark,
+            [
+                (1, 0, T0, None),
+                (2, 1, T0 + datetime.timedelta(hours=3), 4),
+            ],
+        )
+        self._check(spark, base, [1])
+
+    def test_mixed_null_and_extreme_deletion(self, spark):
+        base = self._rows(
+            spark,
+            [
+                (1, 0, T0, None),
+                (2, 0, T0, 100),
+                (3, 1, T0, 5),
+                (4, 2, T0, 50),
+            ],
+        )
+        self._check(spark, base, [0])
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

@@ -31,8 +31,17 @@ def test_broadcast_cue_respects_threshold():
     stats = {t: table_stats(f"{SF}/{t}.parquet") for t in ("region", "nation", "lineitem")}
     a = advise(stats, scale=1.0, cores=8)
     assert {"region", "nation"} <= set(a["broadcastable"])
-    # blow lineitem up past the limit: it must leave the broadcast set
-    big = advise(stats, scale=BROADCAST_LIMIT / DECODE_INFLATION, cores=8)
+    # the cue compares ON-DISK bytes (Spark's own estimate basis): a
+    # table whose disk size is just under the threshold stays
+    # broadcastable even though its decoded footprint exceeds it...
+    just_under = (BROADCAST_LIMIT - 1) / stats["lineitem"]["bytes"]
+    a2 = advise(stats, scale=just_under, cores=8)
+    assert "lineitem" in a2["broadcastable"]
+    assert (
+        a2["broadcast_decoded_cost_bytes"]["lineitem"] > BROADCAST_LIMIT
+    )  # ...and the memory cost of doing so is reported
+    # past the limit on disk: it must leave the broadcast set
+    big = advise(stats, scale=(BROADCAST_LIMIT + 1) / stats["lineitem"]["bytes"], cores=8)
     assert "lineitem" not in big["broadcastable"]
 
 

@@ -16,8 +16,12 @@ whole directory:
 * recommended ``spark.sql.shuffle.partitions`` for a given core count:
   ~2-3 waves of ~128 MB-sized shuffle blocks over the POST-decode bytes
   (AQE coalesces down, it never splits up — so err high);
-* which tables are broadcastable (post-decode size under the 64 MB
-  threshold this engine's session sets) — the join-strategy cue;
+* which tables are broadcastable — the join-strategy cue. The compare
+  uses ON-DISK scaled bytes against the session's 64 MB
+  autoBroadcastJoinThreshold, because that is what Spark's own size
+  estimate for a parquet scan is based on (file size, not decoded
+  size); the decoded footprint of a broadcast table is reported
+  separately so the driver/executor memory cost is visible;
 * all of it extrapolated to ``--scale M`` (fact tables scale linearly;
   the tiny dims — region/nation — do not, and are flagged as such).
 
@@ -102,11 +106,18 @@ def advise(stats: dict, scale: float, cores: int) -> dict:
                 "session.py)"
             ),
         },
+        # Spark's auto-broadcast decision estimates a parquet scan by its
+        # FILE size, so the cue must compare on-disk bytes (a decoded
+        # compare would wrongly exclude tables in the 21-64 MB band that
+        # the session WILL broadcast)
         "broadcastable": sorted(
-            t
-            for t, b in scaled_bytes.items()
-            if b * DECODE_INFLATION < BROADCAST_LIMIT
+            t for t, b in scaled_bytes.items() if b < BROADCAST_LIMIT
         ),
+        "broadcast_decoded_cost_bytes": {
+            t: int(b * DECODE_INFLATION)
+            for t, b in sorted(scaled_bytes.items())
+            if b < BROADCAST_LIMIT
+        },
         "fixed_dims_not_scaled": sorted(FIXED_DIMS),
         "per_table_scaled_bytes": scaled_bytes,
     }
