@@ -95,6 +95,7 @@ BOUNDS = {
     "snapshot_diff_report": 8.0,
     "gdpr_retract_rollup": 8.0,
     "graph_label_propagation": 8.0,
+    "length_bucketed_batches": 8.0,
 }
 
 
