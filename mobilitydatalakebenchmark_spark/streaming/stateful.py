@@ -375,3 +375,97 @@ def streaming_ewma(events: DataFrame, window: int = 16) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters: the batch sketch (operators/
+# text_analysis.misra_gries_candidates) as data arrives. The stream is
+# SHARDED by a hash of the token (state key = shard id), and each shard
+# maintains one MG counter table over its own token substream — state
+# is bounded by n_counters per shard FOREVER, no matter how unbounded
+# the vocabulary. Because sharding partitions the token space, each
+# token's whole history lands in one shard, so the per-shard MG
+# guarantee holds against that shard's running total: any token with
+# frequency > n_shard/(k+1) survives, undercounted by at most
+# n_shard/(k+1). Per batch each shard re-emits its full summary (at
+# most n_counters rows); the LAST emission per shard is the live
+# candidate set — union the shards and exact-recount for true top-k
+# (the batch heavy_hitters_topk recipe, incrementally).
+# ---------------------------------------------------------------------------
+
+MG_OUTPUT = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("token", T.StringType()),
+        T.StructField("mg_count", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+_MG_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+
+
+def _make_mg_fn(n_counters: int):
+    def fn(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        if state.exists:
+            toks, counts, n_seen = state.get
+            counters = dict(zip(list(toks), [int(c) for c in counts]))
+            n_seen = int(n_seen)
+        else:
+            counters, n_seen = {}, 0
+        # identical merge rule to the batch kernel: value_counts in,
+        # overflow decrements by the (k+1)-th largest
+        for tok, cnt in batch["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(cnt)
+        n_seen += len(batch)
+        if len(counters) > n_counters:
+            cut = sorted(counters.values(), reverse=True)[n_counters]
+            counters = {t: c - cut for t, c in counters.items() if c - cut > 0}
+        state.update(
+            (list(counters), [int(c) for c in counters.values()], int(n_seen))
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "token": list(counters),
+                "mg_count": list(counters.values()),
+                "n_seen": [n_seen] * len(counters),
+            }
+        )
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    n_counters: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming MG candidates over a token stream: one emission per
+    (shard, surviving counter) per micro-batch. Take each shard's rows
+    at its max ``n_seen`` for the live summary."""
+    sharded = tokens.select(
+        F.col(token_col).alias("token"),
+        (F.crc32(F.col(token_col).cast("string")) % n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _make_mg_fn(int(n_counters)),
+        outputStructType=MG_OUTPUT,
+        stateStructType=_MG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

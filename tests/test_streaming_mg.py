@@ -1,0 +1,108 @@
+"""Streaming sharded Misra-Gries: replay equality + the MG guarantee."""
+
+from __future__ import annotations
+
+import collections
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _shard(tok: str, n_shards: int) -> int:
+    return zlib.crc32(tok.encode()) % n_shards
+
+
+def _mg_merge(counters: dict, batch_counts: dict, k: int) -> dict:
+    for t, c in batch_counts.items():
+        counters[t] = counters.get(t, 0) + c
+    if len(counters) > k:
+        cut = sorted(counters.values(), reverse=True)[k]
+        counters = {t: c - cut for t, c in counters.items() if c - cut > 0}
+    return counters
+
+
+@pytest.fixture(scope="module")
+def token_stream(spark, tmp_path_factory):
+    """6 micro-batch files of tokens: heavy 'hot1'/'hot2' + long tail."""
+    import random
+
+    rng = random.Random(31)
+    batches = []
+    for b in range(6):
+        toks = ["hot1"] * 40 + ["hot2"] * 25 + [
+            f"tail{rng.randint(0, 400)}" for _ in range(150)
+        ]
+        rng.shuffle(toks)
+        batches.append(toks)
+    d = tmp_path_factory.mktemp("mgdata")
+    for i, toks in enumerate(batches):
+        spark.createDataFrame(
+            [(t,) for t in toks], "token string"
+        ).coalesce(1).write.parquet(str(d / f"b{i}"))
+    return d, batches
+
+
+def test_streamed_matches_python_replay_and_mg_bound(spark, tmp_path, token_stream):
+    from mobilitydatalakebenchmark_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    d, batches = token_stream
+    n_counters, n_shards = 16, 4
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    q = (
+        streaming_heavy_hitters(stream, n_counters=n_counters, n_shards=n_shards)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mg_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.processAllAvailable()
+        q.stop()
+    rows = spark.sql("SELECT * FROM mg_stream").collect()
+
+    # live summary = each shard's rows at its max n_seen
+    latest: dict[int, dict] = {}
+    seen_max: dict[int, int] = {}
+    for r in rows:
+        if r["n_seen"] >= seen_max.get(r["shard"], -1):
+            if r["n_seen"] > seen_max.get(r["shard"], -1):
+                latest[r["shard"]] = {}
+            seen_max[r["shard"]] = r["n_seen"]
+            latest[r["shard"]][r["token"]] = r["mg_count"]
+
+    # python replay: same shard split, same per-batch merge rule
+    replay: dict[int, dict] = {s: {} for s in range(n_shards)}
+    true_counts: collections.Counter = collections.Counter()
+    shard_totals: collections.Counter = collections.Counter()
+    for toks in batches:
+        per_shard: dict[int, collections.Counter] = collections.defaultdict(
+            collections.Counter
+        )
+        for t in toks:
+            s = _shard(t, n_shards)
+            per_shard[s][t] += 1
+            true_counts[t] += 1
+            shard_totals[s] += 1
+        for s, bc in per_shard.items():
+            replay[s] = _mg_merge(replay[s], dict(bc), n_counters)
+    for s in range(n_shards):
+        assert latest.get(s, {}) == replay[s], s
+
+    # the MG guarantee, end to end: every candidate's count is a lower
+    # bound, undercounted by at most n_shard/(k+1); planted heavies survive
+    merged = {t: c for d_ in latest.values() for t, c in d_.items()}
+    for t, c in merged.items():
+        s = _shard(t, n_shards)
+        assert c <= true_counts[t]
+        assert true_counts[t] - c <= shard_totals[s] / (n_counters + 1)
+    assert "hot1" in merged and "hot2" in merged
+    assert merged["hot1"] > merged["hot2"]
