@@ -469,3 +469,97 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming A-Res weighted reservoir: the batch weighted_sample
+# (operators/text_analysis.weighted_sample) as data arrives. Because the
+# A-Res draw is DETERMINISTIC (md5 of the id — no RNG state), the
+# streaming reservoir converges to the EXACT same row set the batch
+# operator picks on the full data: merging a new row into the running
+# top-k by (ares_key desc, id asc) commutes with arrival order. State =
+# at most k (id, key) pairs per group, forever.
+# ---------------------------------------------------------------------------
+
+ARES_OUTPUT = T.StructType(
+    [
+        T.StructField("group", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ares_key", T.DoubleType()),
+        T.StructField("rk", T.IntegerType()),
+    ]
+)
+
+_ARES_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _make_ares_fn(k: int):
+    def fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        if state.exists:
+            ids, keys = state.get
+            pool = list(zip([int(i) for i in ids], [float(x) for x in keys]))
+        else:
+            pool = []
+        pool.extend(
+            (int(i), float(x))
+            for i, x in zip(batch["doc_id"], batch["ares_key"])
+        )
+        # the batch operator's exact ordering: ares_key desc, id asc
+        pool.sort(key=lambda p: (-p[1], p[0]))
+        pool = pool[:k]
+        state.update(([p[0] for p in pool], [p[1] for p in pool]))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(pool),
+                "doc_id": [p[0] for p in pool],
+                "ares_key": [p[1] for p in pool],
+                "rk": list(range(1, len(pool) + 1)),
+            }
+        )
+
+    return fn
+
+
+def streaming_weighted_sample(
+    rows: DataFrame,
+    k: int,
+    group_col: str = "group",
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    salt: str = "ares",
+) -> DataFrame:
+    """Streaming weighted reservoir over ``(group, id, weight)`` rows:
+    each micro-batch re-emits the group's current top-k reservoir
+    (``rk`` = rank). The draw expression is byte-identical to the batch
+    operator's, so the final reservoir equals
+    ``weighted_sample(all_rows, ...)`` exactly."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v.cast("double") + 1.0) / 4294967296.0
+    keyed = rows.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("doc_id"),
+        F.round(F.log(u) / F.col(weight_col).cast("double"), 10).alias("ares_key"),
+    )
+    return keyed.groupBy("group").applyInPandasWithState(
+        _make_ares_fn(int(k)),
+        outputStructType=ARES_OUTPUT,
+        stateStructType=_ARES_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -106,3 +106,68 @@ def test_streamed_matches_python_replay_and_mg_bound(spark, tmp_path, token_stre
         assert true_counts[t] - c <= shard_totals[s] / (n_counters + 1)
     assert "hot1" in merged and "hot2" in merged
     assert merged["hot1"] > merged["hot2"]
+
+
+def test_streaming_weighted_reservoir_equals_batch(spark, tmp_path):
+    """Deterministic A-Res draws make the streaming reservoir converge to
+    EXACTLY the batch weighted_sample row set, any micro-batching."""
+    import random
+
+    from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+        weighted_sample,
+    )
+    from mobilitydatalakebenchmark_spark.streaming.stateful import (
+        streaming_weighted_sample,
+    )
+
+    rng = random.Random(47)
+    rows = [
+        (["a", "b", "c"][i % 3], i, float(rng.randint(1, 50)))
+        for i in range(300)
+    ]
+    d = tmp_path / "ares_data"
+    chunk = 60
+    for i in range(5):
+        spark.createDataFrame(
+            rows[i * chunk : (i + 1) * chunk],
+            "group string, doc_id long, weight double",
+        ).coalesce(1).write.parquet(str(d / f"b{i}"))
+    stream = (
+        spark.readStream.schema("group string, doc_id long, weight double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "*"))
+    )
+    q = (
+        streaming_weighted_sample(stream, k=7)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ares_stream")
+        .option("checkpointLocation", str(tmp_path / "ares_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.processAllAvailable()
+        q.stop()
+    emitted = spark.sql("SELECT * FROM ares_stream").collect()
+    # final reservoir per group: rows from the last (largest) emission —
+    # reservoirs only improve, so take each (group, rk)'s last value by
+    # re-running max over ares_key ordering: reconstruct from the final
+    # micro-batch = rows whose (group, doc_id) set matches the last state.
+    # Simpler: group rows by emission order isn't recorded — instead keep,
+    # per group, the top-k by the same ordering over ALL emissions (the
+    # final reservoir dominates every earlier one).
+    by_group: dict[str, set] = {}
+    for r in emitted:
+        by_group.setdefault(r["group"], set()).add((r["doc_id"], r["ares_key"]))
+    final = {
+        g: [p[0] for p in sorted(s, key=lambda p: (-p[1], p[0]))[:7]]
+        for g, s in by_group.items()
+    }
+
+    df = spark.createDataFrame(rows, "group string, doc_id long, weight double")
+    batch = weighted_sample(df, "weight", k=7, id_col="doc_id", group_col="group")
+    want: dict[str, list] = {}
+    for r in batch.orderBy("group", "rk").collect():
+        want.setdefault(r["group"], []).append(r["doc_id"])
+    assert final == want
