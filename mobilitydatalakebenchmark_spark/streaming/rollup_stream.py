@@ -48,6 +48,7 @@ def upsert_rollup_batch(
     bucket: str = "hour",
     txn: tuple[str, int] | None = None,
     distinct_col: str | None = None,
+    quantiles: bool = False,
 ) -> None:
     """Merge one micro-batch into the stored rollup table.
 
@@ -70,7 +71,7 @@ def upsert_rollup_batch(
     partial = _with_bucket_key(
         build_rollup(
             batch, ts_col, val_col, keys=keys, bucket=bucket,
-            distinct_col=distinct_col,
+            distinct_col=distinct_col, quantiles=quantiles,
         )
     )
     # unlike the row-id dedup sinks (ANN/shard/IVM — executor-side
@@ -137,6 +138,7 @@ def stream_rollup(
     keys: tuple[str, ...] = (),
     bucket: str = "hour",
     distinct_col: str | None = None,
+    quantiles: bool = False,
 ):
     """Attach the incremental-rollup sink to a streaming DataFrame and
     start it (availableNow: drain what exists, then stop — the batch
@@ -158,6 +160,7 @@ def stream_rollup(
             bucket=bucket,
             txn=(run_id, int(epoch_id)),
             distinct_col=distinct_col,
+            quantiles=quantiles,
         )
 
     return (

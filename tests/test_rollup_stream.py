@@ -188,3 +188,50 @@ def test_streamed_distinct_sketch_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streamed_quantile_sketch_matches_batch(spark, tmp_path):
+    """KLL quantile states ride the incremental maintenance too:
+    streamed p50/p95 == batch p50/p95 bucket-for-bucket."""
+    from mobilitydatalakebenchmark_spark.operators.rollup import (
+        approx_quantiles,
+        merge_rollup,
+    )
+    from mobilitydatalakebenchmark_spark.streaming.rollup_stream import (
+        stream_rollup,
+    )
+
+    data_dir = str(tmp_path / "in")
+    rows = _rows(0, 50, "a") + _rows(5, 50, "b") + _rows(680, 35, "c")
+    spark.createDataFrame(rows, SCHEMA).repartition(4).write.parquet(data_dir)
+    table = str(tmp_path / "roll")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data_dir)
+    )
+    q = stream_rollup(
+        stream, table, str(tmp_path / "ck"), "ts", "value",
+        keys=("k",), quantiles=True,
+    )
+    if not q.awaitTermination(120):
+        q.processAllAvailable()
+        q.stop()
+
+    batch = build_rollup(
+        spark.createDataFrame(rows, SCHEMA), "ts", "value",
+        keys=("k",), bucket="hour", quantiles=True,
+    )
+
+    def est(df):
+        return {
+            (r["bucket_ts"], r["k"]): (r["p50"], r["p95"])
+            for r in approx_quantiles(
+                merge_rollup(df, keys=("k",))
+            ).collect()
+        }
+
+    got = est(read_rollup(spark, table))
+    want = est(batch)
+    assert got == want and got
