@@ -257,3 +257,72 @@ class TestStreamingEwma:
         }
         assert got == want
         assert len(got) == len(rows)
+
+
+class TestStatefulRestart:
+    """State-store persistence: stop the query, add data, restart on the
+    SAME checkpoint — the resumed state must continue the series exactly
+    (the production upgrade/crash-recovery path)."""
+
+    def test_cusum_state_survives_restart(self, spark, tmp_path):
+        import random
+
+        from mobilitydatalakebenchmark_spark.streaming.stateful import (
+            streaming_cusum,
+        )
+
+        rng = random.Random(53)
+        rows = [("e", i, rng.randint(-150, 350)) for i in range(120)]
+        data_dir = tmp_path / "rs_data"
+        ckpt = str(tmp_path / "rs_ckpt")
+
+        sink_dir = str(tmp_path / "rs_sink")
+
+        def drain(n_files_present):
+            # file sink, not memory: only durable sinks support resuming
+            # from a checkpoint — which is the point of this test
+            stream = (
+                spark.readStream.schema("entity string, seq long, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(data_dir / "*"))
+            )
+            q = (
+                streaming_cusum(stream, ref_cents=80, threshold_cents=900)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(180):
+                q.processAllAvailable()
+                q.stop()
+            return spark.read.parquet(sink_dir).collect()
+
+        # phase 1: first half only
+        for i in range(3):
+            spark.createDataFrame(
+                rows[i * 20 : (i + 1) * 20],
+                "entity string, seq long, cents long",
+            ).coalesce(1).write.parquet(str(data_dir / f"b{i}"))
+        drain(3)
+        # phase 2: second half lands, NEW query restarts on the checkpoint
+        for i in range(3, 6):
+            spark.createDataFrame(
+                rows[i * 20 : (i + 1) * 20],
+                "entity string, seq long, cents long",
+            ).coalesce(1).write.parquet(str(data_dir / f"b{i}"))
+        out = drain(6)
+        final = max(out, key=lambda r: r["n_events"])
+
+        want = {
+            r["entity"]: r
+            for r in cusum_alarm_summary(
+                spark.createDataFrame(rows, "entity string, seq long, cents long"),
+                "entity", ["seq"], "cents", 900, ref_cents=80,
+            ).collect()
+        }["e"]
+        assert final["n_events"] == 120
+        assert final["n_alarms"] == want["n_alarms"]
+        assert final["max_excursion_scaled"] == want["max_excursion_scaled"]
