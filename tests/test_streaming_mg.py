@@ -171,3 +171,78 @@ def test_streaming_weighted_reservoir_equals_batch(spark, tmp_path):
     for r in batch.orderBy("group", "rk").collect():
         want.setdefault(r["group"], []).append(r["doc_id"])
     assert final == want
+
+
+def test_mg_state_survives_restart(spark, tmp_path):
+    """Stop, add data, restart on the same checkpoint: the resumed MG
+    counters continue exactly (== python replay over both phases)."""
+    import random
+
+    from mobilitydatalakebenchmark_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    rng = random.Random(61)
+    n_counters, n_shards = 12, 2
+    batches = []
+    for b in range(6):
+        toks = ["big"] * 30 + [f"t{rng.randint(0, 200)}" for _ in range(90)]
+        rng.shuffle(toks)
+        batches.append(toks)
+    d = tmp_path / "mg_rs_data"
+    ckpt = str(tmp_path / "mg_rs_ckpt")
+    sink = str(tmp_path / "mg_rs_sink")
+
+    def write_files(lo, hi):
+        for i in range(lo, hi):
+            spark.createDataFrame(
+                [(t,) for t in batches[i]], "token string"
+            ).coalesce(1).write.parquet(str(d / f"b{i}"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("token string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "*"))
+        )
+        q = (
+            streaming_heavy_hitters(stream, n_counters=n_counters, n_shards=n_shards)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.processAllAvailable()
+            q.stop()
+
+    write_files(0, 3)
+    drain()
+    write_files(3, 6)
+    drain()  # NEW query object, same checkpoint: state must resume
+
+    rows = spark.read.parquet(sink).collect()
+    latest: dict[int, dict] = {}
+    seen_max: dict[int, int] = {}
+    for r in rows:
+        if r["n_seen"] >= seen_max.get(r["shard"], -1):
+            if r["n_seen"] > seen_max.get(r["shard"], -1):
+                latest[r["shard"]] = {}
+            seen_max[r["shard"]] = r["n_seen"]
+            latest[r["shard"]][r["token"]] = r["mg_count"]
+
+    replay: dict[int, dict] = {s: {} for s in range(n_shards)}
+    for toks in batches:
+        import collections
+
+        per_shard: dict[int, collections.Counter] = collections.defaultdict(
+            collections.Counter
+        )
+        for t in toks:
+            per_shard[_shard(t, n_shards)][t] += 1
+        for s, bc in per_shard.items():
+            replay[s] = _mg_merge(replay[s], dict(bc), n_counters)
+    for s in range(n_shards):
+        assert latest.get(s, {}) == replay[s], s
