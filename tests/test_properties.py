@@ -352,3 +352,46 @@ def test_bpe_greedy_merge_property(spark, texts):
         want_texts.append(" ".join(out))
     assert (got_rule["pair"], got_rule["pair_count"]) == (pair, counts[pair])
     assert got_texts == want_texts
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_snapshot_diff_partitions_key_universe(spark, left_rows, right_rows):
+    """snapshot_diff covers every key exactly once with the right status,
+    for arbitrary keyed tables including NULL values."""
+    from mobilitydatalakebenchmark_spark.operators.diff import snapshot_diff
+
+    left = spark.createDataFrame(left_rows or [], "k long, v int")
+    right = spark.createDataFrame(right_rows or [], "k long, v int")
+    got = {r["k"]: r["status"] for r in snapshot_diff(left, right, ["k"]).collect()}
+    l, r = dict(left_rows), dict(right_rows)
+    want = {}
+    for k in set(l) | set(r):
+        if k not in r:
+            want[k] = "removed"
+        elif k not in l:
+            want[k] = "added"
+        elif l[k] == r[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "changed"
+    assert got == want
