@@ -104,5 +104,63 @@ class TestBM25:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["red", "blue", "green", "dog", "cat"]),
+            min_size=1,
+            max_size=10,
+        ).map(" ".join),
+        min_size=2,
+        max_size=12,
+    ),
+    st.lists(
+        st.sampled_from(["red", "blue", "dog", "zebra"]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_bm25_matches_python_reference_property(spark, texts, qterms):
+    """Any corpus, any query: BM25 scores == the literal Python formula
+    and ranking follows (rounded score desc, doc_id asc)."""
+    import math
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    postings, stats = build_postings(docs)
+    q = literal_queries(spark, {"q": " ".join(qterms)})
+    got = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in bm25_topk(postings, stats, q, topk=100).collect()
+    }
+
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    n, sum_dl = len(texts), sum(len(t) for t in toks.values())
+    ref: dict[int, float] = {}
+    for term in qterms:
+        df_ = sum(1 for t in toks.values() if term in t)
+        if not df_:
+            continue
+        idf = math.log(1.0 + (n - df_ + 0.5) / (df_ + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if tf:
+                dl = len(t)
+                denom = tf + 1.2 * (0.25 + 0.75 * (dl * n / sum_dl))
+                ref[d] = ref.get(d, 0.0) + idf * (tf * 2.2) / denom
+    assert set(got) == set(ref)
+    for d, s in ref.items():
+        assert got[d][1] == pytest.approx(round(s, 4), abs=1e-9), d
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][0])]
+    expect = sorted(ref, key=lambda d: (-round(ref[d], 4), d))
+    assert order == expect
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
