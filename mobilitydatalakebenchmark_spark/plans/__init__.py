@@ -170,7 +170,7 @@ def load_registry() -> dict[str, Q]:
         "bm25_ranked_retrieval", "contrastive_negative_mining",
         "graph_kcore_peel", "snapshot_diff_report", "gdpr_retract_rollup",
         "bpe_train_rounds", "graph_label_propagation",
-        "length_bucketed_batches",
+        "length_bucketed_batches", "bloom_pruned_star_join",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1673,3 +1673,75 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning, oracle-checked (functions/
+# runtime_filters.py): the gate runs the star join WITH the rewrite
+# forced on (size gates lowered — locally the tables are tiny; at scale
+# the defaults fire on their own), materializes under that conf, then
+# restores it. `bloom_injected` pins that the plan actually contained
+# the bloom_filter_agg while producing EXACTLY the oracle's rows — the
+# optimization's semantic transparency as a CORRECTNESS row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_pruned_star_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+       TRUE AS bloom_injected
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+    doc="runtime bloom-filter join pruning (functions/runtime_filters."
+    "enable_runtime_bloom_filters): selective orders side builds a "
+    "bloom_filter_agg, the lineitem scan probes might_contain BEFORE "
+    "the shuffle; the gate materializes under the rewrite, asserts the "
+    "plan carried it (bloom_injected), and must equal the plain join — "
+    "the pre-shuffle row-discard story for star joins too big to "
+    "broadcast",
+    tags=("join", "optimizer", "pruning"),
+)
+def bloom_pruned_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.runtime_filters import (
+        enable_runtime_bloom_filters,
+        restore_conf,
+    )
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    prev = enable_runtime_bloom_filters(
+        spark, creation_side_threshold="100MB", application_side_threshold="1KB"
+    )
+    try:
+        li = t(spark, sf_dir, "lineitem")
+        od = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+        joined = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+        injected = "bloom_filter_agg" in (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        # materialize UNDER the rewrite conf; the returned frame is the
+        # checkpointed result, immune to the conf restore below
+        out = joined.withColumn(
+            "bloom_injected", F.lit(bool(injected))
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        restore_conf(spark, prev)
+    return out.orderBy("o_orderpriority")
