@@ -395,3 +395,34 @@ def test_snapshot_diff_partitions_key_universe(spark, left_rows, right_rows):
         else:
             want[k] = "changed"
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_zorder_interleave_bijective_property(spark, cells):
+    """Morton interleave is a bijection on (x, y) cell pairs: distinct
+    cells get distinct keys and the key decodes back bit-for-bit."""
+    from mobilitydatalakebenchmark_spark.functions.zorder import interleave_bits
+
+    df = spark.createDataFrame(cells, "x long, y long")
+    got = df.select("x", "y", interleave_bits(F.col("x"), F.col("y")).alias("z")).collect()
+    seen = set()
+    for r in got:
+        # python reference interleave
+        z = 0
+        for i in range(16):
+            z |= ((r["x"] >> i) & 1) << (2 * i)
+            z |= ((r["y"] >> i) & 1) << (2 * i + 1)
+        assert r["z"] == z
+        assert r["z"] not in seen
+        seen.add(r["z"])

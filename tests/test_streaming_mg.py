@@ -246,3 +246,66 @@ def test_mg_state_survives_restart(spark, tmp_path):
             replay[s] = _mg_merge(replay[s], dict(bc), n_counters)
     for s in range(n_shards):
         assert latest.get(s, {}) == replay[s], s
+
+
+def test_reservoir_state_survives_restart(spark, tmp_path):
+    """Restart on the same checkpoint: the resumed reservoir still equals
+    the batch sample over everything ingested across both phases."""
+    import random
+
+    from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+        weighted_sample,
+    )
+    from mobilitydatalakebenchmark_spark.streaming.stateful import (
+        streaming_weighted_sample,
+    )
+
+    rng = random.Random(71)
+    rows = [("g", i, float(rng.randint(1, 40))) for i in range(200)]
+    d = tmp_path / "ares_rs_data"
+    ckpt = str(tmp_path / "ares_rs_ckpt")
+    sink = str(tmp_path / "ares_rs_sink")
+
+    def write_files(lo, hi):
+        for i in range(lo, hi):
+            spark.createDataFrame(
+                rows[i * 40 : (i + 1) * 40],
+                "group string, doc_id long, weight double",
+            ).coalesce(1).write.parquet(str(d / f"b{i}"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("group string, doc_id long, weight double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d / "*"))
+        )
+        q = (
+            streaming_weighted_sample(stream, k=6)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.processAllAvailable()
+            q.stop()
+
+    write_files(0, 2)
+    drain()
+    write_files(2, 5)
+    drain()
+
+    emitted = spark.read.parquet(sink).collect()
+    pool = {(r["doc_id"], r["ares_key"]) for r in emitted}
+    final = [p[0] for p in sorted(pool, key=lambda p: (-p[1], p[0]))[:6]]
+
+    df = spark.createDataFrame(rows, "group string, doc_id long, weight double")
+    want = [
+        r["doc_id"]
+        for r in weighted_sample(df, "weight", 6, group_col="group")
+        .orderBy("rk")
+        .collect()
+    ]
+    assert final == want
