@@ -227,3 +227,31 @@ class TestLabelPropagation:
         edges = [(a, b) for a, b in edges if a != b]
         for rounds in (1, 3):
             self._check(spark, edges, rounds)
+
+
+def test_kcore_idempotent(spark):
+    """k_core(k_core(G)) == k_core(G): the peel is a closure operator."""
+    import random
+
+    from mobilitydatalakebenchmark_spark.operators.graph import k_core
+
+    rng = random.Random(83)
+    edges = list(
+        {
+            (f"n{rng.randint(0, 40)}", f"n{rng.randint(0, 40)}")
+            for _ in range(150)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    once = k_core(df, 3)
+    core_nodes = {r["node"] for r in once.collect()}
+    surviving = [
+        (a, b) for a, b in edges if a in core_nodes and b in core_nodes
+    ]
+    if not surviving:
+        return
+    twice = k_core(
+        spark.createDataFrame(surviving, "src string, dst string"), 3
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

@@ -426,3 +426,51 @@ def test_zorder_interleave_bijective_property(spark, cells):
         assert r["z"] == z
         assert r["z"] not in seen
         seen.add(r["z"])
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.sampled_from(["en", "es", "zh"]),
+        ),
+        min_size=2,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from([2, 4, 8]),
+)
+def test_contrastive_mining_replays_property(spark, rows, k, n_buckets):
+    """Any id/label distribution: the blocked sampler equals its literal
+    Python replay — same buckets, same draws, same top-k."""
+    import hashlib
+
+    from mobilitydatalakebenchmark_spark.operators.contrastive import (
+        negative_samples,
+    )
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def bucket(i, salt):
+        return int(md5(f"{salt}{i}")[:8], 16) % n_buckets
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got: dict[int, list] = {}
+    for r in negative_samples(df, "doc_id", "lang", k=k, n_buckets=n_buckets).collect():
+        got.setdefault(r["anchor_id"], []).append((r["neg_rank"], r["neg_id"]))
+    buckets: dict[int, list] = {}
+    labels = dict(rows)
+    for i, _ in rows:
+        buckets.setdefault(bucket(i, "cand:"), []).append(i)
+    for a, lab in rows:
+        pool = [
+            c
+            for c in buckets.get(bucket(a, "probe:"), [])
+            if labels[c] != lab and c != a
+        ]
+        pool.sort(key=lambda c: (md5(f"{a}:{c}"), c))
+        expect = [(j + 1, c) for j, c in enumerate(pool[:k])]
+        assert sorted(got.get(a, [])) == expect, a
