@@ -171,6 +171,7 @@ def load_registry() -> dict[str, Q]:
         "graph_kcore_peel", "snapshot_diff_report", "gdpr_retract_rollup",
         "bpe_train_rounds", "graph_label_propagation",
         "length_bucketed_batches", "bloom_pruned_star_join",
+        "minhash_group_rollup",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -2172,3 +2172,60 @@ def length_bucketed_batches_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_idx")
     )
+
+
+@register(
+    "minhash_group_rollup",
+    oracle="""
+WITH words AS (
+  SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT source, doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 1)),
+      i -> array_to_string(w[i:i+2], ' ')))) AS tok
+  FROM words
+), hashed AS (
+  SELECT source, md5('g0' || tok) AS h FROM toks
+)
+SELECT source,
+       min(substr(h, 1, 8))  AS mh_0,
+       min(substr(h, 9, 8))  AS mh_1,
+       min(substr(h, 17, 8)) AS mh_2,
+       min(substr(h, 25, 8)) AS mh_3,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_shingle_hashes
+FROM hashed GROUP BY source ORDER BY source
+""",
+    doc="mergeable MinHash rollup (operators/dedup.minhash_signatures + "
+    "min-merge): the per-SOURCE signature computed by MERGING per-doc "
+    "signatures (min of mins — the rollup path that never rescans "
+    "text), while the oracle computes the DIRECT signature over the "
+    "union of the group's shingles; equality proves the mergeability "
+    "identity cross-engine — MinHash joins HLL/KLL/Theta/MG in the "
+    "sketch-algebra family (per-corpus-slice near-dup signatures that "
+    "re-aggregate to any coarser grain)",
+    tags=("text", "dedup", "minhash", "rollup"),
+)
+def minhash_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures
+
+    d = t(spark, sf_dir, "documents", heavy=True)
+    sig = minhash_signatures(d, n_hashes=4, shingle_n=3)
+    src = d.select("doc_id", "source")
+    per_doc = sig.join(src, "doc_id")
+    # the distinct-hash count is exact support metadata for the group
+    # signature; derived from the same shingle hashes, order-invariant
+    from ..operators.dedup import shingles as _sh
+
+    hashes = d.select(
+        "source", F.explode(_sh(F.col("text"), 3)).alias("tok")
+    ).select("source", F.md5(F.concat(F.lit("g0"), F.col("tok"))).alias("h"))
+    support = hashes.groupBy("source").agg(
+        F.countDistinct("h").alias("n_distinct_shingle_hashes")
+    )
+    merged = per_doc.groupBy("source").agg(
+        F.min("mh_0").alias("mh_0"),
+        F.min("mh_1").alias("mh_1"),
+        F.min("mh_2").alias("mh_2"),
+        F.min("mh_3").alias("mh_3"),
+    )
+    return merged.join(support, "source").orderBy("source")
