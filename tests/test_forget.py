@@ -211,3 +211,37 @@ class TestRetractNulls:
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+class TestRetractProperty:
+    def test_random_bases_and_deletions(self, spark):
+        """Randomized end-to-end: incremental == rebuild for many shapes —
+        multiple buckets, NULLs, full-bucket wipes, extreme deletions."""
+        import random
+
+        rng = random.Random(97)
+        for trial in range(4):
+            rows = []
+            for i in range(rng.randint(5, 120)):
+                rows.append(
+                    (
+                        i,
+                        rng.randint(0, 6),
+                        T0 + datetime.timedelta(minutes=rng.randint(0, 600)),
+                        None if rng.random() < 0.15 else rng.randint(-50, 50),
+                    )
+                )
+            base = spark.createDataFrame(
+                rows, "row_id long, user_id long, ts timestamp, v long"
+            )
+            ids = rng.sample(range(0, 7), rng.randint(0, 4))
+            rollup = build_rollup(base, "ts", "v", bucket="hour")
+            got = retract_from_rollup(
+                rollup, base, _keys(spark, ids), "user_id", "ts", "v",
+                bucket="hour",
+            )
+            want = build_rollup(
+                forget_rows(base, _keys(spark, ids), "user_id"),
+                "ts", "v", bucket="hour",
+            )
+            assert _plain(got) == _plain(want), (trial, ids)
