@@ -96,6 +96,12 @@ BOUNDS = {
     "gdpr_retract_rollup": 8.0,
     "graph_label_propagation": 8.0,
     "length_bucketed_batches": 8.0,
+    # BPE's 3 unrolled rounds each rescan the (checkpointed) corpus —
+    # linear per round; the bloom star join and the minhash rollup are
+    # one-shuffle group-bys whose quadratic would mean a join exploded
+    "bpe_train_rounds": 8.0,
+    "bloom_pruned_star_join": 8.0,
+    "minhash_group_rollup": 8.0,
 }
 
 
