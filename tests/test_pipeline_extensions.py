@@ -247,3 +247,41 @@ class TestLengthBucketedBatches:
             map(tuple, length_bucketed_batches(df.repartition(7), 4).collect())
         )
         assert a == b
+
+
+class TestLengthBucketedProperty:
+    def test_random_lengths_invariants(self, spark):
+        """Random corpora: every placement obeys the bucket range, batch
+        size cap, contiguous positions, and pad_to = batch max."""
+        import collections
+        import random
+
+        from mobilitydatalakebenchmark_spark.operators.text_analysis import (
+            length_bucketed_batches,
+        )
+
+        rng = random.Random(101)
+        for trial in range(3):
+            batch_size = rng.choice([2, 4, 8])
+            rows = [
+                (i, " ".join(["w"] * rng.randint(1, 300)))
+                for i in range(rng.randint(5, 120))
+            ]
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            got = length_bucketed_batches(df, batch_size=batch_size).collect()
+            assert len(got) == len(rows)
+            batches = collections.defaultdict(list)
+            for r in got:
+                assert (1 << r["bucket"]) <= r["n_tokens"] < (1 << (r["bucket"] + 1))
+                batches[(r["bucket"], r["batch_idx"])].append(r)
+            for (_, bidx), rs in batches.items():
+                assert len(rs) <= batch_size
+                m = max(r["n_tokens"] for r in rs)
+                assert all(r["pad_to"] == m for r in rs)
+                assert sorted(r["pos_in_batch"] for r in rs) == list(range(len(rs)))
+            # batch indices are contiguous from 0 per bucket
+            per_bucket = collections.defaultdict(set)
+            for (b, bidx), _ in batches.items():
+                per_bucket[b].add(bidx)
+            for b, idxs in per_bucket.items():
+                assert idxs == set(range(len(idxs))), b
