@@ -255,3 +255,22 @@ def test_kcore_idempotent(spark):
         spark.createDataFrame(surviving, "src string, dst string"), 3
     )
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_kcore_gate_truncation_is_not_vacuous(spark):
+    """The gate's 4-round truncated peel must genuinely differ from
+    convergence on the gate's own graph at sf0.001 (peel depth there is
+    5 rounds at k=6) — proving the bounded-round semantics is a real
+    pin, not an accidentally-converged one."""
+    from pyspark.sql import functions as F
+
+    from mobilitydatalakebenchmark_spark.operators.graph import k_core
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    truncated = k_core(edges, k=6, max_rounds=4).count()
+    converged = k_core(edges, k=6).count()
+    assert truncated > converged > 0

@@ -64,3 +64,23 @@ def test_store_benchmark_harness_runs(spark, documents_df, snapshots, tmp_path):
         "flat", store, documents_df, [ts for ts, _ in snapshots], 2, spark
     )
     assert res["write_s"] > 0 and res["size_bytes"] > 0 and res["reads"] == 2
+
+
+def test_rotation_names_all_exist():
+    """Every name in the driver-window ordering tuples must be a real
+    registry entry — a typo would silently shrink the first-50 window."""
+    from mobilitydatalakebenchmark_spark import plans
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    reg = set(load_registry())
+    for block in (
+        plans.DRIVER_VERIFIED_R3,
+        plans.DRIVER_VERIFIED_R4,
+        plans.DRIVER_VERIFIED_R5,
+        plans.DRIVER_VERIFIED_R6,
+    ):
+        missing = set(block) - reg
+        assert not missing, missing
+    # the first 50 (the driver window) are exactly 50 distinct names
+    first50 = list(load_registry())[:50]
+    assert len(set(first50)) == 50
