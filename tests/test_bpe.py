@@ -89,5 +89,22 @@ class TestBpe:
         assert any("@" in t for t in merged)
 
 
+class TestBpeExhaustion:
+    def test_rounds_stop_when_no_pairs_remain(self, spark):
+        """Tiny corpus, many rounds: once every doc is one token, later
+        rounds are no-ops and emit no rules."""
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "a b")], "doc_id long, text string"
+        )
+        rules, merged = bpe_train_rounds(docs, "text", n_rounds=4)
+        got = rules.orderBy("round").collect()
+        # round 1 merges (a,b) everywhere; rounds 2-4 find no pairs
+        assert len(got) == 1 and got[0]["pair"] == "a b"
+        assert [r["text"] for r in merged.orderBy("doc_id").collect()] == [
+            "a@b",
+            "a@b",
+        ]
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

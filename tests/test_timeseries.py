@@ -326,3 +326,24 @@ class TestStatefulRestart:
         assert final["n_events"] == 120
         assert final["n_alarms"] == want["n_alarms"]
         assert final["max_excursion_scaled"] == want["max_excursion_scaled"]
+
+
+class TestEwmaWindows:
+    def test_multiple_window_sizes_match_recursion(self, spark):
+        import random
+
+        rng = random.Random(7)
+        xs = [rng.randint(-400, 400) for _ in range(30)]
+        df = _mk(spark, [("a", i, x) for i, x in enumerate(xs)])
+        for w in (4, 8, 16, 24):
+            got = [
+                r["ewma_scaled"]
+                for r in ewma_scaled(df, "entity", ["seq"], "cents", window=w)
+                .orderBy("seq")
+                .collect()
+            ]
+            for t, g in enumerate(got):
+                expected = sum(
+                    xs[t - j] * (1 << (w - 1 - j)) for j in range(w) if t - j >= 0
+                )
+                assert g == expected, (w, t)
