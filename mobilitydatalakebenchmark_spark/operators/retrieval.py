@@ -144,3 +144,133 @@ def literal_queries(spark: SparkSession, queries: dict[str, str]) -> DataFrame:
         for term in dict.fromkeys(text.split())
     ]
     return spark.createDataFrame(rows, "query_id string, term string")
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", sep: str = " "
+) -> DataFrame:
+    """Positional inverted index rows ``(term, doc_id, pos)`` (pos 0-based).
+
+    The phrase-query layout: same single explode as ``build_postings`` but
+    keeping token positions instead of collapsing to tf. At scale the index
+    is written partitioned by term, so a phrase query reads only its own
+    terms' posting lists."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "term"),
+    ).select("term", "doc_id", "pos")
+
+
+def literal_phrases(spark: SparkSession, phrases: dict[str, str]) -> DataFrame:
+    """``(query_id, offset, term, plen)`` rows from literal phrase strings —
+    one row per phrase token, ``offset`` its 0-based position in the phrase,
+    ``plen`` the phrase length (denormalized so matching never joins a
+    second phrase-metadata table)."""
+    rows = []
+    for qid, text in sorted(phrases.items()):
+        toks = text.split()
+        rows += [(qid, i, term, len(toks)) for i, term in enumerate(toks)]
+    return spark.createDataFrame(
+        rows, "query_id string, offset int, term string, plen int"
+    )
+
+
+def phrase_match(postings_pos: DataFrame, phrases: DataFrame) -> DataFrame:
+    """Exact phrase occurrences over the positional index.
+
+    The classic set-based formulation (one join, any phrase length): each
+    matched (posting, phrase-token) pair proposes the anchor position
+    ``pos - offset`` where the phrase would have to start; an anchor at
+    which ALL ``plen`` distinct offsets matched is one occurrence. Repeated
+    phrase tokens (e.g. "table table") fall out naturally — both offsets
+    must independently match at the anchor.
+
+    Returns ``(query_id, doc_id, n_hits)`` with ``n_hits >= 1``. Integer
+    arithmetic throughout — bit-identical on any engine. Scale: the join
+    touches only the phrase terms' posting lists (broadcast phrase side);
+    the anchor group-by shuffles candidate rows only, never the corpus.
+    """
+    cand = postings_pos.join(F.broadcast(phrases), "term").select(
+        "query_id",
+        "doc_id",
+        (F.col("pos") - F.col("offset")).alias("anchor"),
+        "offset",
+        "plen",
+    )
+    hits = (
+        cand.filter(F.col("anchor") >= 0)
+        .groupBy("query_id", "doc_id", "anchor")
+        .agg(
+            F.countDistinct("offset").alias("n_off"),
+            F.first("plen").alias("plen"),
+        )
+        .filter(F.col("n_off") == F.col("plen"))
+    )
+    return hits.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+
+
+def overlap_topk(
+    postings: DataFrame,
+    queries: DataFrame,
+    topk: int = 10,
+) -> DataFrame:
+    """Rank documents by distinct-query-term overlap (the lexical-recall
+    ranker RRF typically fuses with a scored ranker): more matched terms
+    first, then SHORTER documents (tighter match), then doc_id. Every
+    ranking key is an exact integer, so the order is engine-identical
+    without any rounding. Returns ``(query_id, rank, doc_id)``."""
+    hits = postings.join(F.broadcast(queries), "term")
+    per_doc = hits.groupBy("query_id", "doc_id").agg(
+        F.countDistinct("term").alias("n_matched"), F.first("dl").alias("dl")
+    )
+    ranked = per_doc.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("n_matched"), F.asc("dl"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= topk).select("query_id", "rank", "doc_id")
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (Cormack & Clarke 2009):
+    ``score = 1/(k + rank_a) + 1/(k + rank_b)``, missing ranks contribute 0.
+
+    Inputs carry ``(query_id, doc_id, rank)``. Determinism: each reciprocal
+    is one IEEE division of exact-integer operands and the two-term sum has
+    a FIXED left-to-right order — bit-identical doubles on any engine, so
+    the fused score needs no rounding; ties break by doc_id. Scale: the
+    fuse is a full-outer join of two topk-sized tables per query —
+    negligible next to the rankers themselves."""
+    a = ranked_a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    b = ranked_b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+    )
+    out = fused.withColumn(
+        "fused_rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("rrf_score"), F.asc("doc_id")
+            )
+        ),
+    )
+    return out.filter(F.col("fused_rank") <= topk).select(
+        "query_id",
+        "fused_rank",
+        "doc_id",
+        F.coalesce("rank_a", F.lit(0)).alias("rank_a"),
+        F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
+        "rrf_score",
+    )

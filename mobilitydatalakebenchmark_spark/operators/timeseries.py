@@ -151,3 +151,49 @@ def ewma_scaled(
     for term in terms[1:]:
         acc = acc + term
     return df.withColumn("ewma_scaled", acc)
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    by: str | list[str],
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Merge overlapping-or-adjacent [start, end) intervals per key.
+
+    The classic islands construction (the interval form of sessionization —
+    W5's gap rule generalized to rows that carry their own extent): sort
+    each key's intervals by start, take the running max of *end* over all
+    PRECEDING rows, and open a new island exactly when the current start
+    exceeds it. ``sum`` over the open flags numbers the islands; one
+    aggregate collapses each island to (start, end, n).
+
+    Start/end must be exact integers (e.g. epoch microseconds) — every
+    comparison and aggregate is then engine-identical. Scale: ONE shuffle
+    on the key; both windows and the final group-by share that sort.
+    Intervals within a key stream through in order — state is O(1) —
+    which is also why this form ports to Structured Streaming unchanged.
+
+    Returns ``(by..., island, start, end, n_rows)`` with ``island``
+    numbered from 1 in start order.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    order = [F.col(start_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w_ord = Window.partitionBy(*by_cols).orderBy(*order)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_max_end = F.max(end_col).over(w_prev)
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    flagged = df.withColumn("_new", new_island).withColumn(
+        "island", F.sum("_new").over(w_cum)
+    )
+    return flagged.groupBy(*by_cols, "island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -155,6 +155,7 @@ def load_registry() -> dict[str, Q]:
     from . import text  # noqa: F401
     from . import vectors  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import curation  # noqa: F401
 
     # Round 7: gates needing a first verdict on CURRENT semantics —
     # trajectory_trip_segments was the r6 red row, redefined this round
@@ -172,6 +173,12 @@ def load_registry() -> dict[str, Q]:
         "bpe_train_rounds", "graph_label_propagation",
         "length_bucketed_batches", "bloom_pruned_star_join",
         "minhash_group_rollup",
+        # round-7 continuation batch (plans/curation.py):
+        "interval_coalesce", "url_canonical_dedup",
+        "retrieval_phrase_match", "retrieval_rrf_fusion",
+        "text_normalize_dedup", "seasonal_hour_profile",
+        "equidepth_decile_bins", "range_join_bucketized",
+        "asof_tolerance_lookup",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1,0 +1,748 @@
+"""Round-7 continuation gates: corpus-curation and temporal primitives the
+registry did not yet pin.
+
+* interval coalescing (merge overlapping extents — the interval form of
+  sessionization, reference W5 generalized);
+* URL canonicalization dedup (operators/urls.py — the crawl-curation key);
+* positional phrase retrieval + reciprocal-rank fusion (operators/
+  retrieval.py — exact phrase queries over a positional inverted index,
+  and the standard hybrid-ranker combiner);
+* normalization-aware text dedup (case/punct/whitespace variants collapse);
+* hour-of-day seasonality profile (the calendar-seasonality screen);
+* equi-depth decile binning (feature discretization via ntile);
+* bucketized big-big range join (promoting the operators/asof.py scale
+  path, previously pytest-only, to an oracle gate);
+* tolerance-bounded as-of lookup (asof_join + max-gap filter, vs DuckDB's
+  native ASOF JOIN).
+
+Hash-robustness: every gate is exact by construction — integer epochs and
+counts, string algebra, ntile over a unique total order, or fixed-order
+two-term IEEE sums (RRF) — no rounded quotient of a float aggregate
+anywhere, so no margin-probe exposure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.codecs import epoch_us
+from . import register
+from .relational import t
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# ---------------------------------------------------------------------------
+# Interval coalescing: each event opens a 30-minute extent; overlapping or
+# touching extents per user merge into islands (operators/timeseries.
+# coalesce_intervals). One shuffle on user_id; exact integer microseconds.
+# ---------------------------------------------------------------------------
+
+_IC_EXTENT_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "interval_coalesce",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + {_IC_EXTENT_US} AS end_us
+  FROM events
+), g AS (
+  SELECT user_id, start_us, end_us,
+         CASE WHEN max(end_us) OVER (
+                PARTITION BY user_id ORDER BY start_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR start_us > max(end_us) OVER (
+                PARTITION BY user_id ORDER BY start_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM iv
+), s AS (
+  SELECT user_id, start_us, end_us,
+         sum(new_island) OVER (PARTITION BY user_id
+                               ORDER BY start_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM g
+)
+SELECT user_id, island, min(start_us) AS start_us, max(end_us) AS end_us,
+       count(*) AS n_rows
+FROM s GROUP BY user_id, island
+ORDER BY user_id, island
+""",
+    doc="interval coalescing (operators/timeseries.coalesce_intervals): "
+    "30-min event extents per user merged into overlap islands via the "
+    "running-max-of-end construction — W5's gap sessionization "
+    "generalized to rows carrying their own extent; exact integer "
+    "microseconds, one user-keyed shuffle shared by both windows and "
+    "the island aggregate",
+    tags=("window", "time", "interval"),
+)
+def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import coalesce_intervals
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("start_us"),
+        (epoch_us("ts") + F.lit(_IC_EXTENT_US)).alias("end_us"),
+    )
+    return coalesce_intervals(
+        ev, "user_id", "start_us", "end_us", tiebreak="event_id"
+    ).orderBy("user_id", "island")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup. Raw URLs are synthesized in-plan from doc_id
+# (the url_domain_topk decoration pattern) with the full mess: scheme/host
+# case, www., explicit default port, trailing slash, utm_ params, fragment.
+# doc_id % 24 controls the noise, doc_id % 10 the page — so each canonical
+# page collapses many raw spellings and the gate verifies the whole
+# canonicalization pipeline cell-by-cell. Pure string algebra — exact.
+# ---------------------------------------------------------------------------
+
+
+def _raw_url_sql() -> str:
+    return (
+        "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 "
+        "THEN 'https' ELSE 'http' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
+        " || 'Site' || CAST(doc_id % 10 AS VARCHAR) || '.Example.COM'"
+        " || (CASE WHEN doc_id % 4 = 0 THEN (CASE WHEN doc_id % 3 = 2 "
+        "THEN ':80' ELSE ':443' END) ELSE '' END)"
+        " || '/page/' || CAST(doc_id % 5 AS VARCHAR)"
+        " || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)"
+        " || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=s' "
+        "|| CAST(doc_id % 3 AS VARCHAR) || '&id=' "
+        "|| CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=c' "
+        "WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id % 4 AS VARCHAR) "
+        "ELSE '' END)"
+        " || (CASE WHEN doc_id % 6 = 0 THEN '#frag' "
+        "|| CAST(doc_id AS VARCHAR) ELSE '' END)"
+    )
+
+
+def _raw_url_spark() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS"))
+        .when(did % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (did % 10).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(
+            did % 4 == 0,
+            F.when(did % 3 == 2, F.lit(":80")).otherwise(F.lit(":443")),
+        ).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (did % 5).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=s"),
+                (did % 3).cast("string"),
+                F.lit("&id="),
+                (did % 4).cast("string"),
+                F.lit("&utm_campaign=c"),
+            ),
+        )
+        .when(
+            did % 3 == 0,
+            F.concat(F.lit("?id="), (did % 4).cast("string")),
+        )
+        .otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0, F.concat(F.lit("#frag"), did.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def _url_canonical_oracle() -> str:
+    from ..operators.urls import canonical_url_sql
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_raw_url_sql()} AS url FROM documents
+)
+SELECT {canonical_url_sql('url')} AS canonical_url,
+       count(*) AS n_raw,
+       count(DISTINCT url) AS n_spellings,
+       min(doc_id) AS keeper_doc
+FROM raw
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=_url_canonical_oracle(),
+    doc="URL canonicalization dedup (operators/urls.py): lower scheme/"
+    "host, strip www./fragment/default port/trailing slash/utm_ params "
+    "as pure regexp column expressions, then one hash aggregate on the "
+    "canonical key — the crawl-curation page-identity step; raw URLs "
+    "synthesized in-plan from doc_id so the oracle replays every "
+    "spelling variant exactly",
+    tags=("text", "url", "dedup"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.urls import canonical_url
+
+    raw = t(spark, sf_dir, "documents").select(
+        "doc_id", _raw_url_spark().alias("url")
+    )
+    return (
+        raw.groupBy(canonical_url(F.col("url")).alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("url").alias("n_spellings"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase retrieval: exact n-token phrase occurrences over a
+# positional inverted index (operators/retrieval.positional_postings +
+# phrase_match). Integer positions only — exact on any engine.
+# ---------------------------------------------------------------------------
+
+_PHRASES = {
+    "p1": "table table",
+    "p2": "fast merge batch",
+    "p3": "the line sort",
+}
+
+
+def _phrase_oracle() -> str:
+    vals = ", ".join(
+        f"('{qid}', {i}, '{term}', {len(text.split())})"
+        for qid, text in sorted(_PHRASES.items())
+        for i, term in enumerate(text.split())
+    )
+    return f"""
+WITH q(query_id, off, term, plen) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+  FROM documents
+),
+cand AS (
+  SELECT q.query_id, tok.doc_id, tok.pos - q.off AS anchor, q.off, q.plen
+  FROM tok JOIN q USING (term)
+  WHERE tok.pos - q.off >= 0
+),
+anchors AS (
+  SELECT query_id, doc_id, anchor
+  FROM cand
+  GROUP BY query_id, doc_id, anchor, plen
+  HAVING count(DISTINCT off) = plen
+)
+SELECT query_id, doc_id, count(*) AS n_hits
+FROM anchors GROUP BY query_id, doc_id
+ORDER BY query_id, doc_id
+"""
+
+
+@register(
+    "retrieval_phrase_match",
+    oracle=_phrase_oracle(),
+    doc="exact phrase retrieval over a positional inverted index "
+    "(operators/retrieval.positional_postings + phrase_match): each "
+    "matched (posting, phrase-token) pair proposes anchor pos-offset, "
+    "an anchor where all plen offsets matched is one occurrence — one "
+    "join against broadcast phrase terms, any phrase length, repeated "
+    "tokens handled naturally; all-integer arithmetic",
+    tags=("text", "retrieval", "index", "phrase"),
+)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import literal_phrases, phrase_match, positional_postings
+
+    docs = t(spark, sf_dir, "documents")
+    pp = positional_postings(docs)
+    return phrase_match(pp, literal_phrases(spark, _PHRASES)).orderBy(
+        "query_id", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: BM25 (scored ranker) fused with distinct-term
+# overlap (lexical-recall ranker). Ranks are exact ints; each RRF score is
+# two IEEE divisions summed in fixed order — bit-identical, no rounding.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from .text import _BM25_B, _BM25_K1, _BM25_QUERIES, _BM25_TOPK
+
+    vals = ", ".join(
+        f"('{qid}', '{term}')"
+        for qid, text in sorted(_BM25_QUERIES.items())
+        for term in dict.fromkeys(text.split())
+    )
+    k1, k1p1, one_b, b = (
+        repr(_BM25_K1),
+        repr(_BM25_K1 + 1.0),
+        repr(1.0 - _BM25_B),
+        repr(_BM25_B),
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY term, doc_id
+),
+ds AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ds
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+per AS (
+  SELECT q.query_id, p.doc_id, p.term,
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(p.tf AS DOUBLE) * {k1p1})
+           / (CAST(p.tf AS DOUBLE)
+              + {k1} * ({one_b} + {b} * (CAST(ds.dl * c.n_docs AS DOUBLE)
+                                         / CAST(c.sum_dl AS DOUBLE))))
+           AS term_score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN ds USING (doc_id)
+  CROSS JOIN corpus c
+),
+folded AS (
+  SELECT query_id, doc_id,
+         round(list_sum(list(term_score ORDER BY term)), 4) AS score
+  FROM per GROUP BY query_id, doc_id
+),
+bm25 AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT)
+             AS rank_a
+  FROM folded
+  QUALIFY rank_a <= {_BM25_TOPK}
+),
+ovl AS (
+  SELECT q.query_id, p.doc_id,
+         count(DISTINCT p.term) AS n_matched, min(ds.dl) AS dl
+  FROM q JOIN postings p USING (term) JOIN ds USING (doc_id)
+  GROUP BY q.query_id, p.doc_id
+),
+ovl_ranked AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY n_matched DESC, dl, doc_id) AS INT)
+             AS rank_b
+  FROM ovl
+  QUALIFY rank_b <= {_BM25_TOPK}
+),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.rank_a, b.rank_b,
+         coalesce(1.0 / ({_RRF_K} + a.rank_a), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + b.rank_b), 0.0) AS rrf_score
+  FROM bm25 a FULL OUTER JOIN ovl_ranked b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS fused_rank,
+       doc_id,
+       coalesce(rank_a, 0) AS rank_a,
+       coalesce(rank_b, 0) AS rank_b,
+       rrf_score
+FROM fused
+QUALIFY fused_rank <= {_BM25_TOPK}
+ORDER BY query_id, fused_rank
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc="reciprocal-rank fusion of BM25 and distinct-term-overlap "
+    "rankings (operators/retrieval.rrf_fuse, Cormack & Clarke 2009 "
+    "k=60): ranks are exact ints, each fused score is two IEEE "
+    "divisions summed in FIXED order — bit-identical doubles on both "
+    "engines with no rounding; the hybrid-retrieval combiner for "
+    "lexical + scored (or lexical + vector) rankers",
+    tags=("text", "retrieval", "fusion"),
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import (
+        bm25_topk,
+        build_postings,
+        literal_queries,
+        overlap_topk,
+        rrf_fuse,
+    )
+    from .text import _BM25_B, _BM25_K1, _BM25_QUERIES, _BM25_TOPK
+
+    docs = t(spark, sf_dir, "documents")
+    postings, doc_stats = build_postings(docs)
+    # both rankers consume the postings group-by — checkpoint it once
+    postings = postings.localCheckpoint(eager=False)
+    queries = literal_queries(spark, _BM25_QUERIES)
+    a = bm25_topk(
+        postings, doc_stats, queries, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK
+    )
+    b = overlap_topk(postings, queries, topk=_BM25_TOPK)
+    return rrf_fuse(a, b, k=_RRF_K, topk=_BM25_TOPK).orderBy(
+        "query_id", "fused_rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization-aware dedup: groups of 4 docs share a base text, each
+# member decorated with different case/punct/whitespace noise; the
+# normalizer (lower, strip non-alnum, collapse runs of spaces, trim) must
+# collapse each group back to one canonical form. Pure string algebra.
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(noisy), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "text_normalize_dedup",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS base_id FROM documents
+),
+paired AS (
+  SELECT b.doc_id, b.base_id, d.text AS base_text
+  FROM base b JOIN documents d ON d.doc_id = b.base_id
+),
+noised AS (
+  SELECT doc_id, base_id,
+         CASE doc_id % 4
+           WHEN 0 THEN base_text
+           WHEN 1 THEN upper(base_text)
+           WHEN 2 THEN base_text || ' !!'
+           ELSE replace(base_text, ' ', '  ')
+         END AS noisy
+  FROM paired
+),
+normed AS (
+  SELECT doc_id, base_id, {_NORM_SQL} AS norm FROM noised
+)
+SELECT md5(norm) AS content_key,
+       count(*) AS n_members,
+       count(DISTINCT base_id) AS n_bases,
+       min(doc_id) AS keeper_doc
+FROM normed
+GROUP BY content_key
+ORDER BY content_key
+""",
+    doc="normalization-aware exact dedup: case/punctuation/whitespace "
+    "variants (synthesized in-plan — groups of 4 docs share a base "
+    "text with per-member noise) collapse under lower + strip-non-"
+    "alnum + collapse-spaces + trim, then one hash aggregate on "
+    "md5(normalized) — the cheap dedup tier that runs BEFORE MinHash "
+    "in a curation pipeline; pure string algebra, zero float",
+    tags=("text", "dedup", "normalize"),
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 4).alias("base_id")
+    )
+    src = docs.select(
+        F.col("doc_id").alias("base_id"), F.col("text").alias("base_text")
+    )
+    paired = base.join(src, "base_id")
+    did = F.col("doc_id")
+    noisy = (
+        F.when(did % 4 == 0, F.col("base_text"))
+        .when(did % 4 == 1, F.upper("base_text"))
+        .when(did % 4 == 2, F.concat(F.col("base_text"), F.lit(" !!")))
+        .otherwise(F.regexp_replace("base_text", " ", "  "))
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(noisy), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        paired.select("doc_id", "base_id", F.md5(norm).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("base_id").alias("n_bases"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .orderBy("content_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality profile: counts per (event_type, hour), share of
+# the type's total (ONE division of two bigints — bit-identical), peak
+# hour flagged via rank on (count desc, hour asc). Exact throughout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_hour_profile",
+    oracle="""
+WITH h AS (
+  SELECT event_type, CAST(hour(ts) AS INT) AS hour, count(*) AS n_events
+  FROM events GROUP BY event_type, hour
+)
+SELECT event_type, hour, n_events,
+       CAST(n_events AS DOUBLE)
+         / CAST(sum(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS share,
+       (row_number() OVER (PARTITION BY event_type
+                           ORDER BY n_events DESC, hour) = 1) AS is_peak
+FROM h
+ORDER BY event_type, hour
+""",
+    doc="hour-of-day seasonality profile per event type: grouped counts, "
+    "per-type share (one bigint/bigint division — bit-identical, no "
+    "rounding), peak hour via rank on (count desc, hour) — the "
+    "calendar-seasonality screen behind load shaping and anomaly "
+    "baselines; two windows share the one event_type shuffle",
+    tags=("window", "time", "seasonality"),
+)
+def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_type = Window.partitionBy("event_type")
+    w_rank = w_type.orderBy(F.desc("n_events"), F.asc("hour"))
+    return (
+        h.withColumn(
+            "share",
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w_type).cast("double"),
+        )
+        .withColumn("is_peak", F.row_number().over(w_rank) == 1)
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth decile binning: ntile(10) over a UNIQUE total order (price
+# cents, then the line's composite key) so bucket assignment is engine-
+# deterministic; per-bin exact integer sums, divisions last. The global
+# sort is one range-partitioned pass (Spark orderBy) — at 100 TB the same
+# binning would come from percentile_approx cutpoints instead; this gate
+# pins the exact-semantics reference those cutpoints approximate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "equidepth_decile_bins",
+    oracle="""
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+b AS (
+  SELECT cents,
+         ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS decile
+  FROM c
+)
+SELECT decile, count(*) AS n,
+       round(sum(cents) / 100.0, 2) AS sum_price,
+       min(cents) / 100.0 AS min_price,
+       max(cents) / 100.0 AS max_price
+FROM b GROUP BY decile ORDER BY decile
+""",
+    doc="equi-depth decile binning (feature discretization): ntile(10) "
+    "over the unique total order (price cents, orderkey, linenumber) — "
+    "deterministic bucket assignment on both engines — then exact "
+    "integer per-bin sums with the division last; the quantile-"
+    "bucketing primitive behind calibration curves and monotone "
+    "feature encoders",
+    tags=("agg", "window", "binning"),
+)
+def equidepth_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy("cents", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("cents") / 100.0, 2).alias("sum_price"),
+            (F.min("cents") / 100.0).alias("min_price"),
+            (F.max("cents") / 100.0).alias("max_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized big-big range join: the operators/asof.range_join scale path
+# (intervals exploded into fixed-width buckets, equi-join on bucket id,
+# residual predicate) — previously pytest-only, now oracle-checked. The
+# tier table here is small, but the PLAN is the big-big one: no broadcast
+# theta join anywhere, the shuffle keys are uniform bucket ids.
+# ---------------------------------------------------------------------------
+
+_RJB_TIERS = [
+    ("t0", 0.0, 25.0),
+    ("t1", 25.0, 60.0),
+    ("t2", 60.0, 110.0),
+    ("t3", 110.0, 200.0),
+    ("t4", 200.0, 1000.0),
+]
+_RJB_WIDTH = 20.0
+
+
+@register(
+    "range_join_bucketized",
+    oracle=f"""
+SELECT t.tier, count(*) AS n,
+       sum(CAST(round(e.value * 1000000) AS BIGINT)) AS value_e6
+FROM events e
+JOIN (VALUES {', '.join(f"('{n}', {repr(lo)}, {repr(hi)})" for n, lo, hi in _RJB_TIERS)})
+     t(tier, lo, hi)
+  ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier ORDER BY t.tier
+""",
+    doc="bucketized big-big range join (operators/asof.range_join with "
+    "bucket_width): intervals explode into the fixed-width buckets they "
+    "overlap, fact rows key to their bucket, equi-join + residual "
+    "predicate — the linear-shuffle plan that replaces the broadcast "
+    "theta join when BOTH sides are large; totals as exact 1e-6-grid "
+    "integers so the oracle compare is order-invariant",
+    tags=("join", "range", "bucketized"),
+)
+def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join
+
+    ev = t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        _RJB_TIERS, "tier string, lo double, hi double"
+    )
+    return (
+        range_join(ev, tiers, "value", bucket_width=_RJB_WIDTH)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "value_e6"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of lookup: every purchase gets the latest prior
+# click per user ONLY if it is within 2 hours — the staleness-bounded
+# feature-lookup semantics (merge_asof tolerance=...). The match value
+# passes through unmodified (no float aggregation); the gap is exact
+# integer microseconds. Oracle: DuckDB's native ASOF JOIN + the same
+# tolerance mask — an independent engine's asof semantics as the check.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 2 * 3600 * 1_000_000
+
+
+@register(
+    "asof_tolerance_lookup",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+         c.value AS click_value,
+         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT event_id, user_id, strftime(ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       purchase_value,
+       CASE WHEN gap_us <= {_ASOF_TOL_US} THEN click_value END
+           AS click_value,
+       CASE WHEN gap_us <= {_ASOF_TOL_US} THEN gap_us END AS gap_us,
+       coalesce(gap_us <= {_ASOF_TOL_US}, FALSE) AS matched
+FROM j
+ORDER BY event_id
+""",
+    doc="tolerance-bounded as-of lookup (operators/asof.asof_join + max-"
+    "gap mask): purchases take the latest prior click per user only "
+    "within 2 h — merge_asof(tolerance=...) semantics, the staleness "
+    "bound every feature-store lookup needs; verified against DuckDB's "
+    "NATIVE ASOF JOIN (an independent implementation of the "
+    "semantics), values pass through unaggregated, gap is exact "
+    "integer microseconds",
+    tags=("join", "time", "asof"),
+)
+def asof_tolerance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        value_cols=["click_value", "click_ts"],
+    )
+    gap = epoch_us("ts") - epoch_us("asof_click_ts")
+    within = gap <= F.lit(_ASOF_TOL_US)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        "purchase_value",
+        F.when(within, F.col("asof_click_value")).alias("click_value"),
+        F.when(within, gap).alias("gap_us"),
+        F.coalesce(within, F.lit(False)).alias("matched"),
+    ).orderBy("event_id")

@@ -1,0 +1,235 @@
+"""Unit tests for the round-7 continuation operators: interval coalescing,
+URL canonicalization, positional phrase retrieval, RRF fusion, and the
+tolerance-bounded as-of gate's mask semantics."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobilitydatalakebenchmark_spark.operators.retrieval import (
+    literal_phrases,
+    overlap_topk,
+    phrase_match,
+    positional_postings,
+    rrf_fuse,
+)
+from mobilitydatalakebenchmark_spark.operators.timeseries import coalesce_intervals
+from mobilitydatalakebenchmark_spark.operators.urls import canonical_url
+
+
+# ---------------------------------------------------------------------------
+# coalesce_intervals
+# ---------------------------------------------------------------------------
+
+
+def _merge_brute(intervals):
+    """Reference merge: overlapping OR touching [s, e) intervals."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(x) for x in out]
+
+
+def test_coalesce_overlap_adjacent_gap(spark):
+    rows = [
+        # k1: [0,10) + [5,15) overlap -> [0,15); [15,20) touches -> merges;
+        # [30,40) gapped -> second island
+        ("k1", 0, 10),
+        ("k1", 5, 15),
+        ("k1", 15, 20),
+        ("k1", 30, 40),
+        # k2: containment — [0,100) swallows [10,20)
+        ("k2", 0, 100),
+        ("k2", 10, 20),
+    ]
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    out = {
+        (r.k, r.island): (r.start_us, r.end_us, r.n_rows)
+        for r in coalesce_intervals(df, "k").collect()
+    }
+    assert out == {
+        ("k1", 1): (0, 20, 3),
+        ("k1", 2): (30, 40, 1),
+        ("k2", 1): (0, 100, 2),
+    }
+
+
+def test_coalesce_matches_bruteforce_randomized(spark):
+    rng = random.Random(7)
+    rows = []
+    expected = {}
+    for k in range(6):
+        ivs = []
+        for _ in range(rng.randint(1, 25)):
+            s = rng.randint(0, 200)
+            ivs.append((s, s + rng.randint(1, 40)))
+        rows += [(f"k{k}", s, e) for s, e in ivs]
+        expected[f"k{k}"] = _merge_brute(ivs)
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    got = {}
+    for r in coalesce_intervals(df, "k").collect():
+        got.setdefault(r.k, []).append((r.island, r.start_us, r.end_us))
+    for k, merged in expected.items():
+        got_k = [(s, e) for _, s, e in sorted(got[k])]
+        assert got_k == merged, k
+
+
+# ---------------------------------------------------------------------------
+# canonical_url
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        # host/scheme case + www + default port + trailing slash + utm + frag
+        (
+            "HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&id=3&utm_campaign=c#top",
+            "https://ex.com/a/b?id=3",
+        ),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        # NON-default port survives
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+        # http with https' default port is NOT default -> survives
+        ("http://ex.com:443/a", "http://ex.com:443/a"),
+        # bare host, with and without the lone slash, meet
+        ("https://Ex.com/", "https://ex.com"),
+        ("https://ex.com", "https://ex.com"),
+        # all-utm query drops its '?'
+        ("https://ex.com/p?utm_a=1&utm_b=2", "https://ex.com/p"),
+        # non-utm params keep their original order
+        ("https://ex.com/p?b=2&utm_x=1&a=1", "https://ex.com/p?b=2&a=1"),
+    ],
+)
+def test_canonical_url_cases(spark, raw, want):
+    got = (
+        spark.createDataFrame([(raw,)], "url string")
+        .select(canonical_url(F.col("url")).alias("c"))
+        .first()
+        .c
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# phrase_match
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_match_counts_and_overlaps(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),          # "a b" twice
+            (2, "x x x"),              # "x x" overlapping: anchors 0 and 1
+            (3, "a c b"),              # terms present, phrase absent
+            (4, "b a"),                # reversed -> no match
+        ],
+        "doc_id long, text string",
+    )
+    pp = positional_postings(docs)
+    phrases = literal_phrases(spark, {"q1": "a b", "q2": "x x"})
+    got = {
+        (r.query_id, r.doc_id): r.n_hits
+        for r in phrase_match(pp, phrases).collect()
+    }
+    assert got == {("q1", 1): 2, ("q2", 2): 2}
+
+
+def test_phrase_match_trigram_and_anchor_floor(spark):
+    docs = spark.createDataFrame(
+        [(1, "u v w u v"), (2, "v w u")], "doc_id long, text string"
+    )
+    pp = positional_postings(docs)
+    phrases = literal_phrases(spark, {"t": "u v w"})
+    got = {
+        (r.query_id, r.doc_id): r.n_hits
+        for r in phrase_match(pp, phrases).collect()
+    }
+    # doc 2 has "v w u" — the anchor for u@2 would be 2, v@0 anchor -1
+    # (filtered), so no complete anchor
+    assert got == {("t", 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse / overlap_topk
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_missing_side_and_order(spark):
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2)], "query_id string, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q", 20, 1), ("q", 30, 2)], "query_id string, doc_id long, rank int"
+    )
+    rows = rrf_fuse(a, b, k=60, topk=10).orderBy("fused_rank").collect()
+    # doc 20: 1/62 + 1/61 > doc 10: 1/61 > doc 30: 1/62
+    assert [r.doc_id for r in rows] == [20, 10, 30]
+    assert rows[0].rrf_score == pytest.approx(1 / 62 + 1 / 61)
+    # missing ranks surface as 0
+    assert (rows[1].rank_a, rows[1].rank_b) == (1, 0)
+    assert (rows[2].rank_a, rows[2].rank_b) == (0, 2)
+
+
+def test_overlap_topk_tiebreaks(spark):
+    postings = spark.createDataFrame(
+        # (term, doc_id, tf, dl)
+        [
+            ("a", 1, 1, 5),
+            ("b", 1, 1, 5),
+            ("a", 2, 3, 3),
+            ("b", 2, 1, 3),
+            ("a", 3, 1, 3),
+        ],
+        "term string, doc_id long, tf long, dl int",
+    )
+    queries = spark.createDataFrame(
+        [("q", "a"), ("q", "b")], "query_id string, term string"
+    )
+    rows = overlap_topk(postings, queries, topk=10).orderBy("rank").collect()
+    # 2 matched terms beats 1; among {1,2} the shorter doc (2) wins;
+    # tf must NOT matter
+    assert [r.doc_id for r in rows] == [2, 1, 3]
+
+
+# ---------------------------------------------------------------------------
+# gate-level invariants on the sf0.001 smoke tables
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_tolerance_mask(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    q = load_registry()["asof_tolerance_lookup"]
+    rows = q.spark(spark, SF).collect()
+    assert rows, "no purchases in smoke data?"
+    for r in rows:
+        if r.matched:
+            assert r.gap_us is not None and 0 <= r.gap_us <= 2 * 3600 * 10**6
+            assert r.click_value is not None
+        else:
+            assert r.gap_us is None and r.click_value is None
+
+
+def test_interval_coalesce_islands_disjoint(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    q = load_registry()["interval_coalesce"]
+    rows = q.spark(spark, SF).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.island, r.start_us, r.end_us))
+    for user, islands in by_user.items():
+        islands.sort()
+        for (i1, s1, e1), (i2, s2, e2) in zip(islands, islands[1:]):
+            assert i2 == i1 + 1
+            assert s2 > e1, f"user {user}: islands touch or overlap"
+            assert s1 < e1 and s2 < e2
