@@ -159,6 +159,7 @@ def coalesce_intervals(
     start_col: str = "start_us",
     end_col: str = "end_us",
     tiebreak: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Merge overlapping-or-adjacent [start, end) intervals per key.
 
@@ -176,7 +177,12 @@ def coalesce_intervals(
     which is also why this form ports to Structured Streaming unchanged.
 
     Returns ``(by..., island, start, end, n_rows)`` with ``island``
-    numbered from 1 in start order.
+    numbered from 1 in start order. With ``weight_col``, ``n_rows`` is
+    the SUM of that column instead of a row count — the re-merge form:
+    islands are themselves intervals carrying their member count, so a
+    stored-islands ∪ new-rows union re-coalesces exactly (associativity
+    of interval merge), which is what the streaming maintainer
+    (streaming/intervals.py) relies on.
     """
     by_cols = [by] if isinstance(by, str) else list(by)
     order = [F.col(start_col).asc()] + (
@@ -192,8 +198,11 @@ def coalesce_intervals(
     flagged = df.withColumn("_new", new_island).withColumn(
         "island", F.sum("_new").over(w_cum)
     )
+    n_rows = (
+        F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    ).alias("n_rows")
     return flagged.groupBy(*by_cols, "island").agg(
         F.min(start_col).alias(start_col),
         F.max(end_col).alias(end_col),
-        F.count(F.lit(1)).alias("n_rows"),
+        n_rows,
     )

@@ -179,6 +179,8 @@ def load_registry() -> dict[str, Q]:
         "text_normalize_dedup", "seasonal_hour_profile",
         "equidepth_decile_bins", "range_join_bucketized",
         "asof_tolerance_lookup",
+        "pareto_frontier_price_qty", "budget_apportion_sources",
+        "bpe_encode_corpus",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

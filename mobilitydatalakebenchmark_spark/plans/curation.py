@@ -746,3 +746,257 @@ def asof_tolerance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(within, gap).alias("gap_us"),
         F.coalesce(within, F.lit(False)).alias("matched"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): per return flag, the lineitems not weakly
+# dominated on (price low, quantity high). One RANGE-frame window on the
+# price order gives the classic sweep: a row is on the frontier iff its
+# quantity beats every STRICTLY cheaper row's max and it is the max
+# quantity at its own price point. Exact integer cents / centi-units.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_frontier_price_qty",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         l_orderkey
+  FROM lineitem
+),
+swept AS (
+  SELECT flag, cents, qty_c, l_orderkey,
+         max(qty_c) OVER (PARTITION BY flag ORDER BY cents
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS best_cheaper,
+         max(qty_c) OVER (PARTITION BY flag, cents) AS best_here
+  FROM c
+)
+SELECT flag, cents / 100.0 AS price, qty_c / 100.0 AS quantity,
+       count(*) AS n_dups, min(l_orderkey) AS keeper_order
+FROM swept
+WHERE qty_c > coalesce(best_cheaper, -1) AND qty_c = best_here
+GROUP BY flag, cents, qty_c
+ORDER BY flag, cents
+""",
+    doc="Pareto frontier / skyline per return flag on (minimize price, "
+    "maximize quantity): one price-ordered RANGE-frame window per "
+    "group — keep rows whose quantity beats every strictly-cheaper "
+    "row's max and equal the max at their own price — the multi-"
+    "objective shortlist operator (cheapest-per-capability screens); "
+    "exact integer grids, the frontier group-by dedups ties",
+    tags=("window", "skyline", "optimizer"),
+)
+def pareto_frontier_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        "l_orderkey",
+    )
+    w_cheaper = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_here = Window.partitionBy("flag", "cents")
+    swept = li.withColumn(
+        "best_cheaper", F.max("qty_c").over(w_cheaper)
+    ).withColumn("best_here", F.max("qty_c").over(w_here))
+    frontier = swept.filter(
+        (F.col("qty_c") > F.coalesce(F.col("best_cheaper"), F.lit(-1)))
+        & (F.col("qty_c") == F.col("best_here"))
+    )
+    return (
+        frontier.groupBy("flag", "cents", "qty_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("l_orderkey").alias("keeper_order"),
+        )
+        .select(
+            "flag",
+            (F.col("cents") / 100.0).alias("price"),
+            (F.col("qty_c") / 100.0).alias("quantity"),
+            "n_dups",
+            "keeper_order",
+        )
+        .orderBy("flag", "price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment: split a fixed token budget
+# across sources proportionally to their exact token counts, distributing
+# the rounding leftover to the largest remainders. Pure BIGINT algebra
+# (budget*tokens <= ~1e13 — far inside long range), engine-identical.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 1_000_000
+
+
+@register(
+    "budget_apportion_sources",
+    oracle=f"""
+WITH toks AS (
+  SELECT source,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total FROM toks),
+q AS (
+  SELECT source, n_tokens,
+         ({_BUDGET_TOKENS} * n_tokens) // total AS floor_alloc,
+         ({_BUDGET_TOKENS} * n_tokens) % total AS remainder
+  FROM toks CROSS JOIN tot
+),
+lo AS (
+  SELECT {_BUDGET_TOKENS} - sum(floor_alloc) AS leftover FROM q
+),
+r AS (
+  SELECT source, n_tokens, floor_alloc, remainder,
+         row_number() OVER (ORDER BY remainder DESC, source) AS rnk
+  FROM q
+)
+SELECT source, n_tokens, floor_alloc,
+       CASE WHEN rnk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS extra,
+       floor_alloc
+         + CASE WHEN rnk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+         AS alloc
+FROM r
+ORDER BY source
+""",
+    doc="largest-remainder (Hamilton) budget apportionment: a fixed "
+    "1M-token budget split across sources proportional to exact token "
+    "counts, floor quotas first, the leftover distributed one each to "
+    "the largest remainders (source tiebreak) — the data-mixing "
+    "allocator that hits the budget EXACTLY (temperature resampling's "
+    "rates never do); pure bigint div/mod, the leftover scalar "
+    "broadcasts",
+    tags=("text", "sampling", "apportionment"),
+)
+def budget_apportion_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    ).cast("long")
+    toks = docs.groupBy("source").agg(F.sum(n_tokens).alias("n_tokens"))
+    tot = toks.agg(F.sum("n_tokens").alias("total"))
+    q = toks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"({_BUDGET_TOKENS} * n_tokens) div total").alias("floor_alloc"),
+        ((F.lit(_BUDGET_TOKENS) * F.col("n_tokens")) % F.col("total")).alias(
+            "remainder"
+        ),
+    )
+    lo = q.agg(
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc")).alias("leftover")
+    )
+    ranked = q.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("remainder"), F.asc("source"))),
+    ).crossJoin(F.broadcast(lo))
+    extra = F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "floor_alloc",
+        extra.alias("extra"),
+        (F.col("floor_alloc") + extra).alias("alloc"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding applied: train the same 3 merge rounds as bpe_train_rounds,
+# then report the per-source compression the learned rules buy — the
+# "apply the tokenizer" half of the BPE story (the train gate pins the
+# rules; this pins the rewritten corpus itself via exact token counts).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle() -> str:
+    from .text import _BPE_ROUNDS
+
+    parts = [
+        "WITH t0 AS (SELECT doc_id, source, text FROM documents)"
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(list_transform(
+        range(1, len(string_split(text, ' '))),
+        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+    )) AS pair
+    FROM t{r - 1}
+  ) GROUP BY pair
+),
+top{r} AS (SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1),
+t{r} AS (
+  SELECT doc_id, source,
+         trim(replace(
+           replace(chr(1) || replace(text, ' ', ' ' || chr(1)) || ' ',
+                   chr(1) || replace((SELECT pair FROM top{r}),
+                                     ' ', ' ' || chr(1)) || ' ',
+                   chr(1) || replace((SELECT pair FROM top{r}),
+                                     ' ', '@') || ' '),
+           chr(1), '')) AS text
+  FROM t{r - 1}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT b.source,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(b.text, ' '))) AS BIGINT) AS tokens_before,
+       CAST(sum(len(string_split(a.text, ' '))) AS BIGINT) AS tokens_after,
+       CAST(sum(len(string_split(b.text, ' '))) AS BIGINT)
+         - CAST(sum(len(string_split(a.text, ' '))) AS BIGINT) AS tokens_saved
+FROM t0 b JOIN t{_BPE_ROUNDS} a USING (doc_id)
+GROUP BY b.source
+ORDER BY b.source
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE encoding applied per source (operators/bpe.bpe_train_rounds "
+    "merged output): the 3 trained merge rules rewrite the corpus, the "
+    "gate pins exact before/after/saved token counts per source — the "
+    "tokenizer-application half of the BPE pair (bpe_train_rounds pins "
+    "the rules); greedy left-to-right literal replace is engine-"
+    "identical via the sentinel rendering, counts are exact bigints",
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_rounds
+    from ..operators.text_analysis import token_count
+    from .text import _BPE_ROUNDS
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    _, merged = bpe_train_rounds(docs, "text", n_rounds=_BPE_ROUNDS)
+    before = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("tb")
+    )
+    after = merged.select("doc_id", token_count(F.col("text")).alias("ta"))
+    joined = before.join(after, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tb").alias("tokens_before"),
+            F.sum("ta").alias("tokens_after"),
+            (F.sum("tb") - F.sum("ta")).alias("tokens_saved"),
+        )
+        .orderBy("source")
+    )

@@ -233,3 +233,61 @@ def test_interval_coalesce_islands_disjoint(spark):
             assert i2 == i1 + 1
             assert s2 > e1, f"user {user}: islands touch or overlap"
             assert s1 < e1 and s2 < e2
+
+
+def test_pareto_frontier_mutual_nondominance(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    q = load_registry()["pareto_frontier_price_qty"]
+    rows = q.spark(spark, SF).collect()
+    by_flag: dict[str, list] = {}
+    for r in rows:
+        by_flag.setdefault(r.flag, []).append((r.price, r.quantity))
+    for flag, pts in by_flag.items():
+        # frontier sorted by price must be strictly increasing in quantity
+        pts.sort()
+        for (p1, q1), (p2, q2) in zip(pts, pts[1:]):
+            assert p2 > p1, f"{flag}: duplicate price on frontier"
+            assert q2 > q1, f"{flag}: dominated point survived"
+
+
+def test_pareto_frontier_complete_on_toy(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+    import itertools
+
+    # brute-force weak-dominance filter on the smoke lineitem must equal
+    # the gate's frontier set
+    q = load_registry()["pareto_frontier_price_qty"]
+    got = {(r.flag, r.price, r.quantity) for r in q.spark(spark, SF).collect()}
+    li = [
+        (r.l_returnflag, round(r.l_extendedprice, 2), round(r.l_quantity, 2))
+        for r in spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    ]
+    want = set()
+    for flag, pts in itertools.groupby(sorted(li), key=lambda x: x[0]):
+        pts = [(p, qq) for _, p, qq in pts]
+        for p, qq in pts:
+            dominated = any(
+                (p2 <= p and q2 >= qq and (p2 < p or q2 > qq))
+                for p2, q2 in pts
+            )
+            if not dominated:
+                want.add((flag, p, qq))
+    assert got == want
+
+
+def test_apportionment_exactly_hits_budget(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    q = load_registry()["budget_apportion_sources"]
+    rows = q.spark(spark, SF).collect()
+    assert sum(r.alloc for r in rows) == 1_000_000
+    for r in rows:
+        assert r.alloc in (r.floor_alloc, r.floor_alloc + 1)
+        assert r.extra in (0, 1)
+    # proportionality sanity: allocation ordering follows token ordering
+    rows.sort(key=lambda r: r.n_tokens)
+    for a, b in zip(rows, rows[1:]):
+        assert a.alloc <= b.alloc + 1  # Hamilton can flip by at most 1
