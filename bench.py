@@ -74,6 +74,15 @@ HEADLINE = [
     "cusum_changepoints",
     "snapshot_diff_report",
     "gdpr_retract_rollup",
+    # round-7 continuation batch watch entries (each ~1s spark-side at
+    # sf0.1). Off the list for cost, recorded in ORACLE_r{N}.json secs:
+    # retrieval_rrf_fusion (runs BM25 AND the overlap ranker),
+    # bpe_encode_corpus (3 corpus rewrite rounds like bpe_train_rounds),
+    # interval_coalesce (materializes ~1M island rows at sf0.1)
+    "url_canonical_dedup",
+    "seasonal_hour_profile",
+    "retrieval_phrase_match",
+    "budget_apportion_sources",
 ]
 
 

@@ -260,3 +260,39 @@ def hotspot_clusters(
             ),
         )
     )
+
+
+def l_diverse_cells(
+    df: DataFrame,
+    l: int = 3,
+    cell_lat_deg: float = 1.0,
+    cell_lon_deg: float = 1.0,
+    id_col: str = "uuid",
+    sensitive_col: str = "kind",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Location l-diversity audit — k-anonymity's stronger sibling
+    (Machanavajjhala et al. 2007): a cell can be k-anonymous yet leak if
+    everyone in it shares the same SENSITIVE value (all k visitors of a
+    cell at a clinic reveal why they were there). Per grid cell: exact
+    distinct-entity count, distinct sensitive-value count, and a
+    ``suppressed`` flag for cells with fewer than ``l`` distinct
+    sensitive values. Same single cell-keyed shuffle as
+    :func:`k_anonymous_cells`; both distinct counts are exact because
+    under-counting either weakens the guarantee."""
+    return (
+        df.select(
+            F.floor(F.col(lat_col) / cell_lat_deg).cast("long").alias("cx"),
+            F.floor(F.col(lon_col) / cell_lon_deg).cast("long").alias("cy"),
+            F.col(id_col),
+            F.col(sensitive_col),
+        )
+        .groupBy("cx", "cy")
+        .agg(
+            F.countDistinct(id_col).alias("n_entities"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+            F.count("*").alias("n_obs"),
+        )
+        .withColumn("suppressed", F.col("n_sensitive") < l)
+    )

@@ -181,6 +181,7 @@ def load_registry() -> dict[str, Q]:
         "asof_tolerance_lookup",
         "pareto_frontier_price_qty", "budget_apportion_sources",
         "bpe_encode_corpus",
+        "l_diversity_cells", "group_kfold_assign", "acf_lag1_per_user",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1000,3 +1000,206 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Location l-diversity audit: k-anonymity's stronger sibling — a cell is
+# publishable only if its visitors carry >= l DISTINCT sensitive values
+# (event_type stands in for the sensitive attribute). Exact counts only.
+# ---------------------------------------------------------------------------
+
+_CELL10_SQL = """cast(floor((value % 80.0) / 10.0) AS BIGINT) AS cx,
+         cast(floor(((value * 3.7) % 160.0) / 10.0) AS BIGINT) AS cy"""
+
+
+@register(
+    "l_diversity_cells",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id, event_type, {_CELL10_SQL}
+  FROM events
+)
+SELECT cx, cy,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+       cast(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+       cast(count(*) AS BIGINT) AS n_obs,
+       count(DISTINCT event_type) < 3 AS suppressed
+FROM obs GROUP BY cx, cy
+ORDER BY cx, cy
+""",
+    doc="location l-diversity audit (operators/mobility_metrics."
+    "l_diverse_cells, Machanavajjhala et al. 2007): per grid cell, "
+    "exact distinct-entity AND distinct-sensitive-value counts, "
+    "suppressing cells with fewer than l distinct sensitive values — "
+    "the leak k-anonymity misses when all k visitors share the "
+    "sensitive value; one cell-keyed shuffle like k_anonymity_cells",
+    tags=("mobility", "agg", "privacy"),
+)
+def l_diversity_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mobility_metrics import l_diverse_cells
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    out = l_diverse_cells(
+        ev,
+        l=3,
+        cell_lat_deg=10.0,
+        cell_lon_deg=10.0,
+        id_col="user_id",
+        sensitive_col="event_type",
+    )
+    return out.select(
+        "cx", "cy", "n_entities", "n_sensitive", "n_obs", "suppressed"
+    ).orderBy("cx", "cy")
+
+
+# ---------------------------------------------------------------------------
+# Group-level k-fold assignment: every USER lands wholly in one fold
+# (md5(user_id) % 5) — the leakage-safe cross-validation split (row-level
+# splits like sample_hash_split leak a user's behavior across folds).
+# Deterministic hash algebra; share is one bigint/bigint division.
+# ---------------------------------------------------------------------------
+
+_KFOLDS = 5
+
+
+@register(
+    "group_kfold_assign",
+    oracle=f"""
+WITH folded AS (
+  SELECT CAST(CAST('0x' || substr(md5('fold:' || CAST(user_id AS VARCHAR)),
+                                  1, 8) AS BIGINT) % {_KFOLDS} AS INT)
+             AS fold,
+         user_id, event_type
+  FROM events
+)
+SELECT fold,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       cast(count(*) AS BIGINT) AS n_events,
+       cast(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases,
+       CAST(count(*) AS DOUBLE)
+         / CAST(sum(count(*)) OVER () AS DOUBLE) AS share
+FROM folded
+GROUP BY fold
+ORDER BY fold
+""",
+    doc="group-level k-fold assignment: md5(user_id) mod 5 puts every "
+    "user's rows wholly in one fold — the leakage-safe CV split (row-"
+    "level splits leak a user across folds); engine-reproducible hash "
+    "algebra, per-fold exact counts, share is one bigint division — "
+    "membership is a pure function of the id, stable under any "
+    "repartitioning",
+    tags=("sampling", "ml", "split"),
+)
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fold:"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % _KFOLDS
+    ).cast("int")
+    h = ev.select(fold.alias("fold"), "user_id", "event_type")
+    w_all = Window.partitionBy()
+    return (
+        h.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "n_purchases"
+            ),
+        )
+        .withColumn(
+            "share",
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w_all).cast("double"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation per user: the persistence screen (r near 1 = a
+# sticky series, near 0 = noise). Exact bigint moments over the lag pairs
+# (values on their 1e-4 grid), numerator/denominator assembled with a
+# FIXED operation order — int->double conversion, sqrt, multiply, divide
+# are all IEEE-determined, so r is bit-identical with no rounding. At
+# corpus scales where n*Sxx would exceed int64 (~1e5 rows per key at this
+# grid), the sums switch to DECIMAL(38) — a cast, not a redesign.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acf_lag1_per_user",
+    oracle="""
+WITH v AS (
+  SELECT user_id,
+         CAST(round(value * 10000) AS BIGINT) AS x,
+         lead(CAST(round(value * 10000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM v WHERE y IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS acf1
+FROM m
+WHERE n >= 2
+ORDER BY user_id
+""",
+    doc="lag-1 autocorrelation per user (the persistence/stickiness "
+    "screen): lead-window pairs on the per-user sort, Pearson r from "
+    "exact bigint moments on the value's 1e-4 grid, assembled in one "
+    "fixed IEEE order (conversion, sqrt, multiply, divide are all "
+    "correctly-rounded ops) — bit-identical with no rounding; "
+    "degenerate (constant) series emit NULL; one user-keyed shuffle "
+    "shared by the window and the aggregate",
+    tags=("window", "time", "stats"),
+)
+def acf_lag1_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 10000).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = ev.select("user_id", "ts", "event_id", x.alias("x")).withColumn(
+        "y", F.lead("x").over(w)
+    )
+    m = (
+        v.filter(F.col("y").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    acf1 = F.when(
+        (var_x > 0) & (var_y > 0),
+        num / (F.sqrt(var_x.cast("double")) * F.sqrt(var_y.cast("double"))),
+    )
+    return (
+        m.filter(n >= 2)
+        .select("user_id", n.alias("n_pairs"), acf1.alias("acf1"))
+        .orderBy("user_id")
+    )

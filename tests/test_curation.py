@@ -291,3 +291,50 @@ def test_apportionment_exactly_hits_budget(spark):
     rows.sort(key=lambda r: r.n_tokens)
     for a, b in zip(rows, rows[1:]):
         assert a.alloc <= b.alloc + 1  # Hamilton can flip by at most 1
+
+
+def test_l_diversity_bounds_and_flag(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["l_diversity_cells"].spark(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.suppressed == (r.n_sensitive < 3)
+        assert 1 <= r.n_sensitive <= 5  # five event types exist
+        assert r.n_sensitive <= r.n_obs
+        assert r.n_entities <= r.n_obs
+
+
+def test_group_kfold_no_leakage_and_shares(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+    from pyspark.sql import functions as F
+
+    rows = load_registry()["group_kfold_assign"].spark(spark, SF).collect()
+    assert {r.fold for r in rows} <= set(range(5))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # fold totals must tile the table exactly
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+
+
+def test_acf_is_a_correlation(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["acf_lag1_per_user"].spark(spark, SF).collect()
+    assert rows
+    import numpy as np
+
+    for r in rows:
+        if r.acf1 is not None:
+            assert -1.0 - 1e-12 <= r.acf1 <= 1.0 + 1e-12
+    # spot-check one user against numpy's corrcoef
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(f"user_id = {rows[0].user_id}")
+        .orderBy("ts", "event_id")
+        .collect()
+    )
+    xs = np.round(np.array([e.value for e in ev]) * 10000)
+    want = np.corrcoef(xs[:-1], xs[1:])[0, 1]
+    assert rows[0].acf1 == __import__("pytest").approx(want, rel=1e-9)

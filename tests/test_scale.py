@@ -102,6 +102,33 @@ BOUNDS = {
     "bpe_train_rounds": 8.0,
     "bloom_pruned_star_join": 8.0,
     "minhash_group_rollup": 8.0,
+    # round-7 continuation batch: interval islands and the as-of mask
+    # are one-keyed-shuffle window chains; URL/normalize dedup are
+    # row-linear string algebra into one hash aggregate; phrase match
+    # joins only the phrase terms' posting lists (quadratic would mean
+    # the anchor group-by exploded); RRF runs both rankers over pruned
+    # postings; the decile ntile is one global sort (linear, single
+    # partition — the bound watches it staying so); pareto is two
+    # windows on one per-flag sort; apportionment is two tiny aggs;
+    # bucketized range join explodes intervals by a CONSTANT bucket
+    # count; BPE encode rescans the corpus once per round like training
+    "interval_coalesce": 8.0,
+    "asof_tolerance_lookup": 8.0,
+    "url_canonical_dedup": 8.0,
+    "text_normalize_dedup": 8.0,
+    "retrieval_phrase_match": 8.0,
+    "retrieval_rrf_fusion": 8.0,
+    "seasonal_hour_profile": 8.0,
+    "equidepth_decile_bins": 8.0,
+    "pareto_frontier_price_qty": 8.0,
+    "budget_apportion_sources": 8.0,
+    "range_join_bucketized": 8.0,
+    "bpe_encode_corpus": 8.0,
+    # privacy/CV/stats additions: one keyed shuffle each (cell, fold,
+    # user); the ACF lead-window shares its sort with the moment agg
+    "l_diversity_cells": 8.0,
+    "group_kfold_assign": 8.0,
+    "acf_lag1_per_user": 8.0,
 }
 
 
