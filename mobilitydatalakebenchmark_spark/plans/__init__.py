@@ -182,6 +182,8 @@ def load_registry() -> dict[str, Q]:
         "pareto_frontier_price_qty", "budget_apportion_sources",
         "bpe_encode_corpus",
         "l_diversity_cells", "group_kfold_assign", "acf_lag1_per_user",
+        "hierarchy_ancestors", "weighted_median_price",
+        "benford_first_digit",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

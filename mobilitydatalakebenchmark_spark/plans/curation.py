@@ -1203,3 +1203,223 @@ def acf_lag1_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", n.alias("n_pairs"), acf1.alias("acf1"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy flattening: ancestors to depth 4 over an explicit parent-
+# pointer edge table (parent = node div 2 — a binary-heap-shaped org
+# chart synthesized from customer keys). The Spark plan is the bounded
+# join-chain (the warehouse way: d broadcast self-joins for depth d);
+# the oracle replays it with a genuinely RECURSIVE CTE, pinning that the
+# chain equals real recursion. Integer keys only.
+# ---------------------------------------------------------------------------
+
+_HIER_DEPTH = 4
+
+
+@register(
+    "hierarchy_ancestors",
+    oracle=f"""
+WITH RECURSIVE edges AS (
+  SELECT c_custkey AS node, c_custkey // 2 AS parent
+  FROM customer WHERE c_custkey >= 2
+),
+anc(node, depth, ancestor) AS (
+  SELECT node, 1 AS depth, parent AS ancestor FROM edges
+  UNION ALL
+  SELECT a.node, a.depth + 1, e.parent
+  FROM anc a JOIN edges e ON e.node = a.ancestor
+  WHERE a.depth < {_HIER_DEPTH}
+)
+SELECT node, depth, ancestor
+FROM anc
+ORDER BY node, depth
+""",
+    doc="hierarchy flattening to depth 4 (org-chart / BOM ancestor "
+    "expansion): parent-pointer edge table (parent = custkey div 2), "
+    "Spark runs the bounded broadcast join-chain — one self-join per "
+    "level, the plan shape that scales because each level is an equi-"
+    "join, never a driver loop — while the oracle replays it with a "
+    "genuinely RECURSIVE CTE; ancestors above the root fall out "
+    "because the join finds no edge row (custkey 1 has none)",
+    tags=("join", "hierarchy", "iterative"),
+)
+def hierarchy_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    edges = cust.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("node"),
+        F.expr("c_custkey div 2").alias("parent"),
+    )
+    # level 1 straight from the edge table; deeper levels re-join the
+    # edge table on the previous level's ancestor
+    level = edges.select("node", F.lit(1).alias("depth"), F.col("parent").alias("ancestor"))
+    out = level
+    for _ in range(2, _HIER_DEPTH + 1):
+        level = (
+            level.join(
+                edges.select(
+                    F.col("node").alias("ancestor"),
+                    F.col("parent").alias("_up"),
+                ),
+                "ancestor",
+            )
+            .select(
+                "node",
+                (F.col("depth") + 1).alias("depth"),
+                F.col("_up").alias("ancestor"),
+            )
+        )
+        out = out.unionByName(level)
+    return out.orderBy("node", "depth")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median per group: first price (in the exact cents order) whose
+# running quantity weight reaches half the group total — the robust
+# central-price statistic mean-based summaries miss. Pure bigints; the
+# 2*cum >= total comparison avoids any division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+r AS (
+  SELECT flag, cents, qty_c,
+         sum(qty_c) OVER (PARTITION BY flag
+                          ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cum_w,
+         sum(qty_c) OVER (PARTITION BY flag) AS total_w
+  FROM c
+)
+SELECT flag,
+       min(cents) / 100.0 AS wmedian_price,
+       min(total_w) / 100.0 AS total_weight
+FROM r
+WHERE 2 * cum_w >= total_w
+GROUP BY flag
+ORDER BY flag
+""",
+    doc="weighted median price per return flag (weight = quantity): one "
+    "per-group sort shared by the running-weight and total windows, "
+    "the median is the first row where 2*cum >= total — all-bigint "
+    "comparison, no division until the final display scale; the "
+    "robust central-price statistic, and the exact reference for a "
+    "sketch-based weighted quantile at 100 TB",
+    tags=("window", "agg", "stats"),
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    r = li.withColumn("cum_w", F.sum("qty_c").over(w_cum)).withColumn(
+        "total_w", F.sum("qty_c").over(w_tot)
+    )
+    return (
+        r.filter(2 * F.col("cum_w") >= F.col("total_w"))
+        .groupBy("flag")
+        .agg(
+            (F.min("cents") / 100.0).alias("wmedian_price"),
+            (F.min("total_w") / 100.0).alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit screen: the classic fabricated-numbers detector.
+# Counts are exact; observed share is ONE bigint division; the expected
+# Benford mass is a shared repr() literal per digit — every float on
+# both sides is the identical IEEE value, so the deviation column needs
+# no rounding.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD = {d: repr(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+def _benford_case_sql() -> str:
+    # CAST each literal: DuckDB types a bare 0.30102999... literal as
+    # DECIMAL(17,16), which would ship a Decimal column where Spark
+    # ships a double — same value, different wire type
+    whens = " ".join(
+        f"WHEN {d} THEN CAST({lit} AS DOUBLE)" for d, lit in _BENFORD.items()
+    )
+    return f"CASE digit {whens} END"
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice > 0
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+tot AS (SELECT sum(n) AS total FROM c)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed,
+       {_benford_case_sql()} AS expected,
+       CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+         - {_benford_case_sql()} AS deviation
+FROM c CROSS JOIN tot
+ORDER BY digit
+""",
+    doc="Benford first-digit screen (the fabricated-numbers detector "
+    "from forensic accounting / DQ): leading digit of exact price "
+    "cents, per-digit counts, observed share as one bigint division, "
+    "expected mass log10(1+1/d) as shared repr literals — every float "
+    "identical on both engines, the deviation column ships unrounded; "
+    "one 9-group aggregate, scan-dominated at any scale",
+    tags=("agg", "quality", "stats"),
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    c = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.agg(F.sum("n").alias("total"))
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == d, F.lit(float(_BENFORD[d]))
+        ).otherwise(expected)
+    observed = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            observed.alias("observed"),
+            expected.alias("expected"),
+            (observed - expected).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

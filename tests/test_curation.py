@@ -338,3 +338,67 @@ def test_acf_is_a_correlation(spark):
     xs = np.round(np.array([e.value for e in ev]) * 10000)
     want = np.corrcoef(xs[:-1], xs[1:])[0, 1]
     assert rows[0].acf1 == __import__("pytest").approx(want, rel=1e-9)
+
+
+def test_hierarchy_ancestors_match_shift_identity(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["hierarchy_ancestors"].spark(spark, SF).collect()
+    assert rows
+    seen_depths = set()
+    for r in rows:
+        # parent = node div 2 repeated d times == node >> d, and the chain
+        # must stop above the root (ancestor >= 1 always; no depth-d row
+        # exists when node >> (d-1) is already the root)
+        assert r.ancestor == r.node >> r.depth
+        assert 1 <= r.depth <= 4
+        assert r.ancestor >= 1
+        seen_depths.add(r.depth)
+    assert seen_depths == {1, 2, 3, 4}
+    by_node = {}
+    for r in rows:
+        by_node.setdefault(r.node, set()).add(r.depth)
+    for node, depths in by_node.items():
+        want = {d for d in range(1, 5) if node >> (d - 1) >= 2}
+        assert depths == want, node
+
+
+def test_weighted_median_bruteforce(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    got = {
+        r.flag: (r.wmedian_price, r.total_weight)
+        for r in load_registry()["weighted_median_price"].spark(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (round(r.l_extendedprice * 100), round(r.l_quantity * 100),
+             r.l_orderkey, r.l_linenumber)
+        )
+    for flag, rows in groups.items():
+        rows.sort()
+        total = sum(q for _, q, _, _ in rows)
+        cum = 0
+        for cents, q, _, _ in rows:
+            cum += q
+            if 2 * cum >= total:
+                assert got[flag] == (cents / 100.0, total / 100.0), flag
+                break
+
+
+def test_benford_shares_and_expected(spark):
+    import math
+
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["benford_first_digit"].spark(spark, SF).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.observed for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.expected == math.log10(1.0 + 1.0 / r.digit)
+        assert r.deviation == r.observed - r.expected

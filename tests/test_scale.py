@@ -129,6 +129,11 @@ BOUNDS = {
     "l_diversity_cells": 8.0,
     "group_kfold_assign": 8.0,
     "acf_lag1_per_user": 8.0,
+    # hierarchy: 4 bounded equi-joins (quadratic would mean a join key
+    # collapsed); weighted median and Benford are one sort / one agg
+    "hierarchy_ancestors": 8.0,
+    "weighted_median_price": 8.0,
+    "benford_first_digit": 8.0,
 }
 
 
