@@ -184,6 +184,7 @@ def load_registry() -> dict[str, Q]:
         "l_diversity_cells", "group_kfold_assign", "acf_lag1_per_user",
         "hierarchy_ancestors", "weighted_median_price",
         "benford_first_digit",
+        "skew_gini_report", "join_cardinality_estimate",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

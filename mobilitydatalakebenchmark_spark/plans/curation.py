@@ -1423,3 +1423,156 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew observability: per key-space, the exact Gini coefficient of the
+# per-key row-count distribution — the one number that says "this join/
+# aggregation key will hot-spot". Gini from the sorted-rank identity
+# G = (2*S1 - (n+1)*S0) / (n*S0) with S1 = sum(i * c_i) over counts
+# sorted ascending — all BIGINT until one final division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_gini_report",
+    oracle="""
+WITH uc AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY k
+),
+ur AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS i FROM uc
+),
+um AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS s0, sum(i * c) AS s1,
+         max(c) AS max_c
+  FROM ur
+),
+oc AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY k
+),
+orr AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS i FROM oc
+),
+om AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS s0, sum(i * c) AS s1,
+         max(c) AS max_c
+  FROM orr
+)
+SELECT 'events.user_id' AS key_space, n AS n_keys, s0 AS total_rows,
+       max_c AS max_count,
+       CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini
+FROM um
+UNION ALL
+SELECT 'lineitem.l_orderkey', n, s0, max_c,
+       CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)
+FROM om
+ORDER BY key_space
+""",
+    doc="key-skew observability report: exact Gini coefficient of the "
+    "per-key row-count distribution for two join/agg key spaces, via "
+    "the sorted-rank identity (2*S1 - (n+1)*S0)/(n*S0) — all-bigint "
+    "moments over a rank window on the (small) per-key count table, "
+    "ONE final division; the number that predicts shuffle hot-spotting "
+    "before functions/skew.py salting is needed",
+    tags=("agg", "skew", "observability"),
+)
+def skew_gini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def gini_of(df: DataFrame, key: str, label: str) -> DataFrame:
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.orderBy("c", "k")
+        ranked = counts.withColumn(
+            "i", F.row_number().over(w).cast("long")
+        )
+        m = ranked.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s0"),
+            F.sum(F.col("i") * F.col("c")).alias("s1"),
+            F.max("c").alias("max_c"),
+        )
+        n, s0, s1 = F.col("n"), F.col("s0"), F.col("s1")
+        return m.select(
+            F.lit(label).alias("key_space"),
+            n.alias("n_keys"),
+            s0.alias("total_rows"),
+            F.col("max_c").alias("max_count"),
+            (
+                (2 * s1 - (n + 1) * s0).cast("double")
+                / (n * s0).cast("double")
+            ).alias("gini"),
+        )
+
+    ev = t(spark, sf_dir, "events")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        gini_of(ev, "user_id", "events.user_id")
+        .unionByName(gini_of(li, "l_orderkey", "lineitem.l_orderkey"))
+        .orderBy("key_space")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality identity: the optimizer's equi-join size estimate from
+# per-key histograms — sum over keys of cntA(k)*cntB(k) — must EQUAL the
+# actual join row count. The gate computes both (histograms joined on the
+# key vs the real join, counted) and pins the identity as a boolean, so
+# a statistics regression in either path is a red row. All-bigint.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+WITH a AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS ca
+  FROM orders GROUP BY k
+),
+b AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cb
+  FROM events GROUP BY k
+),
+est AS (
+  SELECT sum(ca * cb) AS estimated, CAST(count(*) AS BIGINT) AS n_shared_keys
+  FROM a JOIN b USING (k)
+),
+act AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual
+  FROM orders o JOIN events e ON o.o_custkey = e.user_id
+)
+SELECT estimated, actual, n_shared_keys, estimated = actual AS identity_holds
+FROM est CROSS JOIN act
+""",
+    doc="equi-join cardinality from per-key histograms: sum over shared "
+    "keys of cntA*cntB (two group-bys + a key-table join — the plan an "
+    "optimizer's statistics pass runs) pinned EQUAL to the actual join "
+    "row count computed the expensive way; the in-plan identity "
+    "boolean makes a statistics regression a red row, and the "
+    "histogram form is how the estimate stays computable when the "
+    "real join would be too big to materialize",
+    tags=("join", "optimizer", "stats"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    ev = t(spark, sf_dir, "events")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    est = a.join(b, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("estimated"),
+        F.count(F.lit(1)).alias("n_shared_keys"),
+    )
+    act = orders.join(ev, orders.o_custkey == ev.user_id).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    return est.crossJoin(F.broadcast(act)).select(
+        "estimated",
+        "actual",
+        "n_shared_keys",
+        (F.col("estimated") == F.col("actual")).alias("identity_holds"),
+    )

@@ -402,3 +402,33 @@ def test_benford_shares_and_expected(spark):
     for r in rows:
         assert r.expected == math.log10(1.0 + 1.0 / r.digit)
         assert r.deviation == r.observed - r.expected
+
+
+def test_gini_matches_bruteforce_and_bounds(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = {
+        r.key_space: r
+        for r in load_registry()["skew_gini_report"].spark(spark, SF).collect()
+    }
+    assert set(rows) == {"events.user_id", "lineitem.l_orderkey"}
+    ev = spark.read.parquet(f"{SF}/events.parquet").groupBy("user_id").count()
+    counts = sorted((r["count"], r["user_id"]) for r in ev.collect())
+    n = len(counts)
+    s0 = sum(c for c, _ in counts)
+    s1 = sum((i + 1) * c for i, (c, _) in enumerate(counts))
+    want = (2 * s1 - (n + 1) * s0) / (n * s0)
+    got = rows["events.user_id"]
+    assert got.gini == __import__("pytest").approx(want, abs=0)
+    assert got.n_keys == n and got.total_rows == s0
+    for r in rows.values():
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_join_cardinality_identity_holds(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    r = load_registry()["join_cardinality_estimate"].spark(spark, SF).first()
+    assert r.identity_holds
+    assert r.estimated == r.actual > 0
+    assert r.n_shared_keys > 0

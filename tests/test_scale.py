@@ -134,6 +134,13 @@ BOUNDS = {
     "hierarchy_ancestors": 8.0,
     "weighted_median_price": 8.0,
     "benford_first_digit": 8.0,
+    # observability gates: gini's rank window runs on the per-key count
+    # table (keys, not rows); the cardinality gate's actual-join side
+    # grows with match count — k-consistent replication makes that k^2
+    # per shared key (k x A-rows matching k x B-rows), so its bound
+    # rides the join's own quadratic growth at 16 plus overhead slack
+    "skew_gini_report": 8.0,
+    "join_cardinality_estimate": 40.0,
 }
 
 
