@@ -55,8 +55,10 @@ def canonical_url(url: Column) -> Column:
     port = F.when(
         (p["port"] == "") | (p["port"] == default_port), F.lit("")
     ).otherwise(F.concat(F.lit(":"), p["port"]))
-    # strip ONE trailing slash; a bare "/" path canonicalizes to ""
-    path = F.regexp_replace(p["path"], r"/$", "")
+    # strip ALL trailing slashes (a single-slash strip would not be
+    # idempotent on '//' paths — found by the hypothesis property);
+    # a bare "/" path canonicalizes to ""
+    path = F.regexp_replace(p["path"], r"/+$", "")
     clean_q = F.array_join(
         F.filter(
             F.split(p["query"], "&"),
@@ -89,7 +91,7 @@ def canonical_url_sql(url_expr: str) -> str:
         f" ELSE ':' || {port} END"
     )
     path = (
-        f"regexp_replace(regexp_extract({url_expr}, '{_PATH_RE}', 1), '/$', '')"
+        f"regexp_replace(regexp_extract({url_expr}, '{_PATH_RE}', 1), '/+$', '')"
     )
     # DuckDB's array_to_string returns NULL (not '') for an empty list —
     # coalesce so query-less URLs don't NULL out the whole concat

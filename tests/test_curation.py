@@ -432,3 +432,78 @@ def test_join_cardinality_identity_holds(spark):
     assert r.identity_holds
     assert r.estimated == r.actual > 0
     assert r.n_shared_keys > 0
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis properties (batched: one Spark job per example set)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_url_strat = st.builds(
+    lambda scheme, www, host, port, path, slash, q, frag: (
+        f"{scheme}://{www}{host}{port}/{path}{slash}{q}{frag}"
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTTps"]),
+    st.sampled_from(["", "www.", "WWW."]),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,6}(\.[A-Za-z]{2,3}){1,2}", fullmatch=True),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.from_regex(r"[A-Za-z0-9/]{0,10}", fullmatch=True),
+    st.sampled_from(["", "/"]),
+    st.sampled_from(["", "?a=1", "?utm_x=1", "?utm_x=1&b=2", "?b=2&utm_y=3&c=4"]),
+    st.sampled_from(["", "#frag", "#x/y?z"]),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_url_strat, min_size=1, max_size=40))
+def test_canonical_url_idempotent_property(spark, urls):
+    """canonical(canonical(u)) == canonical(u) — the property that makes
+    the canonical form a stable dedup key (re-canonicalizing stored keys
+    can never split or merge groups)."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url"))
+    rows = df.select(
+        once.alias("c1"),
+        # re-parse the canonical string through the same expression
+        canonical_url(once).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r
+
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=300),
+    st.integers(min_value=1, max_value=60),
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_iv, min_size=1, max_size=30),
+    st.lists(_iv, min_size=0, max_size=30),
+)
+def test_coalesce_intervals_associative_property(spark, batch_a, batch_b):
+    """merge(merge(A) ∪ B) == merge(A ∪ B) with member counts carried —
+    the associativity the streaming islands maintainer
+    (streaming/intervals.py) relies on for incremental re-merge."""
+    rows_a = [("k", s, s + d) for s, d in batch_a]
+    rows_b = [("k", s, s + d) for s, d in batch_b]
+    schema = "k string, start_us long, end_us long"
+    a = spark.createDataFrame(rows_a, schema)
+    ab = spark.createDataFrame(rows_a + rows_b, schema)
+    merged_a = coalesce_intervals(a, "k").select(
+        "k", "start_us", "end_us", F.col("n_rows")
+    )
+    b_w = spark.createDataFrame(rows_b, schema).withColumn(
+        "n_rows", F.lit(1).cast("long")
+    ) if rows_b else None
+    union = merged_a if b_w is None else merged_a.unionByName(b_w)
+    incremental = coalesce_intervals(
+        union, "k", weight_col="n_rows"
+    )
+    direct = coalesce_intervals(ab, "k")
+    snap = lambda df: sorted(
+        (r.island, r.start_us, r.end_us, r.n_rows) for r in df.collect()
+    )
+    assert snap(incremental) == snap(direct)
