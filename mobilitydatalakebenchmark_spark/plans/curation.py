@@ -1576,3 +1576,183 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared_keys",
         (F.col("estimated") == F.col("actual")).alias("identity_holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid text+vector retrieval: the production RAG shape — BM25 over the
+# documents table fused (RRF) with cosine top-k over the aligned
+# embeddings table (vec_id == doc_id in the driver schema). Each query
+# carries text terms AND a probe vector (the embedding of probe doc
+# 0/1/2, the knn gates' convention). The vector rank rounds cosine to 4
+# decimals with id tiebreak (the repo's ANN discipline); the RRF sum is
+# the fixed-order two-term form — no further rounding anywhere.
+# ---------------------------------------------------------------------------
+
+_HYBRID_PROBE = {"q1": 0, "q2": 1, "q3": 2}
+
+
+def _hybrid_oracle() -> str:
+    from .text import _BM25_B, _BM25_K1, _BM25_QUERIES, _BM25_TOPK
+
+    vals = ", ".join(
+        f"('{qid}', '{term}')"
+        for qid, text in sorted(_BM25_QUERIES.items())
+        for term in dict.fromkeys(text.split())
+    )
+    probe_vals = ", ".join(
+        f"('{qid}', {pid})" for qid, pid in sorted(_HYBRID_PROBE.items())
+    )
+    k1, k1p1, one_b, b = (
+        repr(_BM25_K1),
+        repr(_BM25_K1 + 1.0),
+        repr(1.0 - _BM25_B),
+        repr(_BM25_B),
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+pq(query_id, probe_id) AS (VALUES {probe_vals}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY term, doc_id
+),
+ds AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM ds),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+),
+per AS (
+  SELECT q.query_id, p.doc_id, p.term,
+         ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (CAST(p.tf AS DOUBLE) * {k1p1})
+           / (CAST(p.tf AS DOUBLE)
+              + {k1} * ({one_b} + {b} * (CAST(ds.dl * c.n_docs AS DOUBLE)
+                                         / CAST(c.sum_dl AS DOUBLE))))
+           AS term_score
+  FROM q
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN ds USING (doc_id)
+  CROSS JOIN corpus c
+),
+folded AS (
+  SELECT query_id, doc_id,
+         round(list_sum(list(term_score ORDER BY term)), 4) AS score
+  FROM per GROUP BY query_id, doc_id
+),
+bm25 AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id) AS INT)
+             AS rank_a
+  FROM folded
+  QUALIFY rank_a <= {_BM25_TOPK}
+),
+probes AS (
+  SELECT pq.query_id, e.vec_id AS probe_id, e.embedding AS probe_vec
+  FROM pq JOIN embeddings e ON e.vec_id = pq.probe_id
+),
+sims AS (
+  SELECT p.query_id, e.vec_id AS doc_id,
+         round(list_dot_product(p.probe_vec, e.embedding)
+               / (sqrt(list_dot_product(p.probe_vec, p.probe_vec))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4)
+             AS cos_sim
+  FROM probes p CROSS JOIN embeddings e
+  WHERE e.vec_id != p.probe_id
+),
+vecrank AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, doc_id) AS INT)
+             AS rank_b
+  FROM sims
+  QUALIFY rank_b <= {_BM25_TOPK}
+),
+fused AS (
+  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.rank_a, b.rank_b,
+         coalesce(1.0 / (60 + a.rank_a), 0.0)
+           + coalesce(1.0 / (60 + b.rank_b), 0.0) AS rrf_score
+  FROM bm25 a FULL OUTER JOIN vecrank b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS INT)
+           AS fused_rank,
+       doc_id,
+       coalesce(rank_a, 0) AS rank_a,
+       coalesce(rank_b, 0) AS rank_b,
+       rrf_score
+FROM fused
+QUALIFY fused_rank <= {_BM25_TOPK}
+ORDER BY query_id, fused_rank
+"""
+
+
+@register(
+    "retrieval_hybrid_text_vector",
+    oracle=_hybrid_oracle(),
+    doc="hybrid text+vector retrieval (the RAG-serving shape): BM25 over "
+    "the documents inverted index RRF-fused with cosine top-10 over "
+    "the id-aligned embeddings table (each query = text terms + a "
+    "probe vector) — operators/retrieval.rrf_fuse combining the two "
+    "rank tables; lexical side reuses the bm25_topk plan (posting-"
+    "list-pruned joins), vector side is the brute-force scan with "
+    "hoisted norms, ranked on 4-decimal cosine with id tiebreak; the "
+    "fuse itself is a topk-sized full-outer join per query",
+    tags=("text", "vector", "retrieval", "fusion"),
+)
+def retrieval_hybrid_text_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, build_postings, literal_queries, rrf_fuse
+    from .text import _BM25_B, _BM25_K1, _BM25_QUERIES, _BM25_TOPK
+    from .vectors import dot, norm
+
+    docs = t(spark, sf_dir, "documents")
+    postings, doc_stats = build_postings(docs)
+    queries = literal_queries(spark, _BM25_QUERIES)
+    a = bm25_topk(
+        postings, doc_stats, queries, k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK
+    ).select("query_id", "doc_id", "rank")
+
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    pq = spark.createDataFrame(
+        sorted(_HYBRID_PROBE.items()), "query_id string, probe_id long"
+    )
+    probes = pq.join(
+        e.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        ),
+        "probe_id",
+    ).withColumn("_pn", norm(F.col("probe_vec")))
+    sims = (
+        e.withColumn("_vn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("probe_vec"), F.col("embedding"))
+                / (F.col("_vn") * F.col("_pn")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    b = (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse(a, b, k=60, topk=_BM25_TOPK).orderBy(
+        "query_id", "fused_rank"
+    )

@@ -507,3 +507,29 @@ def test_coalesce_intervals_associative_property(spark, batch_a, batch_b):
         (r.island, r.start_us, r.end_us, r.n_rows) for r in df.collect()
     )
     assert snap(incremental) == snap(direct)
+
+
+def test_hybrid_retrieval_fuses_both_signals(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["retrieval_hybrid_text_vector"].spark(
+        spark, SF
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {"q1", "q2", "q3"}
+    for qid, rs in by_q.items():
+        assert [r.fused_rank for r in sorted(rs, key=lambda r: r.fused_rank)] == list(
+            range(1, len(rs) + 1)
+        )
+        # both rankers actually contribute: some doc has a text rank,
+        # some doc has a vector rank
+        assert any(r.rank_a > 0 for r in rs), qid
+        assert any(r.rank_b > 0 for r in rs), qid
+        # scores are the two-term RRF sums of the carried ranks
+        for r in rs:
+            want = (1 / (60 + r.rank_a) if r.rank_a else 0.0) + (
+                1 / (60 + r.rank_b) if r.rank_b else 0.0
+            )
+            assert r.rrf_score == want

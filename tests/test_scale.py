@@ -141,6 +141,9 @@ BOUNDS = {
     # rides the join's own quadratic growth at 16 plus overhead slack
     "skew_gini_report": 8.0,
     "join_cardinality_estimate": 40.0,
+    # hybrid retrieval: BM25's pruned posting joins + one brute-force
+    # vector scan per probe + a topk-sized fuse — all linear in rows
+    "retrieval_hybrid_text_vector": 8.0,
 }
 
 
