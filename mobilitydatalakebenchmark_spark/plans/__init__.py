@@ -185,7 +185,7 @@ def load_registry() -> dict[str, Q]:
         "hierarchy_ancestors", "weighted_median_price",
         "benford_first_digit",
         "skew_gini_report", "join_cardinality_estimate",
-        "retrieval_hybrid_text_vector",
+        "retrieval_hybrid_text_vector", "drift_chi2_event_mix",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

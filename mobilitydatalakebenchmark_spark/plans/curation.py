@@ -1756,3 +1756,102 @@ def retrieval_hybrid_text_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(a, b, k=60, topk=_BM25_TOPK).orderBy(
         "query_id", "fused_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift screen: Pearson chi-square on the event-type mix
+# between two time windows (the dataset-shift detector run between
+# corpus/feed versions before retraining). Every observed/expected value
+# derives from exact bigint counts through a FIXED expression tree, and
+# the chi-square total is an ordered fold over the type labels — no
+# float aggregation order anywhere, so no rounding is needed at all.
+# ---------------------------------------------------------------------------
+
+_DRIFT_CUT = "2024-01-16 00:00:00"
+
+
+@register(
+    "drift_chi2_event_mix",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE ts <  TIMESTAMP '{_DRIFT_CUT}')
+              AS BIGINT) AS o1,
+         CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '{_DRIFT_CUT}')
+              AS BIGINT) AS o2
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT sum(o1) AS t1, sum(o2) AS t2, sum(o1 + o2) AS t FROM c
+),
+cells AS (
+  SELECT event_type, o1, o2,
+         CAST(t1 AS DOUBLE) * (CAST(o1 + o2 AS DOUBLE) / CAST(t AS DOUBLE))
+             AS e1,
+         CAST(t2 AS DOUBLE) * (CAST(o1 + o2 AS DOUBLE) / CAST(t AS DOUBLE))
+             AS e2
+  FROM c CROSS JOIN tot
+),
+contrib AS (
+  SELECT event_type, o1, o2, e1, e2,
+         (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / e1
+           + (CAST(o2 AS DOUBLE) - e2) * (CAST(o2 AS DOUBLE) - e2) / e2
+             AS cell_chi2
+  FROM cells
+)
+SELECT event_type, o1, o2, e1, e2, cell_chi2,
+       (SELECT list_sum(list(cell_chi2 ORDER BY event_type)) FROM contrib)
+           AS chi2_total
+FROM contrib
+ORDER BY event_type
+""",
+    doc="distribution-drift screen: Pearson chi-square of the event-type "
+    "mix across a time cut (the dataset-shift detector between feed/"
+    "corpus versions): per-type observed bigints, expected cells from "
+    "the pooled margin through one fixed expression tree, the total an "
+    "ordered fold over type labels — every float identical on both "
+    "engines, nothing rounded; two map-side-combined counts, the "
+    "5-row statistic table broadcasts",
+    tags=("agg", "quality", "drift", "stats"),
+)
+def drift_chi2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit(_DRIFT_CUT).cast("timestamp")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).alias("o1"),
+        F.count(F.when(F.col("ts") >= cut, 1)).alias("o2"),
+    )
+    tot = c.agg(
+        F.sum("o1").alias("t1"),
+        F.sum("o2").alias("t2"),
+        F.sum(F.col("o1") + F.col("o2")).alias("t"),
+    )
+    pooled = (F.col("o1") + F.col("o2")).cast("double") / F.col("t").cast(
+        "double"
+    )
+    cells = c.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "o1",
+        "o2",
+        (F.col("t1").cast("double") * pooled).alias("e1"),
+        (F.col("t2").cast("double") * pooled).alias("e2"),
+    )
+    d1 = F.col("o1").cast("double") - F.col("e1")
+    d2 = F.col("o2").cast("double") - F.col("e2")
+    contrib = cells.withColumn(
+        "cell_chi2", d1 * d1 / F.col("e1") + d2 * d2 / F.col("e2")
+    )
+    total = contrib.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "cell_chi2"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["cell_chi2"],
+        ).alias("chi2_total")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(total))
+        .select(
+            "event_type", "o1", "o2", "e1", "e2", "cell_chi2", "chi2_total"
+        )
+        .orderBy("event_type")
+    )

@@ -533,3 +533,22 @@ def test_hybrid_retrieval_fuses_both_signals(spark):
                 1 / (60 + r.rank_b) if r.rank_b else 0.0
             )
             assert r.rrf_score == want
+
+
+def test_chi2_drift_matches_scipy_formula(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["drift_chi2_event_mix"].spark(spark, SF).collect()
+    assert len(rows) == 5
+    # recompute by hand from the observed counts
+    t1 = sum(r.o1 for r in rows)
+    t2 = sum(r.o2 for r in rows)
+    t = t1 + t2
+    chi2 = 0.0
+    for r in sorted(rows, key=lambda r: r.event_type):
+        e1 = t1 * ((r.o1 + r.o2) / t)
+        e2 = t2 * ((r.o1 + r.o2) / t)
+        assert r.e1 == __import__("pytest").approx(e1, rel=1e-12)
+        chi2 += (r.o1 - e1) ** 2 / e1 + (r.o2 - e2) ** 2 / e2
+    assert rows[0].chi2_total == __import__("pytest").approx(chi2, rel=1e-9)
+    assert all(r.chi2_total == rows[0].chi2_total for r in rows)

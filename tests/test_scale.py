@@ -144,6 +144,8 @@ BOUNDS = {
     # hybrid retrieval: BM25's pruned posting joins + one brute-force
     # vector scan per probe + a topk-sized fuse — all linear in rows
     "retrieval_hybrid_text_vector": 8.0,
+    # drift: two map-side-combined conditional counts over one scan
+    "drift_chi2_event_mix": 8.0,
 }
 
 
