@@ -186,6 +186,7 @@ def load_registry() -> dict[str, Q]:
         "benford_first_digit",
         "skew_gini_report", "join_cardinality_estimate",
         "retrieval_hybrid_text_vector", "drift_chi2_event_mix",
+        "vec_random_projection_jl", "vocab_nucleus_topp",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

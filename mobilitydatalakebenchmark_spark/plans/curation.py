@@ -1855,3 +1855,133 @@ def drift_chi2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (Achlioptas ±1 signs): the
+# embedding-preprocessing step before cheaper ANN / clustering. The sign
+# matrix is derived from md5 in PYTHON and embedded as shared literal
+# arrays in both plans, each projected coordinate is ONE ordered fold
+# (zip_with + aggregate == DuckDB list_dot_product) — bit-identical
+# doubles, nothing rounded. The JL distortion bound itself is pytest-
+# checked against numpy (tests/test_curation.py).
+# ---------------------------------------------------------------------------
+
+_JL_D, _JL_K = 64, 8
+
+
+def _jl_sign(j: int, i: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) < 8 else -1.0
+
+
+_JL_SIGNS = [[_jl_sign(j, i) for i in range(_JL_D)] for j in range(_JL_K)]
+
+
+def _jl_oracle() -> str:
+    # embedding is FLOAT[]; cast to DOUBLE[] so DuckDB accumulates the
+    # fold in double like Spark's cast-then-aggregate (a float32
+    # accumulator differs in the last ~1e-7)
+    projs = ",\n       ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"CAST({_JL_SIGNS[j]} AS DOUBLE[])) AS p{j}"
+        for j in range(_JL_K)
+    )
+    return f"""
+SELECT vec_id,
+       {projs}
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register(
+    "vec_random_projection_jl",
+    oracle=_jl_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64->8 (Achlioptas +-1 "
+    "signs, md5-derived in python and shared as literal arrays): each "
+    "output coordinate is one ordered zip_with/aggregate fold == "
+    "DuckDB list_dot_product — bit-identical, unrounded; the "
+    "dimensionality-reduction preprocessing before cheap ANN or "
+    "clustering, zero shuffle (pure per-row expressions); the JL "
+    "distance-distortion bound is pytest-verified against numpy",
+    tags=("vector", "projection", "kernel"),
+)
+def vec_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .vectors import dot
+
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    cols = [
+        dot(
+            F.col("embedding"),
+            F.array(*[F.lit(s) for s in _JL_SIGNS[j]]),
+        ).alias(f"p{j}")
+        for j in range(_JL_K)
+    ]
+    return e.select("vec_id", *cols).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary truncation: the smallest count-ordered token
+# prefix covering >= 90% of corpus occurrences — tokenizer-vocabulary
+# pruning. Inclusion rule in pure integers: keep while the cumulative
+# count BEFORE the token is still below 0.9*total (10*cum_before <
+# 9*total), so the prefix is minimal and engine-identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_nucleus_topp",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+),
+r AS (
+  SELECT token, n,
+         sum(n) OVER (ORDER BY n DESC, token
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+  FROM c
+)
+SELECT rank, token, n, cum, total
+FROM r
+WHERE 10 * (cum - n) < 9 * total
+ORDER BY rank
+""",
+    doc="nucleus (top-p, p=0.9) vocabulary truncation: smallest count-"
+    "ordered token prefix covering 90 percent of corpus occurrences — "
+    "tokenizer-vocabulary pruning; inclusion while 10*cum_before < "
+    "9*total keeps everything in exact bigints (no 0.9 float "
+    "anywhere); one explode+group-by, the rank window runs over the "
+    "vocabulary, not the corpus",
+    tags=("text", "tokenizer", "sampling"),
+)
+def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_ord = Window.orderBy(F.desc("n"), F.asc("token"))
+    r = (
+        c.withColumn(
+            "cum",
+            F.sum("n").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+        .withColumn("rank", F.row_number().over(w_ord))
+    )
+    return (
+        r.filter(10 * (F.col("cum") - F.col("n")) < 9 * F.col("total"))
+        .select("rank", "token", "n", "cum", "total")
+        .orderBy("rank")
+    )

@@ -552,3 +552,52 @@ def test_chi2_drift_matches_scipy_formula(spark):
         chi2 += (r.o1 - e1) ** 2 / e1 + (r.o2 - e2) ** 2 / e2
     assert rows[0].chi2_total == __import__("pytest").approx(chi2, rel=1e-9)
     assert all(r.chi2_total == rows[0].chi2_total for r in rows)
+
+
+def test_jl_projection_distortion_bound(spark):
+    import numpy as np
+
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+    from mobilitydatalakebenchmark_spark.plans.curation import _JL_D, _JL_K, _JL_SIGNS
+
+    rows = load_registry()["vec_random_projection_jl"].spark(spark, SF).collect()
+    proj = {r.vec_id: np.array([r[f"p{j}"] for j in range(_JL_K)]) for r in rows}
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    S = np.array(_JL_SIGNS)  # k x d
+    # projections match numpy exactly (same fold over doubles can differ
+    # from BLAS order, allow 1e-9 rel)
+    for vid in list(proj)[:10]:
+        np.testing.assert_allclose(proj[vid], S @ emb[vid], rtol=1e-9)
+    # JL property on sampled pairs: squared-distance ratio (scaled by
+    # d/k) concentrated around 1 — generous band for k=8
+    ids = sorted(proj)[:40]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        du = np.sum((emb[a] - emb[b]) ** 2)
+        dp = np.sum((proj[a] - proj[b]) ** 2)
+        if du > 0:
+            ratios.append((dp / _JL_D) / (du * _JL_K / _JL_D))
+    med = float(np.median(ratios))
+    assert 0.3 < med < 3.0, med
+
+
+def test_nucleus_prefix_is_minimal_cover(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = sorted(
+        load_registry()["vocab_nucleus_topp"].spark(spark, SF).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows
+    total = rows[0].total
+    kept_cum = rows[-1].cum
+    # covers >= 90%
+    assert 10 * kept_cum >= 9 * total
+    # minimal: dropping the last kept token falls below 90%
+    assert 10 * (kept_cum - rows[-1].n) < 9 * total
+    # ranks are the contiguous prefix 1..m and counts are non-increasing
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))

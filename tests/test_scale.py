@@ -146,6 +146,10 @@ BOUNDS = {
     "retrieval_hybrid_text_vector": 8.0,
     # drift: two map-side-combined conditional counts over one scan
     "drift_chi2_event_mix": 8.0,
+    # JL projection is pure per-row folds (zero shuffle before the output
+    # sort); nucleus is one explode+group-by with a vocab-sized window
+    "vec_random_projection_jl": 8.0,
+    "vocab_nucleus_topp": 8.0,
 }
 
 
