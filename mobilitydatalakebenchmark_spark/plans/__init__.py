@@ -187,6 +187,7 @@ def load_registry() -> dict[str, Q]:
         "skew_gini_report", "join_cardinality_estimate",
         "retrieval_hybrid_text_vector", "drift_chi2_event_mix",
         "vec_random_projection_jl", "vocab_nucleus_topp",
+        "mobility_dwell_time", "trajectory_teleport_clean",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1985,3 +1985,193 @@ def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "token", "n", "cum", "total")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dwell time per location: LOCF occupancy — each fix holds its grid cell
+# until the next fix (capped at 2 h so overnight gaps don't credit a
+# cell) — then the top cell per entity by total dwell. The stay-duration
+# statistic the visit-COUNT metrics (frequent_locations) miss: 100 pings
+# in a drive-through != an 8-hour workday. Exact integer microseconds.
+# ---------------------------------------------------------------------------
+
+_DWELL_CAP_US = 2 * 3600 * 1_000_000
+
+
+@register(
+    "mobility_dwell_time",
+    oracle=f"""
+WITH fixes AS (
+  SELECT user_id, event_id, ts,
+         cast(floor((value % 80.0) / 10.0) AS BIGINT) AS cx,
+         cast(floor(((value * 3.7) % 160.0) / 10.0) AS BIGINT) AS cy
+  FROM events
+),
+gaps AS (
+  SELECT user_id, cx, cy,
+         least(lead(epoch_us(ts)) OVER w - epoch_us(ts),
+               {_DWELL_CAP_US}) AS gap_us
+  FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dwell AS (
+  SELECT user_id, cx, cy,
+         sum(gap_us) AS dwell_us,
+         CAST(count(*) AS BIGINT) AS n_fixes
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY user_id, cx, cy
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY dwell_us DESC, cx, cy) AS rk
+  FROM dwell
+)
+SELECT user_id, cx, cy, dwell_us, n_fixes
+FROM ranked WHERE rk = 1
+ORDER BY user_id
+""",
+    doc="dwell time per location (LOCF occupancy): each fix holds its "
+    "grid cell until the next fix, capped at 2 h; top cell per entity "
+    "by total dwell — the stay-DURATION statistic visit counts miss "
+    "(frequent_locations' complement); exact integer microseconds, "
+    "one user-keyed shuffle shared by the lead window, the dwell "
+    "aggregate and the rank",
+    tags=("mobility", "window", "time"),
+)
+def mobility_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    fixes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor((F.col("value") % 80.0) / 10.0).cast("long").alias("cx"),
+        F.floor(((F.col("value") * 3.7) % 160.0) / 10.0)
+        .cast("long")
+        .alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = fixes.select(
+        "user_id",
+        "cx",
+        "cy",
+        F.least(
+            F.lead(epoch_us("ts")).over(w) - epoch_us("ts"),
+            F.lit(_DWELL_CAP_US),
+        ).alias("gap_us"),
+    )
+    dwell = (
+        gaps.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id", "cx", "cy")
+        .agg(
+            F.sum("gap_us").alias("dwell_us"),
+            F.count(F.lit(1)).alias("n_fixes"),
+        )
+    )
+    rk = Window.partitionBy("user_id").orderBy(
+        F.desc("dwell_us"), F.asc("cx"), F.asc("cy")
+    )
+    return (
+        dwell.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "cx", "cy", "dwell_us", "n_fixes")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GPS teleport cleaning: flag physically-impossible steps (implied speed
+# over 250 m/s) and report raw vs cleaned track totals per entity — the
+# standard pre-analysis filter for noisy positioning feeds. The speed
+# test cross-multiplies to pure BIGINTs (step_cm * 1e6 > vmax_cm *
+# gap_us), and distances sum as integer centimeters (the
+# trajectory_trip_segments hash-robustness idiom).
+# ---------------------------------------------------------------------------
+
+_TELEPORT_VMAX_CM_S = 250 * 100
+
+
+@register(
+    "trajectory_teleport_clean",
+    oracle=f"""
+WITH fixes AS (
+  SELECT user_id, event_id, ts,
+         value % 80.0          AS lat,
+         (value * 3.7) % 160.0 AS lon
+  FROM events WHERE user_id < 30
+),
+stepped AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+         CAST(round(2 * 6371008.8 * asin(sqrt(
+             sin(radians(lat - lag(lat) OVER w) / 2) ^ 2
+             + cos(radians(lag(lat) OVER w)) * cos(radians(lat))
+               * sin(radians(lon - lag(lon) OVER w) / 2) ^ 2)) * 100)
+           AS BIGINT) AS step_cm
+  FROM fixes WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT user_id, gap_us, step_cm,
+         (step_cm * 1000000 > {_TELEPORT_VMAX_CM_S} * gap_us) AS teleport
+  FROM stepped WHERE gap_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_steps,
+       CAST(count(*) FILTER (WHERE teleport) AS BIGINT) AS n_teleports,
+       sum(step_cm) AS raw_cm,
+       coalesce(sum(step_cm) FILTER (WHERE NOT teleport), 0) AS clean_cm
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+""",
+    doc="GPS teleport cleaning: steps whose implied speed exceeds 250 "
+    "m/s flagged by the pure-bigint cross-multiplication step_cm*1e6 > "
+    "vmax_cm*gap_us (no float division, no rounding hazard), raw vs "
+    "cleaned per-entity track totals as integer-centimeter sums — the "
+    "pre-analysis filter for noisy positioning feeds; one entity-keyed "
+    "shuffle shared by the lag window and the aggregate",
+    tags=("mobility", "trajectory", "quality"),
+)
+def trajectory_teleport_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.trajectory import haversine_m
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    fixes = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") % 80.0).alias("lat"),
+        ((F.col("value") * 3.7) % 160.0).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = fixes.select(
+        "user_id",
+        (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("gap_us"),
+        F.round(
+            haversine_m(
+                F.lag("lat").over(w),
+                F.lag("lon").over(w),
+                F.col("lat"),
+                F.col("lon"),
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("step_cm"),
+    )
+    flagged = stepped.filter(F.col("gap_us").isNotNull()).withColumn(
+        "teleport",
+        F.col("step_cm") * 1_000_000
+        > F.lit(_TELEPORT_VMAX_CM_S) * F.col("gap_us"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.count(F.when(F.col("teleport"), 1)).alias("n_teleports"),
+            F.sum("step_cm").alias("raw_cm"),
+            F.coalesce(
+                F.sum(F.when(~F.col("teleport"), F.col("step_cm"))),
+                F.lit(0),
+            ).alias("clean_cm"),
+        )
+        .orderBy("user_id")
+    )

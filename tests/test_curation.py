@@ -601,3 +601,30 @@ def test_nucleus_prefix_is_minimal_cover(spark):
     # ranks are the contiguous prefix 1..m and counts are non-increasing
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert all(a.n >= b.n for a, b in zip(rows, rows[1:]))
+
+
+def test_dwell_time_cap_and_top1(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["mobility_dwell_time"].spark(spark, SF).collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users)), "more than one top cell per user"
+    for r in rows:
+        assert r.dwell_us > 0
+        # dwell can never exceed n_fixes * cap
+        assert r.dwell_us <= r.n_fixes * 2 * 3600 * 10**6
+
+
+def test_teleport_clean_invariants(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["trajectory_teleport_clean"].spark(spark, SF).collect()
+    assert rows
+    assert any(r.n_teleports > 0 for r in rows), (
+        "synthetic pseudo-tracks should contain impossible speeds"
+    )
+    for r in rows:
+        assert 0 <= r.n_teleports <= r.n_steps
+        assert 0 <= r.clean_cm <= r.raw_cm
+        if r.n_teleports == 0:
+            assert r.clean_cm == r.raw_cm

@@ -150,6 +150,9 @@ BOUNDS = {
     # sort); nucleus is one explode+group-by with a vocab-sized window
     "vec_random_projection_jl": 8.0,
     "vocab_nucleus_topp": 8.0,
+    # dwell/teleport: one entity-keyed window + aggregate each
+    "mobility_dwell_time": 8.0,
+    "trajectory_teleport_clean": 8.0,
 }
 
 
