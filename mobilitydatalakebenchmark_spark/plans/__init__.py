@@ -188,6 +188,7 @@ def load_registry() -> dict[str, Q]:
         "retrieval_hybrid_text_vector", "drift_chi2_event_mix",
         "vec_random_projection_jl", "vocab_nucleus_topp",
         "mobility_dwell_time", "trajectory_teleport_clean",
+        "scd2_point_in_time_join",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -2175,3 +2175,117 @@ def trajectory_teleport_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (SCD2) dimension join: every purchase picks up the state
+# the user was in WHEN IT HAPPENED — the temporal-dimension join behind
+# every "as-was" report and leakage-safe feature join (training features
+# must reflect the state at event time, not today's). Dim = SCD2
+# intervals built from the user's non-purchase events; facts = purchases;
+# join = user equi-key + [from, to) containment residual. Exact integer
+# microsecond bounds; open intervals close at +infinity via NULL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+WITH states AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events WHERE user_id < 40 AND event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                 THEN 1 ELSE 0 END AS chg
+  FROM states
+),
+grouped AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+),
+dim AS (
+  SELECT user_id, event_type AS state, grp,
+         min(epoch_us(ts)) AS from_us
+  FROM grouped GROUP BY user_id, event_type, grp
+),
+closed AS (
+  SELECT user_id, state, from_us,
+         lead(from_us) OVER (PARTITION BY user_id
+                             ORDER BY from_us, grp) AS to_us
+  FROM dim
+),
+facts AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+  FROM events WHERE user_id < 40 AND event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id,
+       strftime(f.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       c.state AS state_at_purchase,
+       c.from_us AS state_since_us
+FROM facts f
+LEFT JOIN closed c
+  ON c.user_id = f.user_id
+ AND f.ts_us >= c.from_us
+ AND (c.to_us IS NULL OR f.ts_us < c.to_us)
+ORDER BY f.event_id
+""",
+    doc="point-in-time SCD2 dimension join (the as-was / leakage-safe "
+    "feature join): purchases pick up the state interval containing "
+    "their timestamp — dim built by the scd2_state_intervals island "
+    "construction over non-purchase events, join = user equi-key + "
+    "[from, to) containment residual on exact integer microseconds; "
+    "each fact matches at most one interval by construction, open "
+    "intervals close at +infinity via NULL",
+    tags=("join", "scd", "time"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    states = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = states.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dim = grouped.groupBy(
+        "user_id", F.col("event_type").alias("state"), "grp"
+    ).agg(F.min(epoch_us("ts")).alias("from_us"))
+    w_close = Window.partitionBy("user_id").orderBy("from_us", "grp")
+    closed = dim.select(
+        "user_id",
+        "state",
+        "from_us",
+        F.lead("from_us").over(w_close).alias("to_us"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", epoch_us("ts").alias("ts_us")
+    )
+    joined = facts.join(
+        closed,
+        (facts.user_id == closed.user_id)
+        & (F.col("ts_us") >= F.col("from_us"))
+        & (F.col("to_us").isNull() | (F.col("ts_us") < F.col("to_us"))),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        facts.user_id.alias("user_id"),
+        F.date_format("ts", TS_FMT_SPARK).alias("purchase_ts"),
+        F.col("state").alias("state_at_purchase"),
+        F.col("from_us").alias("state_since_us"),
+    ).orderBy("event_id")

@@ -628,3 +628,32 @@ def test_teleport_clean_invariants(spark):
         assert 0 <= r.clean_cm <= r.raw_cm
         if r.n_teleports == 0:
             assert r.clean_cm == r.raw_cm
+
+
+def test_scd2_pit_join_one_state_per_purchase(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = load_registry()["scd2_point_in_time_join"].spark(spark, SF).collect()
+    assert rows
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids)), "a purchase matched several intervals"
+    # the state really is the latest prior non-purchase event's type
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("user_id < 40")
+        .collect()
+    )
+    by_user = {}
+    for e in ev:
+        if e.event_type != "purchase":
+            by_user.setdefault(e.user_id, []).append((e.ts, e.event_id, e.event_type))
+    for u in by_user:
+        by_user[u].sort()
+    purchases = {e.event_id: e for e in ev if e.event_type == "purchase"}
+    import random
+
+    for r in random.Random(3).sample(rows, min(25, len(rows))):
+        p = purchases[r.event_id]
+        prior = [s for s in by_user.get(p.user_id, []) if s[0] <= p.ts]
+        want = prior[-1][2] if prior else None
+        assert r.state_at_purchase == want, (r.event_id, want)

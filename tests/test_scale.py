@@ -153,6 +153,10 @@ BOUNDS = {
     # dwell/teleport: one entity-keyed window + aggregate each
     "mobility_dwell_time": 8.0,
     "trajectory_teleport_clean": 8.0,
+    # PIT join: dim build is one keyed window; the containment join's
+    # matches grow k^2 under k-consistent replication (k x facts x k x
+    # intervals per user) like the cardinality gate — bound rides that
+    "scd2_point_in_time_join": 40.0,
 }
 
 
