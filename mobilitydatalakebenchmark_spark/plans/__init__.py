@@ -46,9 +46,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # their old block (round 7 moved the 49 gates CORRECTNESS_r06 hash-
 # matched into the R6 block, emptying the R1-R2 block entirely), so each
 # name appears exactly once, under its freshest verdict. The r7 window
-# is therefore: flagship, the redefined trip-segments gate, any new r7
-# gates, the two decimal-rounding rewrites, then the 17-gate R3 residue
-# and the oldest R4 entries up to 50.
+# is therefore EXACTLY flagship + the 49 gates new or redefined this
+# round (22 from the first half of the round, 27 from the continuation
+# sweep) — first verdicts take every slot, so the q9 decimal rewrite
+# (code_touched) and the R3 residue wait for the r8 rotation; both are
+# green in this round's full-registry ORACLE_r07 artifacts meanwhile.
 # r3 verdicts (CORRECTNESS_r03.json) still freshest (the oldest block —
 # the r6 window re-verified the first 28 alphabetically; these 17 are the
 # residue and window first in r7):
