@@ -657,3 +657,102 @@ def test_scd2_pit_join_one_state_per_purchase(spark):
         prior = [s for s in by_user.get(p.user_id, []) if s[0] <= p.ts]
         want = prior[-1][2] if prior else None
         assert r.state_at_purchase == want, (r.event_id, want)
+
+
+# ---------------------------------------------------------------------------
+# More properties + plan-shape pins for the continuation operators
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=30),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=0, max_value=2),
+    st.integers(min_value=2, max_value=3),
+)
+def test_phrase_match_equals_python_property(spark, texts, seed, plen):
+    """phrase_match == a literal Python sliding-window count on arbitrary
+    tiny-alphabet corpora (overlaps, repeated tokens, absent terms)."""
+    docs = [
+        (i, " ".join(t.split()))  # normalize runs of spaces like split(' ')
+        for i, t in enumerate(texts)
+    ]
+    docs = [(i, t) for i, t in docs if t]
+    if not docs:
+        return
+    letters = ["a", "b", "c"]
+    phrase = " ".join(letters[(seed + j) % 3] for j in range(plen))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.query_id, r.doc_id): r.n_hits
+        for r in phrase_match(
+            positional_postings(df), literal_phrases(spark, {"q": phrase})
+        ).collect()
+    }
+    want = {}
+    ptoks = phrase.split()
+    for i, t in docs:
+        toks = t.split()
+        n = sum(
+            1
+            for s in range(len(toks) - len(ptoks) + 1)
+            if toks[s : s + len(ptoks)] == ptoks
+        )
+        if n:
+            want[("q", i)] = n
+    assert got == want
+
+
+def test_rrf_fuse_is_symmetric(spark):
+    a = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2), ("q", 30, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [("q", 20, 1), ("q", 40, 2)], "query_id string, doc_id long, rank int"
+    )
+    ab = {
+        (r.query_id, r.doc_id): (r.fused_rank, r.rrf_score, r.rank_a, r.rank_b)
+        for r in rrf_fuse(a, b).collect()
+    }
+    ba = {
+        (r.query_id, r.doc_id): (r.fused_rank, r.rrf_score, r.rank_b, r.rank_a)
+        for r in rrf_fuse(b, a).collect()
+    }
+    assert ab == ba
+
+
+def test_new_gate_plan_shapes(spark):
+    """The continuation gates keep the plans they were designed with:
+    phrase matching broadcasts the phrase side, the hierarchy chain
+    broadcasts the edge table, interval coalescing shares ONE real hash
+    shuffle (the second Exchange is the output orderBy), and none of
+    them fall back to Python row UDFs."""
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+    from mobilitydatalakebenchmark_spark.plans.explain import (
+        count_broadcast_joins,
+        physical_plan,
+    )
+
+    reg = load_registry()
+    phrase = reg["retrieval_phrase_match"].spark(spark, SF)
+    assert count_broadcast_joins(phrase) >= 1
+    hier = reg["hierarchy_ancestors"].spark(spark, SF)
+    assert count_broadcast_joins(hier) >= 3
+    ic = reg["interval_coalesce"].spark(spark, SF)
+    plan = physical_plan(ic)
+    assert plan.count("Exchange hashpartitioning") == 1
+    for name in (
+        "retrieval_phrase_match",
+        "hierarchy_ancestors",
+        "interval_coalesce",
+        "url_canonical_dedup",
+        "acf_lag1_per_user",
+        "trajectory_teleport_clean",
+    ):
+        p = physical_plan(reg[name].spark(spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
