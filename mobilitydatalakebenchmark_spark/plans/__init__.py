@@ -191,6 +191,7 @@ def load_registry() -> dict[str, Q]:
         "vec_random_projection_jl", "vocab_nucleus_topp",
         "mobility_dwell_time", "trajectory_teleport_clean",
         "scd2_point_in_time_join",
+        "text_collocation_lift", "robust_winsorized_stats",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

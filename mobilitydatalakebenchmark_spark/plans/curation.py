@@ -2289,3 +2289,212 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("state_at_purchase"),
         F.col("from_us").alias("state_since_us"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining by lift: adjacent token pairs whose co-occurrence
+# beats the independence expectation — the phrase-vocabulary induction
+# signal (PMI's argument without the log, so no transcendental function
+# crosses engines). Counts are exact bigints; lift = (n_ab * N) /
+# (n_a * n_b) is one multiply + one divide on exact operands —
+# bit-identical; ranking uses exact-integer cross-multiplication, never
+# the float.
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_COUNT = 5
+_COLL_TOPK = 20
+
+
+@register(
+    "text_collocation_lift",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+  FROM documents
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY w
+),
+tot AS (SELECT sum(n) AS big_n FROM uni),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY w1, w2
+),
+scored AS (
+  SELECT p.w1, p.w2, p.n_ab, u1.n AS n_a, u2.n AS n_b, t.big_n,
+         CAST(p.n_ab * t.big_n AS DOUBLE) / CAST(u1.n * u2.n AS DOUBLE)
+             AS lift
+  FROM pairs p
+  JOIN uni u1 ON u1.w = p.w1
+  JOIN uni u2 ON u2.w = p.w2
+  CROSS JOIN tot t
+  WHERE p.n_ab >= {_COLL_MIN_COUNT}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      ORDER BY n_ab * big_n * 1000000 / (n_a * n_b) DESC, w1, w2
+  ) AS INT) AS rank
+  FROM scored
+)
+SELECT rank, w1, w2, n_ab, n_a, n_b, lift
+FROM ranked WHERE rank <= {_COLL_TOPK}
+ORDER BY rank
+""",
+    doc="collocation mining by lift (PMI without the log — no "
+    "transcendental crosses engines): adjacent-pair counts vs the "
+    "unigram independence expectation, lift = n_ab*N/(n_a*n_b) as one "
+    "multiply+divide on exact bigints (bit-identical double), ranking "
+    "by the INTEGER-scaled cross-multiplied score so order never "
+    "consults a float; min-count floor prunes the pair table before "
+    "the joins — the phrase-vocabulary induction signal feeding BPE/"
+    "phrase retrieval",
+    tags=("text", "tokenizer", "stats"),
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import positional_postings
+
+    docs = t(spark, sf_dir, "documents")
+    tok = positional_postings(docs).select(
+        "doc_id", F.col("term").alias("w"), "pos"
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("big_n"))
+    a = tok.select("doc_id", F.col("w").alias("w1"), "pos")
+    b = tok.select(
+        "doc_id", F.col("w").alias("w2"), (F.col("pos") - 1).alias("pos")
+    )
+    pairs = (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _COLL_MIN_COUNT)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("n_ab") * F.col("big_n")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    score_int = (
+        F.col("n_ab") * F.col("big_n") * F.lit(1_000_000)
+    ) / (F.col("n_a") * F.col("n_b"))
+    ranked = scored.withColumn("lift", lift).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(
+                F.desc(score_int), F.asc("w1"), F.asc("w2")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= _COLL_TOPK)
+        .select("rank", "w1", "w2", "n_ab", "n_a", "n_b", "lift")
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust statistics: clip each group's values at its exact
+# p5/p95 ORDER STATISTICS (ranks, not interpolation — so the bounds are
+# integers from the data) and report the clipped mean next to the raw
+# one — the outlier-robust summary. All sums are bigint; each mean is
+# ONE division of exact operands, bit-identical, nothing rounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_winsorized_stats",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+r AS (
+  SELECT flag, cents,
+         CAST(row_number() OVER (PARTITION BY flag
+                                 ORDER BY cents, l_orderkey, l_linenumber)
+              AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+  FROM c
+),
+bounds AS (
+  SELECT flag,
+         min(CASE WHEN 20 * rk >= n THEN cents END) AS lo,
+         min(CASE WHEN 20 * rk >= 19 * n THEN cents END) AS hi
+  FROM r GROUP BY flag
+),
+clipped AS (
+  SELECT r.flag, r.n, b.lo, b.hi, r.cents,
+         least(greatest(r.cents, b.lo), b.hi) AS w
+  FROM r JOIN bounds b USING (flag)
+)
+SELECT flag, min(n) AS n, min(lo) AS lo_cents, min(hi) AS hi_cents,
+       CAST(sum(cents) AS DOUBLE) / min(n) AS raw_mean_cents,
+       CAST(sum(w) AS DOUBLE) / min(n) AS winsor_mean_cents,
+       CAST(count(CASE WHEN w <> cents THEN 1 END) AS BIGINT) AS n_clipped
+FROM clipped GROUP BY flag
+ORDER BY flag
+""",
+    doc="winsorized robust statistics per return flag: clip at the exact "
+    "p5/p95 ORDER STATISTICS (the first rank with 20*rk >= n / >= 19n "
+    "— integer ranks, no interpolation, so the bounds are data values) "
+    "and report clipped vs raw means, each ONE division of exact "
+    "bigint operands (bit-identical, unrounded); one per-flag sort "
+    "shared by the rank window, the count window and the bound scan — "
+    "the outlier-robust summary raw means corrupt",
+    tags=("agg", "window", "stats", "quality"),
+)
+def robust_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_rank = Window.partitionBy("flag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    r = li.withColumn(
+        "rk", F.row_number().over(w_rank).cast("long")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("flag")))
+    bounds = r.groupBy("flag").agg(
+        F.min(F.when(20 * F.col("rk") >= F.col("n"), F.col("cents"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(20 * F.col("rk") >= 19 * F.col("n"), F.col("cents"))
+        ).alias("hi"),
+    )
+    clipped = r.join(F.broadcast(bounds), "flag").withColumn(
+        "w", F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    )
+    return (
+        clipped.groupBy("flag")
+        .agg(
+            F.min("n").alias("n"),
+            F.min("lo").alias("lo_cents"),
+            F.min("hi").alias("hi_cents"),
+            (F.sum("cents").cast("double") / F.min("n")).alias(
+                "raw_mean_cents"
+            ),
+            (F.sum("w").cast("double") / F.min("n")).alias(
+                "winsor_mean_cents"
+            ),
+            F.count(F.when(F.col("w") != F.col("cents"), 1)).alias(
+                "n_clipped"
+            ),
+        )
+        .orderBy("flag")
+    )

@@ -756,3 +756,70 @@ def test_new_gate_plan_shapes(spark):
     ):
         p = physical_plan(reg[name].spark(spark, SF))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_collocation_lift_matches_bruteforce(spark):
+    from collections import Counter
+
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    rows = sorted(
+        load_registry()["text_collocation_lift"].spark(spark, SF).collect(),
+        key=lambda r: r.rank,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    uni, pairs = Counter(), Counter()
+    for d in docs:
+        toks = d.text.split(" ")
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    big_n = sum(uni.values())
+    cand = sorted(
+        (
+            (-(n_ab * big_n * 1_000_000) / (uni[a] * uni[b]), a, b, n_ab)
+            for (a, b), n_ab in pairs.items()
+            if n_ab >= 5
+        )
+    )[:20]
+    for r, (negscore, a, b, n_ab) in zip(rows, cand):
+        assert (r.w1, r.w2, r.n_ab) == (a, b, n_ab), r.rank
+        assert r.lift == (r.n_ab * big_n) / (r.n_a * r.n_b)
+        assert r.n_a == uni[a] and r.n_b == uni[b]
+    # lift actually discriminates: top pair beats the independence
+    # expectation by a positive factor
+    assert rows[0].lift > 1.0
+
+
+def test_winsorized_stats_bruteforce(spark):
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    got = {
+        r.flag: r
+        for r in load_registry()["robust_winsorized_stats"].spark(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (round(r.l_extendedprice * 100), r.l_orderkey, r.l_linenumber)
+        )
+    import math
+
+    for flag, rows in groups.items():
+        rows.sort()
+        n = len(rows)
+        cents = [c for c, _, _ in rows]
+        lo = cents[math.ceil(n / 20) - 1]
+        hi = cents[math.ceil(19 * n / 20) - 1]
+        w = [min(max(c, lo), hi) for c in cents]
+        g = got[flag]
+        assert (g.n, g.lo_cents, g.hi_cents) == (n, lo, hi), flag
+        assert g.raw_mean_cents == sum(cents) / n
+        assert g.winsor_mean_cents == sum(w) / n
+        assert g.n_clipped == sum(1 for a, b in zip(cents, w) if a != b)
+        # robustness direction: winsorized mean moves toward the median
+        assert abs(g.winsor_mean_cents - cents[n // 2]) <= abs(
+            g.raw_mean_cents - cents[n // 2]
+        ) + 1e-9

@@ -157,6 +157,11 @@ BOUNDS = {
     # matches grow k^2 under k-consistent replication (k x facts x k x
     # intervals per user) like the cardinality gate — bound rides that
     "scd2_point_in_time_join": 40.0,
+    # collocation: the pair self-join is positional (one match per
+    # adjacent slot — linear), min-count prunes before the stat joins;
+    # winsorized stats is one per-flag sort shared by three windows
+    "text_collocation_lift": 8.0,
+    "robust_winsorized_stats": 8.0,
 }
 
 
