@@ -46,11 +46,13 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # their old block (round 7 moved the 49 gates CORRECTNESS_r06 hash-
 # matched into the R6 block, emptying the R1-R2 block entirely), so each
 # name appears exactly once, under its freshest verdict. The r7 window
-# is therefore EXACTLY flagship + the 49 gates new or redefined this
-# round (22 from the first half of the round, 27 from the continuation
-# sweep) — first verdicts take every slot, so the q9 decimal rewrite
-# (code_touched) and the R3 residue wait for the r8 rotation; both are
-# green in this round's full-registry ORACLE_r07 artifacts meanwhile.
+# is therefore EXACTLY flagship + the first 49 of the 51 gates new or
+# redefined this round (22 from the first half, 29 from the
+# continuation sweep) — first verdicts take every slot, so the final
+# two continuation gates (text_collocation_lift,
+# robust_winsorized_stats), the q9 decimal rewrite (code_touched) and
+# the R3 residue wait for the r8 rotation; all are green in this
+# round's full-registry ORACLE_r07 artifacts (3 SFs) meanwhile.
 # r3 verdicts (CORRECTNESS_r03.json) still freshest (the oldest block —
 # the r6 window re-verified the first 28 alphabetically; these 17 are the
 # residue and window first in r7):
