@@ -170,3 +170,32 @@ def test_replayed_epoch_is_idempotent(spark, tmp_path):
         txn=("r", 1),
     )
     assert _snapshot(read_frontier(spark, table)) == {("g", 0, 50): (1, 9)}
+
+
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    table = str(tmp_path / "front")
+    upsert_frontier_batch(
+        spark.createDataFrame([("g", 1, 5, 1)], SCHEMA),
+        table, "g", "cost", "gain", "rid", txn=("r", 0),
+    )
+    before = _snapshot(read_frontier(spark, table))
+    upsert_frontier_batch(
+        spark.createDataFrame([], SCHEMA),
+        table, "g", "cost", "gain", "rid", txn=("r", 1),
+    )
+    assert _snapshot(read_frontier(spark, table)) == before
+
+
+def test_single_point_and_duplicate_only_batches(spark, tmp_path):
+    table = str(tmp_path / "front")
+    p = [("g", 3, 3, 7)]
+    upsert_frontier_batch(
+        spark.createDataFrame(p, SCHEMA), table, "g", "cost", "gain", "rid",
+        txn=("r", 0),
+    )
+    # a batch consisting ONLY of duplicates bumps the count, keeps the id
+    upsert_frontier_batch(
+        spark.createDataFrame([("g", 3, 3, 9)], SCHEMA),
+        table, "g", "cost", "gain", "rid", txn=("r", 1),
+    )
+    assert _snapshot(read_frontier(spark, table)) == {("g", 3, 3): (2, 7)}

@@ -145,3 +145,25 @@ def test_only_touched_buckets_rewrite(spark, tmp_path):
         os.path.getmtime(os.path.join(table, untouched))
         == partitions_before[untouched]
     ), "dynamic overwrite rewrote a partition the batch never touched"
+
+
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    table = str(tmp_path / "islands")
+    upsert_islands_batch(
+        spark.createDataFrame([("a", 0, 10)], SCHEMA), table, "k", txn=("r", 0)
+    )
+    before = _snapshot(read_islands(spark, table, "k"))
+    empty = spark.createDataFrame([], SCHEMA)
+    upsert_islands_batch(empty, table, "k", txn=("r", 1))
+    assert _snapshot(read_islands(spark, table, "k")) == before
+
+
+def test_first_batch_creates_table(spark, tmp_path):
+    table = str(tmp_path / "islands")
+    # empty batch against a missing table must not create anything
+    upsert_islands_batch(
+        spark.createDataFrame([], SCHEMA), table, "k", txn=("r", 0)
+    )
+    import os
+
+    assert not os.path.exists(table)
