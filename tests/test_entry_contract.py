@@ -84,3 +84,27 @@ def test_rotation_names_all_exist():
     # the first 50 (the driver window) are exactly 50 distinct names
     first50 = list(load_registry())[:50]
     assert len(set(first50)) == 50
+
+
+def test_all_oracles_plan_in_duckdb():
+    """The DuckDB twin of test_all_queries_plan_without_execution: every
+    oracle must EXPLAIN against the real table schemas — catches SQL
+    syntax/typing breakage in seconds instead of waiting for the next
+    full check_oracle run."""
+    import duckdb
+
+    mod = _load_entry()
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    for name, sql in mod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover - the message is the point
+            raise AssertionError(f"oracle for {name} fails to plan: {e}")
