@@ -823,3 +823,43 @@ def test_winsorized_stats_bruteforce(spark):
         assert abs(g.winsor_mean_cents - cents[n // 2]) <= abs(
             g.raw_mean_cents - cents[n // 2]
         ) + 1e-9
+
+
+def test_canonical_url_preserves_meaningful_parts(spark):
+    """Canonicalization must collapse ONLY noise: non-default ports,
+    non-utm params (and their order), path case and http-vs-https
+    identity all survive."""
+    pairs = [
+        ("https://ex.com:9443/A/B?z=1&a=2", "https://ex.com:9443/A/B?z=1&a=2"),
+        ("http://ex.com/x", "http://ex.com/x"),
+        ("https://ex.com/x", "https://ex.com/x"),  # distinct from http
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in pairs], "url string")
+    got = [
+        r.c
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [w for _, w in pairs]
+
+
+def test_coalesce_degenerate_empty_intervals(spark):
+    """[s, s) rows: zero-length extents inside an island merge into it;
+    a standalone one forms its own zero-length island — pinned so the
+    streaming maintainer's semantics can't silently drift."""
+    rows = [("k", 0, 10), ("k", 5, 5), ("k", 20, 20)]
+    df = spark.createDataFrame(rows, "k string, start_us long, end_us long")
+    out = {
+        (r.island): (r.start_us, r.end_us, r.n_rows)
+        for r in coalesce_intervals(df, "k").collect()
+    }
+    assert out == {1: (0, 10, 2), 2: (20, 20, 1)}
+
+
+def test_registry_metadata_complete():
+    """Every gate carries a doc string and at least one tag — GATES.md
+    stays meaningful as the registry grows."""
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    for name, q in load_registry().items():
+        assert q.doc and len(q.doc) > 20, name
+        assert q.tags, name
