@@ -955,14 +955,16 @@ WITH v1 AS (
   SELECT 1 AS version, o_orderstatus,
          count(*) AS n_orders,
          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
   FROM orders WHERE o_orderkey % 3 <= 1
   GROUP BY o_orderstatus
 ), v2 AS (
   SELECT 2 AS version, o_orderstatus,
          count(*) AS n_orders,
          min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
   FROM orders
   GROUP BY o_orderstatus
 )
@@ -1034,8 +1036,9 @@ def versioned_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o.o_orderstatus,
        count(*) AS n_rows,
        count(DISTINCT o.o_orderkey) AS n_orders,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS ext_cents,
-       sum(CAST(l.l_quantity AS BIGINT)) AS total_qty
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS ext_cents,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey % 10 != 7
 GROUP BY o.o_orderstatus
@@ -1258,7 +1261,7 @@ def zorder_morton_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_salted_sum",
     oracle="""
 SELECT user_id,
-       sum(CAST(round(value * 100) AS BIGINT)) AS total,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total,
        cast(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id ORDER BY user_id
 """,
@@ -1320,7 +1323,7 @@ WITH x AS (
 SELECT user_id,
        CAST(sum(CASE WHEN s_scaled > n_events * 200 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_alarms,
-       max(s_scaled) AS max_excursion_scaled,
+       CAST(max(s_scaled) AS BIGINT) AS max_excursion_scaled,
        any_value(n_events) AS n_events,
        min(CASE WHEN s_scaled > n_events * 200 THEN event_id END) AS first_alarm
 FROM s GROUP BY user_id ORDER BY user_id
@@ -1365,7 +1368,7 @@ WITH x AS (
 SELECT user_id,
        max(ewma_scaled) AS max_ewma_scaled,
        min(ewma_scaled) AS min_ewma_scaled,
-       sum(ewma_scaled) AS sum_ewma_scaled,
+       CAST(sum(ewma_scaled) AS BIGINT) AS sum_ewma_scaled,
        CAST(count(*) AS BIGINT) AS n
 FROM e GROUP BY user_id ORDER BY user_id
 """.replace(
@@ -1448,7 +1451,7 @@ final AS (
 )
 SELECT substr(node, 1, 1) AS node_type,
        CAST(count(*) AS BIGINT) AS n_nodes,
-       sum(core_degree) AS total_degree,
+       CAST(sum(core_degree) AS BIGINT) AS total_degree,
        max(core_degree) AS max_degree
 FROM final GROUP BY substr(node, 1, 1) ORDER BY node_type
 """
@@ -1563,7 +1566,7 @@ WITH survivors AS (
 )
 SELECT bucket_ts,
        CAST(count(*) AS BIGINT) AS n,
-       sum(cents) AS total,
+       CAST(sum(cents) AS BIGINT) AS total,
        min(cents) AS vmin,
        max(cents) AS vmax
 FROM survivors GROUP BY bucket_ts ORDER BY bucket_ts
@@ -1691,7 +1694,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        TRUE AS bloom_injected
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_totalprice > 400000

@@ -65,9 +65,9 @@ WITH iv AS (
   FROM iv
 ), s AS (
   SELECT user_id, start_us, end_us,
-         sum(new_island) OVER (PARTITION BY user_id
+         CAST(sum(new_island) OVER (PARTITION BY user_id
                                ORDER BY start_us, event_id
-                               ROWS UNBOUNDED PRECEDING) AS island
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
   FROM g
 )
 SELECT user_id, island, min(start_us) AS start_us, max(end_us) AS end_us,
@@ -632,7 +632,8 @@ _RJB_WIDTH = 20.0
     "range_join_bucketized",
     oracle=f"""
 SELECT t.tier, count(*) AS n,
-       sum(CAST(round(e.value * 1000000) AS BIGINT)) AS value_e6
+       CAST(sum(CAST(round(e.value * 1000000) AS BIGINT)) AS BIGINT)
+         AS value_e6
 FROM events e
 JOIN (VALUES {', '.join(f"('{n}', {repr(lo)}, {repr(hi)})" for n, lo, hi in _RJB_TIERS)})
      t(tier, lo, hi)
@@ -849,7 +850,8 @@ WITH toks AS (
 tot AS (SELECT sum(n_tokens) AS total FROM toks),
 q AS (
   SELECT source, n_tokens,
-         ({_BUDGET_TOKENS} * n_tokens) // total AS floor_alloc,
+         CAST(({_BUDGET_TOKENS} * n_tokens) // total AS BIGINT)
+           AS floor_alloc,
          ({_BUDGET_TOKENS} * n_tokens) % total AS remainder
   FROM toks CROSS JOIN tot
 ),
@@ -863,9 +865,9 @@ r AS (
 )
 SELECT source, n_tokens, floor_alloc,
        CASE WHEN rnk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS extra,
-       floor_alloc
+       CAST(floor_alloc
          + CASE WHEN rnk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
-         AS alloc
+         AS BIGINT) AS alloc
 FROM r
 ORDER BY source
 """,
@@ -1444,7 +1446,8 @@ ur AS (
   SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS i FROM uc
 ),
 um AS (
-  SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS s0, sum(i * c) AS s1,
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s0,
+         CAST(sum(i * c) AS BIGINT) AS s1,
          max(c) AS max_c
   FROM ur
 ),
@@ -1456,7 +1459,8 @@ orr AS (
   SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS i FROM oc
 ),
 om AS (
-  SELECT CAST(count(*) AS BIGINT) AS n, sum(c) AS s0, sum(i * c) AS s1,
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s0,
+         CAST(sum(i * c) AS BIGINT) AS s1,
          max(c) AS max_c
   FROM orr
 )
@@ -1535,7 +1539,8 @@ b AS (
   FROM events GROUP BY k
 ),
 est AS (
-  SELECT sum(ca * cb) AS estimated, CAST(count(*) AS BIGINT) AS n_shared_keys
+  SELECT CAST(sum(ca * cb) AS BIGINT) AS estimated,
+         CAST(count(*) AS BIGINT) AS n_shared_keys
   FROM a JOIN b USING (k)
 ),
 act AS (
@@ -1943,9 +1948,9 @@ c AS (
 ),
 r AS (
   SELECT token, n,
-         sum(n) OVER (ORDER BY n DESC, token
-                      ROWS UNBOUNDED PRECEDING) AS cum,
-         sum(n) OVER () AS total,
+         CAST(sum(n) OVER (ORDER BY n DESC, token
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS total,
          CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
   FROM c
 )
@@ -2015,7 +2020,7 @@ gaps AS (
 ),
 dwell AS (
   SELECT user_id, cx, cy,
-         sum(gap_us) AS dwell_us,
+         CAST(sum(gap_us) AS BIGINT) AS dwell_us,
          CAST(count(*) AS BIGINT) AS n_fixes
   FROM gaps WHERE gap_us IS NOT NULL
   GROUP BY user_id, cx, cy
@@ -2116,8 +2121,9 @@ flagged AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_steps,
        CAST(count(*) FILTER (WHERE teleport) AS BIGINT) AS n_teleports,
-       sum(step_cm) AS raw_cm,
-       coalesce(sum(step_cm) FILTER (WHERE NOT teleport), 0) AS clean_cm
+       CAST(sum(step_cm) AS BIGINT) AS raw_cm,
+       CAST(coalesce(sum(step_cm) FILTER (WHERE NOT teleport), 0) AS BIGINT)
+         AS clean_cm
 FROM flagged
 GROUP BY user_id
 ORDER BY user_id

@@ -845,8 +845,9 @@ WITH fixes AS (
          CAST(round(round({_HAV_SQL}, 2) * 100) AS BIGINT) AS step_cm
   FROM stepped
 ), trips AS (
-  SELECT *, sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS trip_id
+  SELECT *, CAST(sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS trip_id
   FROM flagged
 )
 SELECT user_id, trip_id,

@@ -2140,8 +2140,8 @@ WITH base AS (
 SELECT bucket, batch_idx,
        CAST(count(*) AS BIGINT) AS batch_docs,
        max(n_tokens) AS pad_to,
-       CAST(count(*) AS BIGINT) * max(n_tokens) - sum(n_tokens)
-         AS padding_waste,
+       CAST(CAST(count(*) AS BIGINT) * max(n_tokens) - sum(n_tokens)
+         AS BIGINT) AS padding_waste,
        min(doc_id) AS first_doc
 FROM batched
 GROUP BY bucket, batch_idx

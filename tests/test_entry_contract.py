@@ -90,8 +90,20 @@ def test_all_oracles_plan_in_duckdb():
     """The DuckDB twin of test_all_queries_plan_without_execution: every
     oracle must EXPLAIN against the real table schemas — catches SQL
     syntax/typing breakage in seconds instead of waiting for the next
-    full check_oracle run."""
+    full check_oracle run.
+
+    It also binds every oracle's RESULT TYPES (lazy, no execution) and
+    fails on any HUGEINT/UHUGEINT/DECIMAL column: DuckDB widens
+    sum(BIGINT) — window sums included — to int128, and the driver's
+    hash is TYPE-sensitive, so an un-cast outer aggregate goes red at
+    the driver while every value is bit-exact (the r7 18-red-row
+    class). Cast the OUTERMOST aggregate: CAST(sum(...) AS BIGINT)."""
+    import sys
+
     import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from tools.oracle_types import type_problems
 
     mod = _load_entry()
     con = duckdb.connect()
@@ -103,8 +115,16 @@ def test_all_oracles_plan_in_duckdb():
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'/root/testdata/sf0.001/{t}.parquet'"
         )
+    bad_types = {}
     for name, sql in mod.oracle_sql().items():
         try:
             con.execute(f"EXPLAIN {sql}")
         except Exception as e:  # pragma: no cover - the message is the point
             raise AssertionError(f"oracle for {name} fails to plan: {e}")
+        probs = type_problems(con, sql, name)
+        if probs:
+            bad_types[name] = probs
+    assert not bad_types, (
+        "driver-unhashable oracle result types (cast the outermost "
+        f"aggregate to BIGINT): {bad_types}"
+    )

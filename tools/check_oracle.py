@@ -23,6 +23,7 @@ import duckdb
 
 from mobilitydatalakebenchmark_spark.plans import load_registry
 from mobilitydatalakebenchmark_spark.session import get_spark
+from tools.oracle_types import type_problems
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -107,6 +108,24 @@ def main():
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
+            # TYPE PARITY FIRST (lazy bind, no execution): the driver
+            # hashes typed results — an oracle column DuckDB widened to
+            # HUGEINT can never hash-equal Spark's int64 even when every
+            # value is bit-exact (the r7 18-red-row failure class).
+            spark_dec = {
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName().startswith("decimal")
+            }
+            tprobs = type_problems(con, q.oracle, name, spark_dec)
+            if tprobs:
+                failures.append((name, f"ORACLE TYPE: {'; '.join(tprobs)}"))
+                record[name] = {
+                    "status": "oracle_type",
+                    "problems": "; ".join(tprobs)[:400],
+                }
+                print(f"✗ {name}: oracle type: {'; '.join(tprobs)[:300]}")
+                continue
             res = con.execute(q.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = [tuple(r) for r in res.fetchall()]
