@@ -58,6 +58,13 @@ class MaterializedJoin:
         left_row_id: str | None = None,
         right_row_id: str | None = None,
     ):
+        if left_row_id is not None and left_row_id == right_row_id:
+            raise ValueError(
+                "left_row_id and right_row_id must name DISTINCT columns: "
+                "view()/delete() anti-join on each independently, and a "
+                "shared name makes the second anti-join ambiguous "
+                f"(both sides: {left_row_id!r})"
+            )
         self.path = path
         self.on = on
         self.left_row_id = left_row_id

@@ -83,9 +83,12 @@ def trip_segments(
     # to 2 decimals, so round(step_m*100) is lossless): integer sums are
     # aggregation-order-invariant, so the derived quotient
     # mean_speed_mps = (cm/100)/dt is bit-identical regardless of
-    # partitioning or partial-agg order — a float sum's order noise
-    # (~1e-13 relative) is enough to flip a round(·, 4) cell whose true
-    # value sits near a half-boundary.
+    # partitioning or partial-agg order. (The r6 driver red row on this
+    # gate was NOT a float flip — it was the oracle twin's un-cast
+    # window sum(new_trip) widening to DuckDB HUGEINT against a
+    # type-sensitive driver hash, fixed in r8 — but order-invariant
+    # integer sums remain the right construction: a float sum's ~1e-13
+    # relative order noise genuinely can flip a round(·, 4) cell.)
     in_trip_cm = F.when(
         new_trip == 0, F.round(F.col("step_m") * 100).cast("long")
     ).otherwise(F.lit(None).cast("long"))

@@ -43,19 +43,19 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # oracle-checked locally by tools/check_oracle.py each round regardless;
 # the ordering only decides which subset gets this round's independent
 # driver verdict. Gates re-verified in a later window GRADUATE out of
-# their old block (round 7 moved the 49 gates CORRECTNESS_r06 hash-
-# matched into the R6 block, emptying the R1-R2 block entirely), so each
-# name appears exactly once, under its freshest verdict. The r7 window
-# is therefore EXACTLY flagship + the first 49 of the 51 gates new or
-# redefined this round (22 from the first half, 29 from the
-# continuation sweep) — first verdicts take every slot, so the final
-# two continuation gates (text_collocation_lift,
-# robust_winsorized_stats), the q9 decimal rewrite (code_touched) and
-# the R3 residue wait for the r8 rotation; all are green in this
-# round's full-registry ORACLE_r07 artifacts (3 SFs) meanwhile.
+# their old block, so each name appears exactly once, under its
+# freshest verdict.
+# The r8 window: flagship + the 18 gates whose ORACLE SQL was re-cast
+# this round (CORRECTNESS_r07's red rows — every VALUE was bit-exact,
+# but DuckDB widened their un-cast outer sum() to HUGEINT and the
+# driver hash is type-sensitive; they need a post-fix verdict) + the
+# two r7-continuation gates that landed past slot 50 + new r8 gates +
+# the code-touched pair (tpch_q9 decimal rewrite, anomaly_zscore's
+# rounded emit) + the 17-gate R3 residue, then oldest R4 entries fill
+# the remaining slots.
 # r3 verdicts (CORRECTNESS_r03.json) still freshest (the oldest block —
 # the r6 window re-verified the first 28 alphabetically; these 17 are the
-# residue and window first in r7):
+# residue, window-filling since r7):
 DRIVER_VERIFIED_R3 = (
     "ranking_suite", "resample_linear_grid", "rollup_hourly_to_daily",
     "running_totals", "sample_corpus_mixture", "scd2_state_intervals",
@@ -115,7 +115,7 @@ DRIVER_VERIFIED_R5 = (
 # the 6 green first-verdict r6 gates. trajectory_trip_segments — the
 # round's one red row — stays OUT until its post-fix r7 verdict):
 DRIVER_VERIFIED_R6 = (
-    "flagship_pricing_summary", "knn_recall_floor",
+    "knn_recall_floor",
     "multimodal_decode_stats", "trajectory_stop_detection",
     "trajectory_simplify_bounds", "text_token_topk_sketch",
     "sample_weighted_ares", "pipeline_quality_dedup_split",
@@ -137,12 +137,33 @@ DRIVER_VERIFIED_R6 = (
     "p4_json_doc_build", "pii_detect_counts", "pii_scrub_stats",
     "proximity_grid_join", "quantiles_exact", "range_join_value_tiers",
 )
+# r7 verdicts (CORRECTNESS_r07.json, the 32 hash-matched rows of the
+# 50-gate window; the other 18 rows were value-correct but red on the
+# oracle HUGEINT type bug and re-enter the r8 window post-fix.
+# flagship graduates here from R6):
+DRIVER_VERIFIED_R7 = (
+    "flagship_pricing_summary", "knn_pq_recall_floor",
+    "rollup_distinct_sketch", "rollup_quantile_sketch",
+    "segment_theta_overlap", "mobility_hotspot_clusters",
+    "zorder_morton_key", "bm25_ranked_retrieval",
+    "contrastive_negative_mining", "snapshot_diff_report",
+    "bpe_train_rounds", "graph_label_propagation", "minhash_group_rollup",
+    "url_canonical_dedup", "retrieval_phrase_match", "retrieval_rrf_fusion",
+    "text_normalize_dedup", "seasonal_hour_profile",
+    "equidepth_decile_bins", "asof_tolerance_lookup",
+    "pareto_frontier_price_qty", "bpe_encode_corpus", "l_diversity_cells",
+    "group_kfold_assign", "acf_lag1_per_user", "hierarchy_ancestors",
+    "weighted_median_price", "benford_first_digit",
+    "retrieval_hybrid_text_vector", "drift_chi2_event_mix",
+    "vec_random_projection_jl", "scd2_point_in_time_join",
+)
 DRIVER_VERIFIED = tuple(
     dict.fromkeys(
         DRIVER_VERIFIED_R3
         + DRIVER_VERIFIED_R4
         + DRIVER_VERIFIED_R5
         + DRIVER_VERIFIED_R6
+        + DRIVER_VERIFIED_R7
     )
 )
 
@@ -161,50 +182,36 @@ def load_registry() -> dict[str, Q]:
     from . import advanced  # noqa: F401
     from . import curation  # noqa: F401
 
-    # Round 7: gates needing a first verdict on CURRENT semantics —
-    # trajectory_trip_segments was the r6 red row, redefined this round
-    # to sum integer centimeters (order-invariant hash); the others are
-    # brand-new r7 gates.
+    # Round 8: gates needing a (re-)verdict on CURRENT semantics — the
+    # 18 CORRECTNESS_r07 red rows, every one value-correct but red
+    # because its oracle's un-cast outer sum() widened to DuckDB
+    # HUGEINT while the driver hash is type-sensitive; their oracle
+    # twins now CAST the outermost aggregate to BIGINT and they need
+    # the post-fix verdict. Then the two r7-continuation gates that
+    # landed past slot 50 (first verdicts), and new r8 gates.
     newest = (
-        "trajectory_trip_segments", "knn_pq_recall_floor",
-        "versioned_snapshot_asof", "ivm_materialized_join",
-        "rollup_distinct_sketch", "rollup_quantile_sketch",
-        "segment_theta_overlap", "mobility_hotspot_clusters",
-        "zorder_morton_key", "skew_salted_sum",
+        "trajectory_trip_segments", "versioned_snapshot_asof",
+        "ivm_materialized_join", "skew_salted_sum",
         "cusum_changepoints", "ewma_truncated_exact",
-        "bm25_ranked_retrieval", "contrastive_negative_mining",
-        "graph_kcore_peel", "snapshot_diff_report", "gdpr_retract_rollup",
-        "bpe_train_rounds", "graph_label_propagation",
+        "graph_kcore_peel", "gdpr_retract_rollup",
         "length_bucketed_batches", "bloom_pruned_star_join",
-        "minhash_group_rollup",
-        # round-7 continuation batch (plans/curation.py):
-        "interval_coalesce", "url_canonical_dedup",
-        "retrieval_phrase_match", "retrieval_rrf_fusion",
-        "text_normalize_dedup", "seasonal_hour_profile",
-        "equidepth_decile_bins", "range_join_bucketized",
-        "asof_tolerance_lookup",
-        "pareto_frontier_price_qty", "budget_apportion_sources",
-        "bpe_encode_corpus",
-        "l_diversity_cells", "group_kfold_assign", "acf_lag1_per_user",
-        "hierarchy_ancestors", "weighted_median_price",
-        "benford_first_digit",
-        "skew_gini_report", "join_cardinality_estimate",
-        "retrieval_hybrid_text_vector", "drift_chi2_event_mix",
-        "vec_random_projection_jl", "vocab_nucleus_topp",
+        "interval_coalesce", "range_join_bucketized",
+        "budget_apportion_sources", "skew_gini_report",
+        "join_cardinality_estimate", "vocab_nucleus_topp",
         "mobility_dwell_time", "trajectory_teleport_clean",
-        "scd2_point_in_time_join",
+        # r7-continuation gates that waited past slot 50:
         "text_collocation_lift", "robust_winsorized_stats",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:
-    # - flagship_pricing_summary (r6 verdict): rewritten this round to
-    #   sum exact DECIMAL money and round in decimal space (the margin
-    #   audit found sum_disc_price 4.8e-7 grid units from a half-
-    #   boundary — same fragility class as the r6 red row);
     # - tpch_q9_style_nation_profit (r5 verdict): its round-to-2 moved
-    #   into decimal space (profit margin was exactly 0 at sf0.01).
+    #   into decimal space in r7 (profit margin was exactly 0 at
+    #   sf0.01) and it has not had a driver verdict since;
+    # - anomaly_zscore_outliers (r6 verdict): r8 rounds the emitted
+    #   mean/std to 6dp — the decimal→double cast is 1-ulp
+    #   engine-divergent, caught by the exact-compare sweep.
     code_touched = (
-        "tpch_q9_style_nation_profit",
+        "tpch_q9_style_nation_profit", "anomaly_zscore_outliers",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest + code_touched:

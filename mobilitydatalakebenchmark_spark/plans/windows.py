@@ -846,7 +846,7 @@ WITH moments AS (
          sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
   FROM moments
 )
-SELECT s.event_type, s.n, s.mean, s.std,
+SELECT s.event_type, s.n, round(s.mean, 6) AS mean, round(s.std, 6) AS std,
        cast(count(*) FILTER (abs(e.value - s.mean) > 3 * s.std) AS BIGINT)
            AS n_outliers
 FROM events e JOIN stats s USING (event_type)
@@ -854,11 +854,13 @@ GROUP BY s.event_type, s.n, s.mean, s.std
 ORDER BY s.event_type
 """,
     doc="per-group anomaly screen: mean/std from exact decimal moments "
-    "(sum x, sum x² — order-independent, so sqrt and the 3-sigma "
-    "comparisons are bit-identical across engines, no rounding anywhere), "
-    "then count observations beyond 3 sigma via a broadcast of the "
-    "|groups|-row stats table back onto the fact — two narrow shuffles "
-    "total, the streaming-friendly two-pass outlier shape",
+    "(sum x, sum x² — order-independent), EMITTED rounded to 6dp: the "
+    "decimal→double cast itself is allowed to differ by 1 ulp between "
+    "engines (DuckDB converts int128/10^scale in two roundings), so raw "
+    "mean/std are NOT fixed-order-safe — the r8 exact-compare sweep "
+    "caught std off by 7e-15; the 3-sigma count compares against the "
+    "un-rounded stats via a broadcast of the |groups|-row stats table "
+    "back onto the fact — two narrow shuffles total",
     tags=("agg", "stats", "events"),
 )
 def anomaly_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,6 +885,13 @@ def anomaly_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(
                 F.when(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1)
             ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            "n_outliers",
         )
         .orderBy("event_type")
     )

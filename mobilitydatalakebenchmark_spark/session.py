@@ -75,8 +75,12 @@ def local_df(spark: SparkSession, rows: list, schema: str):
     list of tuples and ``schema`` a DDL string whose names are taken
     column-wise."""
     import pandas as pd
+    from pyspark.sql import types as T
 
-    names = [f.strip().split()[0] for f in schema.split(",")]
+    # parse names through Spark's own DDL parser — a naive split(",")
+    # breaks on any type carrying a comma (decimal(18,2), map<k,v>,
+    # struct<...>) and silently misaligns the pandas columns
+    names = T._parse_datatype_string(schema).fieldNames()
     pdf = pd.DataFrame(rows, columns=names)
     return spark.createDataFrame(pdf, schema)
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .run_identity import checkpoint_run_id
 from ..session import local_df
 
 from ..operators.flat_store import explode_features
@@ -191,10 +192,11 @@ def stream_to_ann_index(
     empty-directory conditions; any other read failure raises instead of
     silently re-enabling a replay window."""
 
-    import hashlib
 
     state_path = f"{store.path}/stream_state.parquet"
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_id = checkpoint_run_id(checkpoint)  # nonce-mixed: a recreated
+    # checkpoint gets a NEW identity, so epoch-0 restarts cannot
+    # collide with a previous run's replay stamps
     run_path = f"{state_path}/run_id={run_id}"
 
     def _last_epoch(spark) -> int:

@@ -30,6 +30,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .run_identity import checkpoint_run_id
 from ..operators.timeseries import coalesce_intervals
 
 _BUCKET = "kbucket"
@@ -119,9 +120,10 @@ def stream_islands(
 ):
     """Attach the island-maintenance sink to a streaming DataFrame and
     start it (availableNow — drain then stop)."""
-    import hashlib
 
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_id = checkpoint_run_id(checkpoint)  # nonce-mixed: a recreated
+    # checkpoint gets a NEW identity, so epoch-0 restarts cannot
+    # collide with a previous run's replay stamps
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         upsert_islands_batch(

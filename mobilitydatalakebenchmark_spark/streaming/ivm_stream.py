@@ -15,12 +15,12 @@ lifetime (an event id, not the join key — join keys repeat).
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .run_identity import checkpoint_run_id
 from ..session import local_df
 
 from ..operators.ivm import MaterializedJoin
@@ -44,7 +44,9 @@ def stream_to_materialized_join(
     appends of the same batches, across restarts (pinned by test)."""
 
     state_path = f"{mj.path}/stream_state.parquet"
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_id = checkpoint_run_id(checkpoint)  # nonce-mixed: a recreated
+    # checkpoint gets a NEW identity, so epoch-0 restarts cannot
+    # collide with a previous run's replay stamps
     run_path = f"{state_path}/run_id={run_id}"
 
     def _last_epoch(spark) -> int:

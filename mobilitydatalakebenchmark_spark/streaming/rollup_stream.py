@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .run_identity import checkpoint_run_id
 from ..operators.rollup import build_rollup, merge_rollup
 
 # partition column: a filesystem-safe string form of the bucket timestamp
@@ -146,9 +147,10 @@ def stream_rollup(
     (checkpoint, epoch) transaction stamp, so the crash window between
     the partition overwrite and the offset commit cannot double-merge a
     replayed batch (see upsert_rollup_batch)."""
-    import hashlib
 
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_id = checkpoint_run_id(checkpoint)  # nonce-mixed: a recreated
+    # checkpoint gets a NEW identity, so epoch-0 restarts cannot
+    # collide with a previous run's replay stamps
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         upsert_rollup_batch(

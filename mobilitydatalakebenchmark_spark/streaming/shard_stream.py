@@ -26,12 +26,12 @@ handling to missing-path shapes.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .run_identity import checkpoint_run_id
 from ..session import local_df
 
 from ..operators.shards import append_shards, repair_manifest
@@ -59,7 +59,9 @@ def stream_to_shards(
     manifest always matches the written data (``verify_shards``)."""
 
     state_path = f"{path}/stream_state.parquet"
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_id = checkpoint_run_id(checkpoint)  # nonce-mixed: a recreated
+    # checkpoint gets a NEW identity, so epoch-0 restarts cannot
+    # collide with a previous run's replay stamps
     run_path = f"{state_path}/run_id={run_id}"
 
     def _last_epoch(spark) -> int:

@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .run_identity import checkpoint_run_id
 from ..operators.skyline import pareto_frontier
 
 _BUCKET = "kbucket"
@@ -116,9 +117,10 @@ def stream_frontier(
     n_buckets: int = 16,
 ):
     """Attach the frontier-maintenance sink and start it (availableNow)."""
-    import hashlib
 
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_id = checkpoint_run_id(checkpoint)  # nonce-mixed: a recreated
+    # checkpoint gets a NEW identity, so epoch-0 restarts cannot
+    # collide with a previous run's replay stamps
 
     def _sink(batch: DataFrame, epoch_id: int) -> None:
         upsert_frontier_batch(

@@ -15,11 +15,11 @@ its batches as new versions by contract.
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from .run_identity import checkpoint_run_id
 from ..operators.versioned_store import VersionedParquetStore
 
 
@@ -29,7 +29,9 @@ def stream_to_versioned_store(
     checkpoint: str,
     mode: str = "append",
 ) -> StreamingQuery:
-    run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:16]
+    run_id = checkpoint_run_id(checkpoint)  # nonce-mixed: a recreated
+    # checkpoint gets a NEW identity, so epoch-0 restarts cannot
+    # collide with a previous run's replay stamps
 
     def flush(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():

@@ -78,6 +78,7 @@ def test_rotation_names_all_exist():
         plans.DRIVER_VERIFIED_R4,
         plans.DRIVER_VERIFIED_R5,
         plans.DRIVER_VERIFIED_R6,
+        plans.DRIVER_VERIFIED_R7,
     ):
         missing = set(block) - reg
         assert not missing, missing

@@ -1,10 +1,18 @@
 """Rounding-boundary margin audit for every oracle-checked gate.
 
-The round-6 red row (`trajectory_trip_segments`) was caused by a rounded
-quotient-of-sums whose pre-rounded value sat ~7e-9 from a 4th-decimal
-half-boundary: float-sum order noise (different partial-agg order in the
-driver's environment) flipped the cell. This tool finds every such
-landmine BEFORE a driver run does: for each gate's oracle SQL it rewrites
+A rounded float cell can flip between engines when its pre-rounded
+value sits within aggregation-order noise (~1e-13 relative for float
+sums) of a rounding half-boundary. This tool finds every such landmine
+BEFORE a driver run does. (Historical note: round 6's red row was
+FIRST diagnosed as this class — the true cause turned out to be the
+oracle-type bug fixed in r8, an un-cast window sum() that DuckDB
+widened to HUGEINT against a type-sensitive driver hash. The audit
+below remains sound and did catch three real .xx5-exact money-sum
+landmines; the two rules that actually hold are: (i) cast every
+oracle aggregate — the driver hash is TYPE-sensitive; (ii) only
+fixed-order IEEE expression trees are safe un-rounded — float
+AGGREGATES never are, see tools/exact_compare.py.)
+For each gate's oracle SQL it rewrites
 the FINAL top-level projection, replacing each outermost `round(X, k)`
 with the margin expression
 
@@ -262,14 +270,19 @@ def main() -> None:
             worst.append((g["min_margin"], name, g["argmin"], ""))
     worst.sort()
 
-    n_bad = 0
+    # count fragile gates over the FULL list (a >25-fragile audit must
+    # not understate); slice only for printing
+    n_bad = sum(
+        1
+        for margin, name, _, _ in worst
+        if margin < THRESHOLD and name not in INVARIANT_SAFE
+    )
     print(f"-- margin audit over {len(report)} gates, {len(sf_dirs)} SFs --")
     for margin, name, argmin, _ in worst[:25]:
         if margin < THRESHOLD and name in INVARIANT_SAFE:
             flag = "  (exempt: order-invariant by construction)"
         elif margin < THRESHOLD:
             flag = "  <-- FRAGILE"
-            n_bad += 1
         else:
             flag = ""
         print(f"{margin:.3e}  {name}  ({argmin}){flag}")
