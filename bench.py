@@ -162,13 +162,21 @@ def main() -> None:
     }
     print(json.dumps(detail))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_DETAIL.json"),
-            "w",
-        ) as fh:
-            json.dump(detail, fh, indent=1)
-    except OSError:
+        here = os.path.dirname(os.path.abspath(__file__))
+        # versioned per round (SPARK_GRAFT_ROUND or BENCH_ROUND env, else
+        # the unversioned name): r7 overwrote the r6 detail file, so
+        # cross-round per-query diffs depended on parsing a truncated
+        # driver tail — never again
+        rnd = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get(
+            "BENCH_ROUND"
+        )
+        names = ["BENCH_DETAIL.json"]
+        if rnd:
+            names.append(f"BENCH_DETAIL_r{int(rnd):02d}.json")
+        for nm in names:
+            with open(os.path.join(here, nm), "w") as fh:
+                json.dump(detail, fh, indent=1)
+    except (OSError, ValueError):
         pass  # read-only checkout: the detail line above still has it
     summary = {
         "metric": "headline_queries_total_wall",

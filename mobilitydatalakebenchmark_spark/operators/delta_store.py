@@ -8,7 +8,10 @@ delta-spark`` + the two session configs in ``delta_session_builder``).
 
 Enablement re-checked 2026-08-13 (round 3): no ``delta`` module, no
 delta jars under ``/opt/spark/jars``, and ``pip download delta-spark``
-finds no distribution (the image has no package index access). Blocked
+finds no distribution (the image has no package index access).
+Re-checked again 2026-08-15 (round 8): still no ``delta`` module, no
+delta jar anywhere on the filesystem (``find / -name 'delta-*.jar'``),
+none under pyspark's bundled jars. Blocked
 by the environment, not the code — nothing to un-gate until the image
 ships the jars.
 

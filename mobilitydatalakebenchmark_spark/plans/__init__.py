@@ -201,6 +201,8 @@ def load_registry() -> dict[str, Q]:
         "mobility_dwell_time", "trajectory_teleport_clean",
         # r7-continuation gates that waited past slot 50:
         "text_collocation_lift", "robust_winsorized_stats",
+        # new r8 gates (first verdicts):
+        "streaming_islands_maintainer",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

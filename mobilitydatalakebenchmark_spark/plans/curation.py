@@ -41,10 +41,10 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 _IC_EXTENT_US = 30 * 60 * 1_000_000
 
-
-@register(
-    "interval_coalesce",
-    oracle=f"""
+# shared by interval_coalesce (batch) and streaming_islands_maintainer
+# (stream-then-read): the maintained table must equal the from-scratch
+# batch recompute, so both gates check against the SAME oracle.
+_IC_ORACLE = f"""
 WITH iv AS (
   SELECT user_id, event_id,
          epoch_us(ts) AS start_us,
@@ -74,7 +74,12 @@ SELECT user_id, island, min(start_us) AS start_us, max(end_us) AS end_us,
        count(*) AS n_rows
 FROM s GROUP BY user_id, island
 ORDER BY user_id, island
-""",
+"""
+
+
+@register(
+    "interval_coalesce",
+    oracle=_IC_ORACLE,
     doc="interval coalescing (operators/timeseries.coalesce_intervals): "
     "30-min event extents per user merged into overlap islands via the "
     "running-max-of-end construction — W5's gap sessionization "
@@ -95,6 +100,77 @@ def interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coalesce_intervals(
         ev, "user_id", "start_us", "end_us", tiebreak="event_id"
     ).orderBy("user_id", "island")
+
+
+@register(
+    "streaming_islands_maintainer",
+    oracle=_IC_ORACLE,
+    doc="the STREAMING islands maintainer gets its own driver verdict "
+    "(streaming/intervals.py — previously pytest-only): the gate "
+    "splits the interval rows into three parquet files, streams them "
+    "through stream_islands as three file-source micro-batches "
+    "(maxFilesPerTrigger=1, availableNow) into a bucket-partitioned "
+    "islands table with (run, epoch) replay stamps, then reads the "
+    "MAINTAINED table back; the oracle recomputes the islands from the "
+    "raw events in one batch pass, so any associativity, replay-stamp "
+    "or partition-overwrite defect in the incremental path flips a "
+    "cell. Interval merge is associative, so batch arrival order "
+    "cannot change the result",
+    tags=("streaming", "window", "interval", "write"),
+)
+def streaming_islands_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.intervals import read_islands, stream_islands
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"stream_islands_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "src")
+    table = os.path.join(base, "islands")
+    ckpt = os.path.join(base, "ckpt")
+
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("start_us"),
+        (epoch_us("ts") + F.lit(_IC_EXTENT_US)).alias("end_us"),
+    )
+    # three arrival slices — each lands as ONE file so the file source
+    # delivers exactly three micro-batches (gate-scale slices are small;
+    # at fleet scale the stream arrives pre-batched by the source)
+    for m in range(3):
+        iv.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(iv.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_islands(stream, table, ckpt, "user_id")
+    q.awaitTermination()
+
+    # island ordinals are per-merge artifacts; read_islands re-derives
+    # the per-key ordinal (cast long: the oracle's island is BIGINT and
+    # the driver hash is type-sensitive)
+    return (
+        read_islands(spark, table, "user_id")
+        .select(
+            "user_id",
+            F.col("island").cast("long").alias("island"),
+            "start_us",
+            "end_us",
+            "n_rows",
+        )
+        .orderBy("user_id", "island")
+    )
 
 
 # ---------------------------------------------------------------------------
