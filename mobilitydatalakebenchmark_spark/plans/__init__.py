@@ -202,7 +202,8 @@ def load_registry() -> dict[str, Q]:
         # r7-continuation gates that waited past slot 50:
         "text_collocation_lift", "robust_winsorized_stats",
         # new r8 gates (first verdicts):
-        "streaming_islands_maintainer",
+        "streaming_islands_maintainer", "streaming_pareto_maintainer",
+        "streaming_rollup_maintainer",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

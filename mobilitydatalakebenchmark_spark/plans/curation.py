@@ -834,9 +834,11 @@ def asof_tolerance_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "pareto_frontier_price_qty",
-    oracle="""
+# shared by pareto_frontier_price_qty (batch) and
+# streaming_pareto_maintainer (stream-then-read): frontier merge is
+# associative and history-free, so the maintained table must equal the
+# from-scratch batch sweep — same oracle for both.
+_PARETO_ORACLE = """
 WITH c AS (
   SELECT l_returnflag AS flag,
          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
@@ -858,7 +860,12 @@ FROM swept
 WHERE qty_c > coalesce(best_cheaper, -1) AND qty_c = best_here
 GROUP BY flag, cents, qty_c
 ORDER BY flag, cents
-""",
+"""
+
+
+@register(
+    "pareto_frontier_price_qty",
+    oracle=_PARETO_ORACLE,
     doc="Pareto frontier / skyline per return flag on (minimize price, "
     "maximize quantity): one price-ordered RANGE-frame window per "
     "group — keep rows whose quantity beats every strictly-cheaper "
@@ -901,6 +908,155 @@ def pareto_frontier_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keeper_order",
         )
         .orderBy("flag", "price")
+    )
+
+
+def _gate_tmp(sf_dir: str, name: str) -> str:
+    """Fresh scratch root for a write-path gate (per gate x SF)."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+@register(
+    "streaming_pareto_maintainer",
+    oracle=_PARETO_ORACLE,
+    doc="the STREAMING Pareto-frontier maintainer gets its own driver "
+    "verdict (streaming/skyline_stream.py — previously pytest-only): "
+    "lineitem (flag, price-cents, qty) points split into three parquet "
+    "files stream through stream_frontier as three micro-batches "
+    "(maxFilesPerTrigger=1, availableNow) into the bucket-partitioned "
+    "frontier table; the gate reads the MAINTAINED frontier back and "
+    "the oracle re-sweeps from scratch — valid because dominance only "
+    "grows (a point dominated at any epoch stays dominated in the full "
+    "set), so frontier(frontier(A) ∪ B) == frontier(A ∪ B) and "
+    "survivor multiplicities/keeper ids are exact",
+    tags=("streaming", "skyline", "write"),
+)
+def streaming_pareto_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.skyline_stream import read_frontier, stream_frontier
+
+    base = _gate_tmp(sf_dir, "stream_pareto")
+    src_dir = os.path.join(base, "src")
+
+    pts = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
+        "l_orderkey",
+    )
+    for m in range(3):
+        pts.filter(F.col("l_orderkey") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_frontier(
+        stream,
+        os.path.join(base, "frontier"),
+        os.path.join(base, "ckpt"),
+        by="flag",
+        cost_col="cents",
+        gain_col="qty_c",
+        id_col="l_orderkey",
+    )
+    q.awaitTermination()
+
+    return (
+        read_frontier(spark, os.path.join(base, "frontier"))
+        .select(
+            "flag",
+            (F.col("cents") / 100.0).alias("price"),
+            (F.col("qty_c") / 100.0).alias("quantity"),
+            "n_dups",
+            F.col("l_orderkey").alias("keeper_order"),
+        )
+        .orderBy("flag", "price")
+    )
+
+
+@register(
+    "streaming_rollup_maintainer",
+    oracle="""
+WITH x AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT bucket_ts,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS total,
+       min(cents) AS vmin,
+       max(cents) AS vmax
+FROM x GROUP BY bucket_ts ORDER BY bucket_ts
+""",
+    doc="the STREAMING continuous-aggregate maintainer gets its own "
+    "driver verdict (streaming/rollup_stream.py — previously "
+    "pytest-only): events stream through stream_rollup as three "
+    "file-source micro-batches into the day-partitioned rollup table "
+    "(DAY buckets at gate scale: every micro-batch spans the whole "
+    "month, so hour buckets would rewrite ~720 tiny partitions per "
+    "epoch and the gate would time out on file ops, not logic; the "
+    "touched-partition pruning under test is identical) "
+    "(per batch: build partials, read back ONLY touched bucket "
+    "partitions, merge states exactly — sums of sums, min of mins — "
+    "rewrite via dynamic partition overwrite under a (run, epoch) "
+    "stamp); the gate reads the MAINTAINED table and the oracle "
+    "recomputes from the raw rows, so a merge, replay-stamp or "
+    "pruning defect flips a cell. Exact integer cents",
+    tags=("streaming", "rollup", "write"),
+)
+def streaming_rollup_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.rollup_stream import read_rollup, stream_rollup
+
+    base = _gate_tmp(sf_dir, "stream_rollup")
+    src_dir = os.path.join(base, "src")
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_rollup(
+        stream,
+        os.path.join(base, "rollup"),
+        os.path.join(base, "ckpt"),
+        ts_col="ts",
+        val_col="cents",
+        bucket="day",
+    )
+    q.awaitTermination()
+
+    return (
+        read_rollup(spark, os.path.join(base, "rollup"))
+        .select("bucket_ts", "n", "total", "vmin", "vmax")
+        .orderBy("bucket_ts")
     )
 
 
