@@ -167,3 +167,38 @@ def test_first_batch_creates_table(spark, tmp_path):
     import os
 
     assert not os.path.exists(table)
+
+
+def test_recreated_checkpoint_gets_new_identity(spark, tmp_path):
+    """The r8 ADVICE fix: run_id = md5(checkpoint PATH) alone collides
+    across checkpoint lifetimes — delete the checkpoint but keep the
+    islands table, and the new stream restarts at epoch 0 under the old
+    run_id, so the (run, epoch) replay guard silently DROPS the
+    genuinely-new first batches. With the per-creation nonce mixed in,
+    the recreated checkpoint is a new identity and fresh data applies."""
+    import shutil
+
+    data_dir, table, ckpt = (
+        str(tmp_path / "data"),
+        str(tmp_path / "islands"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(
+        [("a", 0, 10), ("b", 0, 5)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(data_dir)
+    _drain(spark, data_dir, table, ckpt)
+
+    # checkpoint lost (operator error / retention job), table kept;
+    # a FRESH data dir so the new run's epoch 0 carries new rows
+    shutil.rmtree(ckpt)
+    data2 = str(tmp_path / "data2")
+    spark.createDataFrame(
+        [("a", 5, 30), ("c", 7, 8)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(data2)
+    _drain(spark, data2, table, ckpt)
+
+    got = _snapshot(read_islands(spark, table, "k"))
+    # both runs' rows must be present: a's islands merged to [0,30),
+    # and c — delivered in the recreated run's epoch 0 — NOT dropped
+    assert got[("a", 1)] == (0, 30, 2)
+    assert got[("c", 1)] == (7, 8, 1)
