@@ -203,7 +203,8 @@ def load_registry() -> dict[str, Q]:
         "text_collocation_lift", "robust_winsorized_stats",
         # new r8 gates (first verdicts):
         "streaming_islands_maintainer", "streaming_pareto_maintainer",
-        "streaming_rollup_maintainer",
+        "streaming_rollup_maintainer", "streaming_versioned_commits",
+        "knn_persisted_index_probe",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1017,6 +1017,82 @@ def versioned_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof.unionByName(latest).orderBy("version", "o_orderstatus")
 
 
+@register(
+    "streaming_versioned_commits",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(3 AS BIGINT) AS n_versions
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="the STREAMING commit path of the versioned store gets its own "
+    "driver verdict (streaming/versioned_stream.py — previously "
+    "pytest-only): three modulo slices of orders written as three "
+    "parquet files stream through stream_to_versioned_store "
+    "(maxFilesPerTrigger=1, availableNow), each epoch committing one "
+    "atomically-visible version under a (run, epoch) txn stamp; the "
+    "gate aggregates the LATEST snapshot (order-independent of epoch "
+    "arrival) and pins n_versions=3, so a dropped epoch, a "
+    "double-applied replay, or a manifest defect flips a cell; the "
+    "oracle recomputes from the raw table. Exact integer cents",
+    tags=("streaming", "store", "versioned", "write"),
+)
+def streaming_versioned_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.versioned_store import VersionedParquetStore
+    from ..streaming.versioned_stream import stream_to_versioned_store
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"stream_versioned_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "src")
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    for m in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    store = VersionedParquetStore(os.path.join(base, "store"))
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_to_versioned_store(
+        stream, store, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+
+    n_versions = len(store.history())
+    return (
+        store.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("long"))
+        .orderBy("o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-7: the IVM materialized-join layer gets a CORRECTNESS row too.
 # Build the join view from initial slices, append a second batch via the

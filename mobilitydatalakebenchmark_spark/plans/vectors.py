@@ -984,3 +984,83 @@ def vec_covariance_matrix_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings", heavy=True)
     return covariance_matrix_gram(e, _COV_DIMS)
+
+
+@register(
+    "knn_persisted_index_probe",
+    # the knn_ivf trick for approximate ops: the PERSISTED index's
+    # neighbor lists depend on Spark-trained centroids, but "the store
+    # indexed every vector" and "recall@5 vs the exact scan clears the
+    # floor" are deterministic in-plan claims the oracle can assert.
+    oracle=f"""
+SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_returned,
+       TRUE AS returned_k, TRUE AS recall_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed
+FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+ORDER BY probe_id
+""",
+    doc="the persisted ANN index store gets its own driver verdict "
+    "(operators/ann_index.IVFIndexStore — previously pytest-only): "
+    "build the IVF index on the vec_id%5!=3 corpus slice, APPEND the "
+    "held-out slice against the frozen centroids (the incremental-"
+    "indexing path), then probe from the on-disk index — routed "
+    "through the centroid broadcast into the centroid_id-partitioned "
+    "lists (dynamic partition pruning reads nprobe/k of the files); "
+    "emits per-probe returned_k and recall@5>=2 vs the exact "
+    "brute-force scan, plus n_indexed == |corpus| pinning append "
+    "completeness",
+    tags=("vector", "knn", "ivf", "store", "write"),
+)
+def knn_persisted_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import IVFIndexStore
+    from ..operators.similarity import brute_force_topk
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"ann_store_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+
+    # NOT heavy: the store's partitioned writes would fan every
+    # centroid dir into |cores| tiny files at gate scale, and the
+    # per-row work here is one argmax — scan parallelism buys nothing
+    e = t(spark, sf_dir, "embeddings")
+    store = IVFIndexStore(base, n_centroids=8)
+    store.build(e.filter(F.col("vec_id") % 5 != 3), lloyd_iters=1)
+    store.append(e.filter(F.col("vec_id") % 5 == 3))
+    n_indexed = store.indexed_ids(spark).count()
+
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    ann = store.topk(probes, k=5, nprobe=4).select("probe_id", "vec_id")
+    exact = brute_force_topk(e, probes, k=5).select(
+        F.col("probe_id").alias("exact_probe"),
+        F.col("vec_id").alias("exact_id"),
+    )
+    hits = (
+        ann.join(
+            exact,
+            (F.col("probe_id") == F.col("exact_probe"))
+            & (F.col("vec_id") == F.col("exact_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.count("exact_id").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "probe_id",
+        "n_returned",
+        (F.col("n_returned") == 5).alias("returned_k"),
+        (F.col("n_hits") >= 2).alias("recall_ok"),
+        F.lit(n_indexed).cast("long").alias("n_indexed"),
+    ).orderBy("probe_id")
