@@ -162,15 +162,58 @@ class VersionedParquetStore:
         )
         return version
 
-    def snapshot(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def snapshot(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         """The table as of ``version`` (default: latest). Reads ONLY the
         dirs that manifest lists — orphans from crashed commits and data
-        from later versions are invisible."""
+        from later versions are invisible. ``merge_schema=True`` unions
+        heterogeneous per-version schemas (schema evolution: columns a
+        version never wrote read as NULL); off by default because the
+        merged-footer scan costs one footer read per file."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.path}")
-        return spark.read.parquet(*self._read_manifest(spark, version))
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*self._read_manifest(spark, version))
+
+    def data_files(
+        self, spark: SparkSession, version: int | None = None
+    ) -> list[str]:
+        """The parquet part files a version's snapshot actually reads —
+        the small-file metric ``compact`` exists to shrink."""
+        if version is None:
+            version = self.latest_version()
+        files: list[str] = []
+        for d in self._read_manifest(spark, version):
+            for root, _dirs, names in os.walk(d):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet") and not n.startswith("_")
+                )
+        return sorted(files)
+
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Bin the LATEST snapshot into ``target_files`` parquet files and
+        commit the rewrite as a NEW version (logical rows unchanged) —
+        small-file compaction, the standard lakehouse maintenance op: N
+        append commits leave N dirs each fanned to the writer's
+        parallelism, and every snapshot read then pays per-file open/
+        footer cost. The compacted manifest lists ONLY the rewritten dir;
+        older versions stay readable (time travel intact) until
+        ``vacuum`` reclaims them, and the manifest write remains the
+        single commit point — a crash mid-compact leaves an unreferenced
+        dir, never a torn table. At fleet scale prefer ``target_files ≈
+        snapshot_bytes / 512MB`` so row groups stay scan-friendly."""
+        snap = self.snapshot(spark).coalesce(max(1, target_files))
+        return self.commit(snap, mode="overwrite")
 
     def history(self) -> list[int]:
         return self._versions()

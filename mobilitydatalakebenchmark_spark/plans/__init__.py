@@ -204,7 +204,8 @@ def load_registry() -> dict[str, Q]:
         # new r8 gates (first verdicts):
         "streaming_islands_maintainer", "streaming_pareto_maintainer",
         "streaming_rollup_maintainer", "streaming_versioned_commits",
-        "knn_persisted_index_probe",
+        "knn_persisted_index_probe", "versioned_compact_rewrite",
+        "versioned_schema_evolution",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1093,6 +1093,139 @@ def streaming_versioned_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "versioned_compact_rewrite",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS files_reduced,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 4 <= 1)
+         AS v1_rows
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="small-file compaction on the versioned store (operators/"
+    "versioned_store.compact): four append commits leave four data "
+    "dirs each fanned to writer parallelism; compact() rewrites the "
+    "latest snapshot into 2 files as a NEW version whose manifest "
+    "lists only the compacted dir. The gate aggregates the compacted "
+    "snapshot (must equal the raw table — rewrite loses/duplicates "
+    "nothing), pins files_reduced via data_files() before/after, and "
+    "re-reads the PRE-compaction version-1 snapshot (time travel "
+    "intact after compaction; vacuum is the separate reclaim step). "
+    "Exact integer cents",
+    tags=("store", "versioned", "maintenance", "write"),
+)
+def versioned_compact_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.versioned_store import VersionedParquetStore
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"versioned_compact_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    store = VersionedParquetStore(base)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # deliberately NOT coalesced: the whole point is many small files
+    for m in range(4):
+        store.commit(orders.filter(F.col("o_orderkey") % 4 == m))
+    files_before = len(store.data_files(spark))
+    v1_rows = store.snapshot(spark, version=1).count()
+    store.compact(spark, target_files=2)
+    files_after = len(store.data_files(spark))
+    # time travel must survive compaction: v1 still readable, unchanged
+    v1_rows_after = store.snapshot(spark, version=1).count()
+    return (
+        store.snapshot(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("total_cents"),
+        )
+        .withColumn(
+            "files_reduced",
+            F.lit(bool(files_after < files_before and v1_rows == v1_rows_after)),
+        )
+        .withColumn("v1_rows", F.lit(v1_rows_after).cast("long"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "versioned_schema_evolution",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+         AS n_with_price,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT) END)
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="schema evolution on the versioned store: version 0 commits the "
+    "even-key slice WITHOUT the price column, version 1 appends the "
+    "odd-key slice WITH it; snapshot(merge_schema=True) unions the "
+    "heterogeneous versions — rows from the pre-evolution version read "
+    "the new column as NULL (count/sum skip them), exactly the "
+    "add-a-column migration every long-lived table goes through; the "
+    "oracle recomputes from the raw table with the same modulo split. "
+    "Exact integer cents",
+    tags=("store", "versioned", "schema", "write"),
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.versioned_store import VersionedParquetStore
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"versioned_evolve_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    store = VersionedParquetStore(base)
+    orders = t(spark, sf_dir, "orders")
+    store.commit(
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderstatus")
+        .coalesce(2)
+    )
+    store.commit(
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .coalesce(2)
+    )
+    return (
+        store.snapshot(spark, merge_schema=True)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("cents").alias("n_with_price"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-7: the IVM materialized-join layer gets a CORRECTNESS row too.
 # Build the join view from initial slices, append a second batch via the

@@ -173,3 +173,42 @@ def test_vacuum_without_active_session_raises(spark, batches, tmp_path):
     assert s.vacuum(keep_latest=1, spark=spark) == []
     assert s.history() == [1]
     assert s.snapshot(spark).count() == 20
+
+
+def test_compact_preserves_rows_and_time_travel(spark, batches, tmp_path):
+    s = VersionedParquetStore(str(tmp_path / "vs"))
+    for b in batches:
+        s.commit(b)
+    before = sorted(
+        (r.id, r.b) for r in s.snapshot(spark).collect()
+    )
+    files_before = len(s.data_files(spark))
+    v = s.compact(spark, target_files=1)
+    assert v == 3  # compaction is a NEW version
+    # logical rows unchanged, file count shrank
+    assert sorted((r.id, r.b) for r in s.snapshot(spark).collect()) == before
+    assert len(s.data_files(spark)) < files_before
+    # pre-compaction versions still time-travel
+    assert s.snapshot(spark, 1).count() == 20
+
+
+def test_vacuum_after_compact_keeps_compacted_version(spark, batches, tmp_path):
+    s = VersionedParquetStore(str(tmp_path / "vs"))
+    for b in batches:
+        s.commit(b)
+    s.compact(spark, target_files=1)
+    removed = s.vacuum(keep_latest=1, spark=spark)
+    assert removed  # the three pre-compaction dirs are reclaimable
+    assert s.snapshot(spark).count() == 30  # compacted version intact
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    s = VersionedParquetStore(str(tmp_path / "vs"))
+    s.commit(spark.range(0, 5))  # v0: id only
+    s.commit(spark.range(5, 8).withColumn("extra", F.lit(7)))  # v1: +extra
+    snap = s.snapshot(spark, merge_schema=True)
+    assert set(snap.columns) == {"id", "extra"}
+    got = {r.id: r.extra for r in snap.collect()}
+    assert len(got) == 8
+    assert all(got[i] is None for i in range(5))
+    assert all(got[i] == 7 for i in range(5, 8))
