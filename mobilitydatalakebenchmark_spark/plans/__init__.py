@@ -205,7 +205,7 @@ def load_registry() -> dict[str, Q]:
         "streaming_islands_maintainer", "streaming_pareto_maintainer",
         "streaming_rollup_maintainer", "streaming_versioned_commits",
         "knn_persisted_index_probe", "versioned_compact_rewrite",
-        "versioned_schema_evolution",
+        "versioned_schema_evolution", "bucketed_join_colocated",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

@@ -1958,3 +1958,102 @@ def bloom_pruned_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         restore_conf(spark, prev)
     return out.orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (SURVEY's "pre-shuffle the join key into the
+# STORAGE layout" scale story, promoted to a value-checked gate): both
+# sides saved bucketBy(8, custkey), so the sort-merge join consumes the
+# bucketed scans DIRECTLY — zero Exchange in the join plan — and the
+# in-plan boolean pins that, with broadcast disabled so a small dim
+# cannot fake the proof. At fleet scale this is the one-time write-side
+# investment that removes the per-query shuffle of the big fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+SELECT c.c_nationkey AS nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       TRUE AS colocated_join
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+ORDER BY nationkey
+""",
+    doc="co-located join via bucketed storage (S14's segment-by taken to "
+    "its Spark-native conclusion): orders and customer written "
+    "bucketBy(8, custkey) as external tables, broadcast disabled, and "
+    "the join plan asserted Exchange-free in-plan (colocated_join) — "
+    "the bucketed scans ARE the shuffle, paid once at write time; the "
+    "aggregate must equal the plain-join oracle. The pattern that "
+    "turns every recurring fact-dim join at 100 TB from a per-query "
+    "shuffle into a layout decision",
+    tags=("join", "bucketing", "store", "write"),
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"bucketed_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_o, t_c = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_c}")
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(t_o)
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(base, "customer"))
+        .saveAsTable(t_c)
+    )
+
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table(t_o)
+        c = spark.table(t_c)
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+        # the proof: the JOIN plan itself carries no Exchange — each
+        # side's bucketed scan already satisfies the SMJ's distribution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        colocated = "Exchange" not in plan
+        out = (
+            joined.groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_customers"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("revenue_cents"),
+            )
+            .select(
+                F.col("c_nationkey").alias("nationkey"),
+                "n_orders",
+                "n_customers",
+                "revenue_cents",
+                F.lit(bool(colocated)).alias("colocated_join"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+    return out.orderBy("nationkey")
