@@ -206,6 +206,7 @@ def load_registry() -> dict[str, Q]:
         "streaming_rollup_maintainer", "streaming_versioned_commits",
         "knn_persisted_index_probe", "versioned_compact_rewrite",
         "versioned_schema_evolution", "bucketed_join_colocated",
+        "countmin_frequency_estimates",
     )
     # Gates whose plan code changed AFTER their last driver check —
     # rechecked before merely-old gates:

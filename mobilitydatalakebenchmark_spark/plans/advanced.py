@@ -2057,3 +2057,74 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
     return out.orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min point-frequency sketch (operators/countmin.py): d x w counter
+# table, estimate = min over the key's d cells. With md5-derived hashes
+# the whole construction is engine-exact, so the gate compares ACTUAL
+# cells/estimates/overcounts — no probabilistic bound assertion needed.
+# Mergeability (shard-then-combine == one build) is pytest-pinned.
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 3, 64
+
+
+@register(
+    "countmin_frequency_estimates",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+  FROM events GROUP BY user_id
+),
+routed AS (
+  SELECT t.user_id, t.true_n, rs.r,
+         CAST('0x' || substr(md5('cm' || rs.r || ':'
+                                  || CAST(t.user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_CM_W} AS b
+  FROM t CROSS JOIN (VALUES (0), (1), (2)) rs(r)
+),
+cells AS (
+  SELECT r, b, CAST(sum(true_n) AS BIGINT) AS cell
+  FROM routed GROUP BY r, b
+),
+est AS (
+  SELECT routed.user_id, routed.true_n,
+         CAST(min(cells.cell) AS BIGINT) AS est_n
+  FROM routed JOIN cells USING (r, b)
+  GROUP BY routed.user_id, routed.true_n
+)
+SELECT user_id, true_n, est_n,
+       CAST(est_n - true_n AS BIGINT) AS overcount
+FROM est ORDER BY user_id
+""",
+    doc="Count-Min point-frequency estimates (operators/countmin.py): "
+    "3x64 counter table built by one explode + one bounded-width "
+    "shuffle, per-key estimate = min of its 3 cells via a broadcast "
+    "of the 192-row sketch; estimates never undercount and the "
+    "overcount column IS the collision mass — md5-derived hashes make "
+    "every cell engine-exact, so the oracle matches values, not "
+    "bounds; the mergeable answer to 'how often is THIS key' "
+    "(Misra-Gries answers top-k) at corpus sizes where exact "
+    "per-key counting is its own big job",
+    tags=("sketch", "agg", "frequency"),
+)
+def countmin_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.countmin import countmin_build, countmin_estimates
+
+    ev = t(spark, sf_dir, "events")
+    cells = countmin_build(ev, "user_id", d=_CM_D, w=_CM_W)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    est = countmin_estimates(
+        cells, truth.select("user_id"), "user_id", d=_CM_D, w=_CM_W
+    )
+    return (
+        truth.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
