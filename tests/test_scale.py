@@ -162,6 +162,27 @@ BOUNDS = {
     # winsorized stats is one per-flag sort shared by three windows
     "text_collocation_lift": 8.0,
     "robust_winsorized_stats": 8.0,
+    # round-8 write-path gates: the streaming maintainers pay a FIXED
+    # per-epoch cost (3 epochs either way) plus O(batch + touched
+    # buckets) merge work — 4x data through the same 3 epochs must stay
+    # ~linear; a quadratic would mean a maintainer re-reads history
+    # instead of touched partitions
+    "streaming_islands_maintainer": 8.0,
+    "streaming_pareto_maintainer": 8.0,
+    "streaming_rollup_maintainer": 8.0,
+    "streaming_versioned_commits": 8.0,
+    # persisted ANN: build/append are one assignment pass each (numpy
+    # argmax / broadcast argmax), probe reads nprobe/k of the lists —
+    # all linear in corpus rows
+    "knn_persisted_index_probe": 8.0,
+    # compaction rewrites the snapshot once (linear); schema evolution
+    # is two commits + one merged-footer aggregate; the bucketed join
+    # is write-once bucketing + an Exchange-free SMJ; countmin is one
+    # explode(x3) into a bounded-width shuffle + broadcast estimates
+    "versioned_compact_rewrite": 8.0,
+    "versioned_schema_evolution": 8.0,
+    "bucketed_join_colocated": 8.0,
+    "countmin_frequency_estimates": 8.0,
 }
 
 
