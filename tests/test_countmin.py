@@ -63,3 +63,35 @@ def test_exact_when_width_exceeds_keys(spark):
         ).collect()
     }
     assert est == _truth(df, "k")
+
+
+def test_property_never_undercounts_random_keys(spark):
+    """Property over adversarial-ish key mixes: heavy head + long tail;
+    estimates must dominate truth for EVERY key at any (d, w)."""
+    from pyspark.sql import functions as F
+
+    # zipf-ish: key = floor(sqrt(id)) gives collision-heavy small keys
+    df = spark.range(0, 4000).select(
+        F.floor(F.sqrt(F.col("id").cast("double"))).cast("long").alias("k")
+    )
+    for d, w in ((2, 8), (3, 16), (4, 64)):
+        cells = countmin_build(df, "k", d=d, w=w)
+        est = {
+            r["k"]: r["est_n"]
+            for r in countmin_estimates(
+                cells, df.select("k").distinct(), "k", d=d, w=w
+            ).collect()
+        }
+        truth = _truth(df, "k")
+        assert set(est) == set(truth), (d, w)
+        bad = {k: (est[k], truth[k]) for k in truth if est[k] < truth[k]}
+        assert not bad, (d, w, bad)
+        # total mass conservation per hash row: every row's cells sum to N
+        per_row = {
+            r["r"]: r["s"]
+            for r in cells.groupBy("r")
+            .agg(F.sum("cell").alias("s"))
+            .collect()
+        }
+        n = df.count()
+        assert all(v == n for v in per_row.values()), (d, w, per_row)
