@@ -129,3 +129,42 @@ def test_all_oracles_plan_in_duckdb():
         "driver-unhashable oracle result types (cast the outermost "
         f"aggregate to BIGINT): {bad_types}"
     )
+
+
+def test_type_guard_catches_uncast_aggregate():
+    """The verdict-r7 'done' criterion: a deliberately un-cast sum() in
+    an oracle must fail locally. DuckDB types sum(BIGINT) — window sums
+    included — as HUGEINT; the guard must flag both, and pass the
+    CAST-wrapped forms."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    from tools.oracle_types import type_problems
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt AS SELECT range AS v FROM range(10)")
+    # plain aggregate widens
+    assert type_problems(con, "SELECT sum(v) AS s FROM tt", "g")
+    # window sum widens too (the trajectory_trip_segments shape)
+    assert type_problems(
+        con, "SELECT sum(v) OVER (ORDER BY v) AS s FROM tt", "g"
+    )
+    # the fix is accepted
+    assert not type_problems(
+        con, "SELECT CAST(sum(v) AS BIGINT) AS s FROM tt", "g"
+    )
+    assert not type_problems(
+        con,
+        "SELECT CAST(sum(v) OVER (ORDER BY v) AS BIGINT) AS s FROM tt",
+        "g",
+    )
+    # DECIMAL is banned unless the Spark twin column is decimal
+    assert type_problems(con, "SELECT CAST(1.5 AS DECIMAL(4,2)) AS d", "g")
+    assert not type_problems(
+        con,
+        "SELECT CAST(1.5 AS DECIMAL(4,2)) AS d",
+        "g",
+        spark_decimal_cols={"d"},
+    )
