@@ -26,16 +26,12 @@ def test_queries_and_oracles_consistent(spark):
     mod = _load_entry()
     qs, osql = mod.queries(), mod.oracle_sql()
     assert len(qs) >= 50
-    # every oracle key must have a query; every query either has an oracle
-    # or is a declared approximation (rows-only)
+    # every oracle key must have a query, and EVERY query has an oracle —
+    # the approximate operators (HLL, GK sketch, IVF/SimHash) carry
+    # error-bound twins, so the registry has zero rows-only entries and
+    # a gate silently losing its oracle is a contract break
     assert set(osql) <= set(qs)
-    rows_only = set(qs) - set(osql)
-    assert rows_only <= {
-        "approx_distinct_users",
-        "dedup_simhash",
-        "knn_ivf",
-        "sketch_percentiles",
-    }
+    assert set(qs) == set(osql), sorted(set(qs) - set(osql))
     for name, sql in osql.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
