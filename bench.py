@@ -116,35 +116,48 @@ def main() -> None:
     # first slot, and heavy enough (~0.7s) that spread_pct is not
     # dominated by scheduler jitter on a sub-second query
 
+    probe_samples: list[float] = []
+
     def probe() -> float:
         # min of two back-to-back runs: a single sample conflates machine
         # load with one-off JVM events (a GC pause reads as 5x); the min
         # of two still tracks sustained load, which is what the spread is
-        # meant to surface
-        return round(min(run(_PROBE), run(_PROBE)), 3)
+        # meant to surface. Raw samples are kept so the artifact shows
+        # per-rep dispersion, not just the three mins.
+        a, b = round(run(_PROBE), 3), round(run(_PROBE), 3)
+        probe_samples.extend([a, b])
+        return min(a, b)
 
     noise: dict[str, float] = {}
     timings: dict[str, float] = {}
-    rep2: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for i, name in enumerate(HEADLINE):
         # First rep is warm-up (JIT, file listing, shuffle dirs); C2
-        # compilation keeps landing through the second rep, so time two
-        # more and keep the min — run-to-run drift at these sub-second
-        # scales is JVM warmup, not the query. Both kept reps are
+        # compilation keeps landing through the second rep, so time
+        # THREE more and keep the min — run-to-run drift at these
+        # sub-second scales is JVM warmup + scheduler jitter, not the
+        # query, and min-of-3 both tightens the estimate and stays
+        # comparable with earlier rounds' min-of-2 (r8 lesson: the
+        # driver host's probe spread hit 28%; more reps per query make
+        # the reported wall robust to a noisy host). All reps are
         # emitted: `queries` carries the min (the trend figure),
-        # `queries_rep2` the other rep, so per-query dispersion is
+        # `queries_reps` the full list, so per-query dispersion is
         # visible in the artifact itself.
         run(name)
-        a, b = run(name), run(name)
-        timings[name] = round(min(a, b), 3)
-        rep2[name] = round(max(a, b), 3)
+        reps = [round(run(name), 3) for _ in range(3)]
+        timings[name] = min(reps)
+        all_reps[name] = reps
         if i == len(HEADLINE) // 3:
             noise["early"] = probe()
         elif i == 2 * len(HEADLINE) // 3:
             noise["middle"] = probe()
     noise["end"] = probe()
+    # spread across the three interleaved probe points (each min-of-2,
+    # 6 raw samples total — emitted below): sustained machine load shows
+    # up as spread between the points
     lo, hi = min(noise.values()), max(noise.values())
     noise["spread_pct"] = round((hi - lo) / lo * 100, 1) if lo > 0 else 0.0
+    noise["samples"] = probe_samples
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -157,27 +170,30 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_detail",
         "queries": timings,
-        "queries_rep2": rep2,
+        "queries_reps": all_reps,
         "sf": sf_val,
     }
     print(json.dumps(detail))
+    here = os.path.dirname(os.path.abspath(__file__))
+    # versioned per round (SPARK_GRAFT_ROUND or BENCH_ROUND env, else
+    # the unversioned name): r7 overwrote the r6 detail file, so
+    # cross-round per-query diffs depended on parsing a truncated
+    # driver tail — never again. The round number is validated in its
+    # OWN try so a malformed env var only drops the versioned copy,
+    # never the primary BENCH_DETAIL.json write.
+    rnd = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get("BENCH_ROUND")
+    names = ["BENCH_DETAIL.json"]
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        # versioned per round (SPARK_GRAFT_ROUND or BENCH_ROUND env, else
-        # the unversioned name): r7 overwrote the r6 detail file, so
-        # cross-round per-query diffs depended on parsing a truncated
-        # driver tail — never again
-        rnd = os.environ.get("SPARK_GRAFT_ROUND") or os.environ.get(
-            "BENCH_ROUND"
-        )
-        names = ["BENCH_DETAIL.json"]
         if rnd:
             names.append(f"BENCH_DETAIL_r{int(rnd):02d}.json")
-        for nm in names:
+    except ValueError:
+        print(f"bench: ignoring malformed round {rnd!r}", file=sys.stderr)
+    for nm in names:
+        try:
             with open(os.path.join(here, nm), "w") as fh:
                 json.dump(detail, fh, indent=1)
-    except (OSError, ValueError):
-        pass  # read-only checkout: the detail line above still has it
+        except OSError:
+            pass  # read-only checkout: the detail line above still has it
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),

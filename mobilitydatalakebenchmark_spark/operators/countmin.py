@@ -83,7 +83,13 @@ def countmin_estimates(
     cells: DataFrame, keys: DataFrame, key_col: str, d: int = 3, w: int = 64
 ) -> DataFrame:
     """Point estimates for ``keys``: route each key to its d cells
-    (broadcast of the d*w-row cell table) and take the min."""
+    (broadcast of the d*w-row cell table) and take the min.
+
+    LEFT join + zero-fill, not inner: a cell absent from the table means
+    its counter is 0, so a key never seen at build time (and not fully
+    shadowed by collisions) correctly estimates 0 — an inner join would
+    either drop the key from the output (all d cells empty) or
+    overestimate from its non-empty cells only."""
     rows = F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r")
     routed = keys.select(F.col(key_col), rows).select(
         key_col,
@@ -91,7 +97,11 @@ def countmin_estimates(
         _cm_bucket(key_col, F.col("r"), w).alias("b"),
     )
     return (
-        routed.join(F.broadcast(cells), ["r", "b"])
+        routed.join(F.broadcast(cells), ["r", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("cell").alias("est_n"))
+        .agg(
+            F.min(F.coalesce(F.col("cell"), F.lit(0).cast("long"))).alias(
+                "est_n"
+            )
+        )
     )

@@ -211,8 +211,16 @@ class VersionedParquetStore:
         ``vacuum`` reclaims them, and the manifest write remains the
         single commit point — a crash mid-compact leaves an unreferenced
         dir, never a torn table. At fleet scale prefer ``target_files ≈
-        snapshot_bytes / 512MB`` so row groups stay scan-friendly."""
-        snap = self.snapshot(spark).coalesce(max(1, target_files))
+        snapshot_bytes / 512MB`` so row groups stay scan-friendly.
+
+        The snapshot is read with ``merge_schema=True``: on a
+        schema-evolved store a single-footer schema sample would
+        silently drop columns that only some versions carry, and the
+        compacted rewrite would commit the truncated table as the new
+        latest version."""
+        snap = self.snapshot(spark, merge_schema=True).coalesce(
+            max(1, target_files)
+        )
         return self.commit(snap, mode="overwrite")
 
     def history(self) -> list[int]:

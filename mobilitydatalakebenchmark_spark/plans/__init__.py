@@ -45,28 +45,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # driver verdict. Gates re-verified in a later window GRADUATE out of
 # their old block, so each name appears exactly once, under its
 # freshest verdict.
-# The r8 window: flagship + the 18 gates whose ORACLE SQL was re-cast
-# this round (CORRECTNESS_r07's red rows — every VALUE was bit-exact,
-# but DuckDB widened their un-cast outer sum() to HUGEINT and the
-# driver hash is type-sensitive; they need a post-fix verdict) + the
-# two r7-continuation gates that landed past slot 50 + new r8 gates +
-# the code-touched pair (tpch_q9 decimal rewrite, anomaly_zscore's
-# rounded emit) + the 17-gate R3 residue, then oldest R4 entries fill
-# the remaining slots.
-# r3 verdicts (CORRECTNESS_r03.json) still freshest (the oldest block —
-# the r6 window re-verified the first 28 alphabetically; these 17 are the
-# residue, window-filling since r7):
-DRIVER_VERIFIED_R3 = (
-    "ranking_suite", "resample_linear_grid", "rollup_hourly_to_daily",
-    "running_totals", "sample_corpus_mixture", "scd2_state_intervals",
-    "spatial_tile_pyramid", "text_lang_distribution", "text_line_repetition",
-    "text_stats", "text_unigram_logprob", "topk_per_group",
-    "trajectory_step_metrics", "url_domain_topk", "velocity_dim_build",
-    "w5_sessionize", "window_range_frames",
-)
+# The r9 window: flagship + new r9 gates (first verdicts: the two
+# streaming maintainer gates that were pytest-only in r8, plus the
+# depth trio — substring dedup, fasttext-style classifier inference,
+# filtered ANN) + any gate whose plan code r9 touches, then the R4
+# residue oldest-first fills the remaining slots (the r8 window
+# re-verified every r3-residue gate; R3's block is now empty and
+# retired).
 # r4 verdicts (CORRECTNESS_r04.json) still freshest:
 DRIVER_VERIFIED_R4 = (
-    "sketch_percentiles", "approx_distinct_users", "knn_pq_adc_seeded",
+    "approx_distinct_users", "knn_pq_adc_seeded",
     "text_chunk_overlap", "text_zipf_slope",
     "text_perplexity_buckets", "interval_overlap_join",
     "dedup_minhash_verified", "text_fingerprint", "text_token_topk",
@@ -105,7 +93,7 @@ DRIVER_VERIFIED_R5 = (
     "tpch_q16_style_supplier_variety", "tpch_q17_style_small_qty_revenue",
     "tpch_q18_style_large_orders", "correlated_not_exists_sql",
     "tpch_q15_style_top_supplier", "tpch_q6_style_forecast_revenue",
-    "tpch_q8_style_market_share", "tpch_q9_style_nation_profit",
+    "tpch_q8_style_market_share",
     "tpch_q11_style_balance_share", "tpch_q13_style_order_distribution",
     "tpch_q19_style_disjunctive_revenue", "tpch_q20_style_nested_in",
 )
@@ -125,7 +113,7 @@ DRIVER_VERIFIED_R6 = (
     "tpch_q12_style_priority_by_flag", "tpch_q21_style_sole_late_supplier",
     "tpch_q22_style_idle_balance", "w1_tumbling_hour",
     "a5_batch_range_bounds", "w3_asof_lookup",
-    "a1_entity_sequences", "anomaly_zscore_outliers",
+    "a1_entity_sequences",
     "asof_join_purchases_clicks", "co_location_contacts", "cohort_retention",
     "date_functions", "dedup_exact_hash", "dedup_minhash_lsh_candidates",
     "dedup_minhash_signatures", "event_transition_matrix",
@@ -139,10 +127,10 @@ DRIVER_VERIFIED_R6 = (
 )
 # r7 verdicts (CORRECTNESS_r07.json, the 32 hash-matched rows of the
 # 50-gate window; the other 18 rows were value-correct but red on the
-# oracle HUGEINT type bug and re-enter the r8 window post-fix.
-# flagship graduates here from R6):
+# oracle HUGEINT type bug, re-entered the r8 window post-fix and
+# graduated to R8. flagship graduated onward to R8):
 DRIVER_VERIFIED_R7 = (
-    "flagship_pricing_summary", "knn_pq_recall_floor",
+    "knn_pq_recall_floor",
     "rollup_distinct_sketch", "rollup_quantile_sketch",
     "segment_theta_overlap", "mobility_hotspot_clusters",
     "zorder_morton_key", "bm25_ranked_retrieval",
@@ -157,13 +145,41 @@ DRIVER_VERIFIED_R7 = (
     "retrieval_hybrid_text_vector", "drift_chi2_event_mix",
     "vec_random_projection_jl", "scd2_point_in_time_join",
 )
+# r8 verdicts (CORRECTNESS_r08.json — the first 50/50-green window: the
+# 18 post-HUGEINT-fix re-verdicts, the two r7-continuation gates, the 9
+# new r8 gates, the code-touched pair, the full 17-gate r3 residue, and
+# sketch_percentiles; flagship graduated here from R7):
+DRIVER_VERIFIED_R8 = (
+    "flagship_pricing_summary", "trajectory_trip_segments",
+    "versioned_snapshot_asof", "ivm_materialized_join",
+    "skew_salted_sum", "cusum_changepoints", "ewma_truncated_exact",
+    "graph_kcore_peel", "gdpr_retract_rollup",
+    "length_bucketed_batches", "bloom_pruned_star_join",
+    "interval_coalesce", "range_join_bucketized",
+    "budget_apportion_sources", "skew_gini_report",
+    "join_cardinality_estimate", "vocab_nucleus_topp",
+    "mobility_dwell_time", "trajectory_teleport_clean",
+    "text_collocation_lift", "robust_winsorized_stats",
+    "streaming_islands_maintainer", "streaming_pareto_maintainer",
+    "streaming_rollup_maintainer", "streaming_versioned_commits",
+    "knn_persisted_index_probe", "versioned_compact_rewrite",
+    "versioned_schema_evolution", "bucketed_join_colocated",
+    "countmin_frequency_estimates", "tpch_q9_style_nation_profit",
+    "anomaly_zscore_outliers", "ranking_suite", "resample_linear_grid",
+    "rollup_hourly_to_daily", "running_totals", "sample_corpus_mixture",
+    "scd2_state_intervals", "spatial_tile_pyramid",
+    "text_lang_distribution", "text_line_repetition", "text_stats",
+    "text_unigram_logprob", "topk_per_group", "trajectory_step_metrics",
+    "url_domain_topk", "velocity_dim_build", "w5_sessionize",
+    "window_range_frames", "sketch_percentiles",
+)
 DRIVER_VERIFIED = tuple(
     dict.fromkeys(
-        DRIVER_VERIFIED_R3
-        + DRIVER_VERIFIED_R4
+        DRIVER_VERIFIED_R4
         + DRIVER_VERIFIED_R5
         + DRIVER_VERIFIED_R6
         + DRIVER_VERIFIED_R7
+        + DRIVER_VERIFIED_R8
     )
 )
 
@@ -182,42 +198,29 @@ def load_registry() -> dict[str, Q]:
     from . import advanced  # noqa: F401
     from . import curation  # noqa: F401
 
-    # Round 8: gates needing a (re-)verdict on CURRENT semantics — the
-    # 18 CORRECTNESS_r07 red rows, every one value-correct but red
-    # because its oracle's un-cast outer sum() widened to DuckDB
-    # HUGEINT while the driver hash is type-sensitive; their oracle
-    # twins now CAST the outermost aggregate to BIGINT and they need
-    # the post-fix verdict. Then the two r7-continuation gates that
-    # landed past slot 50 (first verdicts), and new r8 gates.
+    # Round 9: new gates needing FIRST verdicts — the two streaming
+    # paths that were pytest-only in r8 (the Count-Min maintainer and
+    # an applyInPandasWithState stateful stream, both gated with the
+    # established 3-micro-batch file-source pattern) plus the depth
+    # trio (suffix-run substring dedup, fasttext-style linear
+    # classifier inference, metadata-filtered IVF ANN).
     newest = (
-        "trajectory_trip_segments", "versioned_snapshot_asof",
-        "ivm_materialized_join", "skew_salted_sum",
-        "cusum_changepoints", "ewma_truncated_exact",
-        "graph_kcore_peel", "gdpr_retract_rollup",
-        "length_bucketed_batches", "bloom_pruned_star_join",
-        "interval_coalesce", "range_join_bucketized",
-        "budget_apportion_sources", "skew_gini_report",
-        "join_cardinality_estimate", "vocab_nucleus_topp",
-        "mobility_dwell_time", "trajectory_teleport_clean",
-        # r7-continuation gates that waited past slot 50:
-        "text_collocation_lift", "robust_winsorized_stats",
-        # new r8 gates (first verdicts):
-        "streaming_islands_maintainer", "streaming_pareto_maintainer",
-        "streaming_rollup_maintainer", "streaming_versioned_commits",
-        "knn_persisted_index_probe", "versioned_compact_rewrite",
-        "versioned_schema_evolution", "bucketed_join_colocated",
-        "countmin_frequency_estimates",
+        "streaming_countmin_maintainer", "streaming_cusum_maintainer",
+        "dedup_substring_spans", "fasttext_quality_inference",
+        "knn_ivf_filtered",
     )
-    # Gates whose plan code changed AFTER their last driver check —
-    # rechecked before merely-old gates:
-    # - tpch_q9_style_nation_profit (r5 verdict): its round-to-2 moved
-    #   into decimal space in r7 (profit margin was exactly 0 at
-    #   sf0.01) and it has not had a driver verdict since;
-    # - anomaly_zscore_outliers (r6 verdict): r8 rounds the emitted
-    #   mean/std to 6dp — the decimal→double cast is 1-ulp
-    #   engine-divergent, caught by the exact-compare sweep.
+    # Gates whose plan/operator code changed AFTER their last driver
+    # check — rechecked before merely-old gates:
+    # - countmin_frequency_estimates (r8 verdict): r9 changed
+    #   countmin_estimates to left-join + zero-fill so unseen keys
+    #   return est_n = 0 (ADVICE item), the gate's plan goes through
+    #   that operator;
+    # - versioned_compact_rewrite / versioned_schema_evolution (r8):
+    #   r9 makes compact() read the snapshot with merge_schema=True so
+    #   evolved columns survive compaction (ADVICE item).
     code_touched = (
-        "tpch_q9_style_nation_profit", "anomaly_zscore_outliers",
+        "countmin_frequency_estimates", "versioned_compact_rewrite",
+        "versioned_schema_evolution",
     )
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest + code_touched:
@@ -229,10 +232,10 @@ def load_registry() -> dict[str, Q]:
         if name not in DRIVER_VERIFIED and name not in ordered:
             ordered[name] = q
     for block in (
-        DRIVER_VERIFIED_R3,
         DRIVER_VERIFIED_R4,
         DRIVER_VERIFIED_R5,
         DRIVER_VERIFIED_R6,
+        DRIVER_VERIFIED_R7,
     ):
         for name in block:
             if name in REGISTRY and name not in ordered:

@@ -15,6 +15,17 @@ Idempotence follows the rollup discipline: every stored row carries the
 stamp already matches is a no-op, and run identity is nonce-mixed per
 checkpoint creation (run_identity.py) so a recreated checkpoint cannot
 replay-mask fresh batches.
+
+Crash safety follows the versioned-store manifest discipline: each
+merge writes the WHOLE merged table to a FRESH ``cells-<n>/`` dir under
+``table_path`` and then swaps a one-line ``LATEST`` pointer file via
+write-to-tmp + ``os.replace`` (atomic on POSIX). A crash anywhere
+before the pointer swap leaves the previous sketch fully intact — an
+in-place ``mode("overwrite")`` to a single dir would delete ALL
+previously merged epochs at job start, and replay only redelivers the
+last epoch, so the state would be unrecoverable. Superseded dirs are
+pruned after the swap (current + previous kept), so the store holds at
+most 2 sketch-sized dirs.
 """
 
 from __future__ import annotations
@@ -25,6 +36,49 @@ from pyspark.sql import DataFrame
 
 from .run_identity import checkpoint_run_id
 from ..operators.countmin import countmin_build
+
+_POINTER = "LATEST"
+
+
+def _latest_cells_dir(table_path: str) -> str | None:
+    """The committed cell dir per the pointer file, or None if no merge
+    has ever committed."""
+    ptr = os.path.join(table_path, _POINTER)
+    try:
+        with open(ptr) as fh:
+            name = fh.read().strip()
+    except OSError:
+        return None
+    full = os.path.join(table_path, name)
+    return full if name and os.path.isdir(full) else None
+
+
+def _commit_cells_dir(table_path: str, name: str) -> None:
+    """Point LATEST at ``name`` atomically, then prune dirs older than
+    the one just superseded (crash between swap and prune only leaves an
+    extra bounded-size dir, never a torn table)."""
+    import uuid
+
+    ptr = os.path.join(table_path, _POINTER)
+    tmp = ptr + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(name)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)
+    import shutil
+
+    seq = int(name.rsplit("-", 1)[1])
+    for entry in os.listdir(table_path):
+        if entry.startswith("cells-"):
+            try:
+                n = int(entry.rsplit("-", 1)[1])
+            except ValueError:
+                continue
+            if n < seq - 1:  # keep current + immediate predecessor
+                shutil.rmtree(
+                    os.path.join(table_path, entry), ignore_errors=True
+                )
 
 
 def upsert_countmin_batch(
@@ -43,8 +97,12 @@ def upsert_countmin_batch(
         return
     new_cells = countmin_build(batch, key_col, d=d, w=w)
     merged = {}
-    if os.path.exists(table_path):
-        existing = spark.read.parquet(table_path)
+    os.makedirs(table_path, exist_ok=True)
+    current = _latest_cells_dir(table_path)
+    seq = 0
+    if current is not None:
+        seq = int(os.path.basename(current).rsplit("-", 1)[1]) + 1
+        existing = spark.read.parquet(current)
         if txn is not None:
             already = (
                 existing.filter(
@@ -65,11 +123,18 @@ def upsert_countmin_batch(
         (int(r), int(b), int(c), run_id, epoch)
         for (r, b), c in sorted(merged.items())
     ]
+    name = f"cells-{seq}"
+    target = os.path.join(table_path, name)
+    if os.path.exists(target):  # orphan from a crash before the pointer
+        import shutil  # swap — LATEST never referenced it, safe to clear
+
+        shutil.rmtree(target)
     local_df(
         spark,
         rows,
         "r int, b long, cell long, _txn_run string, _txn_epoch long",
-    ).coalesce(1).write.mode("overwrite").parquet(table_path)
+    ).coalesce(1).write.mode("error").parquet(target)
+    _commit_cells_dir(table_path, name)
 
 
 def stream_countmin(
@@ -100,5 +165,10 @@ def stream_countmin(
 
 def read_countmin(spark, table_path: str) -> DataFrame:
     """The queryable cell table (txn stamps dropped) — feed straight
-    into operators/countmin.countmin_estimates."""
-    return spark.read.parquet(table_path).select("r", "b", "cell")
+    into operators/countmin.countmin_estimates. Reads ONLY the dir the
+    LATEST pointer commits; in-flight and orphaned merge dirs are
+    invisible."""
+    current = _latest_cells_dir(table_path)
+    if current is None:
+        raise FileNotFoundError(f"no committed count-min table under {table_path}")
+    return spark.read.parquet(current).select("r", "b", "cell")

@@ -23,23 +23,44 @@ _NONCE_FILE = "_run_nonce"
 
 
 def checkpoint_run_id(checkpoint: str) -> str:
-    """16-hex run id stable for the LIFETIME of the checkpoint dir."""
+    """16-hex run id stable for the LIFETIME of the checkpoint dir.
+
+    Nonce installation is genuinely atomic: the candidate is written to
+    a tmp file and hard-linked into place (``os.link`` fails with
+    ``FileExistsError`` if another attacher won, and links only
+    fully-written content — an exists-check-then-replace has a TOCTOU
+    window where two concurrent first attachers each install different
+    nonces and stamp different run_ids for the same checkpoint).
+    ``file:`` URIs are parsed with urllib (``file://host/path`` has an
+    authority, which naive prefix-stripping would fold into the path as
+    a ``/host`` directory — a remote authority falls back to path-only
+    identity like any other non-local URI)."""
     local = checkpoint
+    remote_authority = False
     if local.startswith("file:"):
-        local = local[len("file:"):]
-        while local.startswith("//"):
-            local = local[1:]
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(local)
+        if parsed.netloc in ("", "localhost"):
+            local = unquote(parsed.path)
+        else:
+            remote_authority = True
     try:
+        if remote_authority:
+            raise OSError("file: URI with remote authority")
         os.makedirs(local, exist_ok=True)
         nonce_path = os.path.join(local, _NONCE_FILE)
         if not os.path.exists(nonce_path):
             tmp = nonce_path + f".{uuid.uuid4().hex}.tmp"
             with open(tmp, "w") as fh:
                 fh.write(uuid.uuid4().hex)
-            # atomic-ish: first creator wins, concurrent attachers read it
-            if not os.path.exists(nonce_path):
-                os.replace(tmp, nonce_path)
-            else:
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, nonce_path)  # first creator wins, atomically
+            except FileExistsError:
+                pass  # read the winner's nonce below
+            finally:
                 os.remove(tmp)
         with open(nonce_path) as fh:
             nonce = fh.read().strip()

@@ -95,3 +95,33 @@ def test_property_never_undercounts_random_keys(spark):
         }
         n = df.count()
         assert all(v == n for v in per_row.values()), (d, w, per_row)
+
+
+def test_unseen_keys_estimate_zero(spark):
+    """CMS semantics for keys absent from the build: every one of the
+    key's d cells is (usually) empty, and an empty cell means counter 0
+    — the estimate must be 0 (or the collision mass if fully shadowed),
+    never a dropped row or a min over only the non-empty cells."""
+    from pyspark.sql import functions as F
+    from mobilitydatalakebenchmark_spark.operators.countmin import (
+        countmin_build,
+        countmin_estimates,
+    )
+
+    seen = spark.range(0, 50).select((F.col("id") % 5).alias("k"))
+    cells = countmin_build(seen, "k", d=3, w=64)
+    # probe 5 seen keys + 20 unseen ones
+    probes = spark.range(0, 25).select(F.col("id").alias("k"))
+    est = {
+        r["k"]: r["est_n"]
+        for r in countmin_estimates(cells, probes, "k", d=3, w=64).collect()
+    }
+    assert set(est) == set(range(25))  # no probe dropped
+    for k in range(5):
+        assert est[k] == 10
+    truth = {k: 0 for k in range(5, 25)}
+    for k, t in truth.items():
+        assert est[k] >= t  # never undercounts...
+    # ...and with w=64 vs 5 distinct seen keys, at least one unseen key
+    # has a collision-free cell somewhere, estimating exactly 0
+    assert any(est[k] == 0 for k in range(5, 25))

@@ -212,3 +212,19 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert len(got) == 8
     assert all(got[i] is None for i in range(5))
     assert all(got[i] == 7 for i in range(5, 8))
+
+
+def test_compact_preserves_evolved_columns(spark, tmp_path):
+    # compact() must read the snapshot with mergeSchema: a single-footer
+    # schema sample can drop columns only some versions carry, and the
+    # truncated table would then COMMIT as the new latest version
+    s = VersionedParquetStore(str(tmp_path / "vs"))
+    s.commit(spark.range(0, 5))  # v0: id only
+    s.commit(spark.range(5, 8).withColumn("extra", F.lit(7)))  # v1: +extra
+    s.compact(spark, target_files=1)
+    snap = s.snapshot(spark)
+    assert set(snap.columns) == {"id", "extra"}
+    got = {r.id: r.extra for r in snap.collect()}
+    assert len(got) == 8
+    assert all(got[i] is None for i in range(5))
+    assert all(got[i] == 7 for i in range(5, 8))
