@@ -279,17 +279,24 @@ class IVFIndexStore:
         lloyd_iters: int = 1,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        meta_cols: tuple[str, ...] = (),
     ) -> None:
+        """``meta_cols`` carries extra metadata columns into the posting
+        lists — the filtered-ANN design: a probe-time predicate over
+        them filters INSIDE the pruned list scan (parquet pushdown),
+        never as a recall-losing post-filter of an unfiltered top-k."""
         from .similarity import ivf_index
 
         spark = corpus.sparkSession
+        # ivf_index's assignment join preserves every corpus column, so
+        # the requested metadata is already on `indexed`
         indexed, cent_pdf = ivf_index(
             corpus, self.n_centroids, lloyd_iters, id_col, vec_col
         )
         (
             indexed.withColumnRenamed(id_col, "vec_id")
             .withColumnRenamed(vec_col, "embedding")
-            .select("centroid_id", "vec_id", "embedding")
+            .select("centroid_id", "vec_id", "embedding", *meta_cols)
             .write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/lists.parquet")
@@ -317,6 +324,7 @@ class IVFIndexStore:
         new_corpus: DataFrame,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        meta_cols: tuple[str, ...] = (),
     ) -> None:
         """Incremental indexing: assign ONLY the new vectors to the frozen
         persisted centroids (broadcast argmax — the centroids are the
@@ -326,7 +334,10 @@ class IVFIndexStore:
         only the lists the new vectors land in. Duplicate ids WITHIN a
         batch are collapsed to one row (the assignment window keeps rank
         1); as with any append-only store, the caller owns id uniqueness
-        ACROSS batches."""
+        ACROSS batches. Pass the same ``meta_cols`` as ``build`` so
+        appended rows carry the filterable metadata (mergeSchema on the
+        probe scan NULL-extends mismatches, but a NULL never matches a
+        filter — keep the columns aligned)."""
         from pyspark.sql import Window
 
         from .similarity import cosine
@@ -343,7 +354,7 @@ class IVFIndexStore:
             F.desc("_cs"), F.asc("centroid_id")
         )
         assigned = (
-            new_corpus.select(id_col, vec_col)
+            new_corpus.select(id_col, vec_col, *meta_cols)
             .crossJoin(F.broadcast(cents))
             .withColumn(
                 "_cs", cosine(F.col(vec_col), F.col("centroid_vec"))
@@ -354,6 +365,7 @@ class IVFIndexStore:
                 "centroid_id",
                 F.col(id_col).alias("vec_id"),
                 F.col(vec_col).alias("embedding"),
+                *meta_cols,
             )
         )
         (
@@ -399,11 +411,22 @@ class IVFIndexStore:
         probe_id_col: str = "probe_id",
         probe_vec_col: str = "probe_vec",
         exclude_self: bool = True,
+        where=None,
     ) -> DataFrame:
         """Route each probe to its nprobe nearest lists, then exact cosine
         re-rank inside the pruned candidate scan. Same semantics as
         similarity.ivf_topk on the in-memory index. ``exclude_self`` as in
-        PQIndexStore.topk — pass False for external probe batches."""
+        PQIndexStore.topk — pass False for external probe batches.
+
+        ``where`` (a Column predicate over the list columns, e.g.
+        ``F.col("label") == 3`` for metadata stored via ``build(...,
+        meta_cols=...)``) makes this a FILTERED ANN probe: the predicate
+        lands on the posting-list scan itself — pushed to the parquet
+        reader alongside the dynamic partition pruning — so the top-k
+        ranks over the k nearest MATCHING vectors. Post-filtering an
+        unfiltered top-k instead would return fewer than k (or zero)
+        matches whenever the neighborhood is dominated by non-matching
+        vectors — the classic filtered-search recall hole."""
         from pyspark.sql import Window
 
         from .similarity import cosine, dot, norm
@@ -411,6 +434,8 @@ class IVFIndexStore:
         spark = probes.sparkSession
         cents = spark.read.parquet(f"{self.path}/centroids.parquet")
         lists = spark.read.parquet(f"{self.path}/lists.parquet")
+        if where is not None:
+            lists = lists.filter(where)
         w_route = Window.partitionBy(probe_id_col).orderBy(
             F.desc("c_sim"), F.asc("centroid_id")
         )

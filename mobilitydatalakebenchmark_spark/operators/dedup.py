@@ -436,3 +436,89 @@ def shared_passages(
     return longest.join(coverage, ["doc_a", "doc_b"]).filter(
         F.col("n_shared_shingles") >= min_shingles
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level duplicate spans (the ExactSubstr policy of
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022): remove any token span of >= min_len that occurs more than once
+# ANYWHERE in the corpus (cross-doc or within-doc).
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    min_len_tokens: int = 16,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document duplicated SPANS — the exact-substring dedup policy:
+    every maximal token run whose every ``shingle_n``-gram occurs
+    ``min_occurrences``+ times in the corpus, cut at ``min_len_tokens``.
+    Output: (id_col, span_start, span_end, span_tokens), token positions
+    1-based inclusive.
+
+    This is the SUFFIX-RUN generalization of ``shared_passages``: where
+    that operator reports pairwise passage overlap (and pays a same-hash
+    pair join), the dedup-for-training policy only needs to know WHICH
+    positions of WHICH documents are duplicated — so the plan never
+    forms pairs at all. The paper builds a corpus suffix array; the
+    Spark-first equivalent marks positions through a global shingle
+    frequency table: a run of R consecutive tokens duplicated elsewhere
+    appears as R - n + 1 consecutive marked shingle positions, so
+    maximal marked islands ARE the paper's duplicate spans, with span
+    boundary resolution of the shingle width (spans shorter than
+    ``shingle_n`` are invisible — choose n <= min_len/2 in practice).
+
+    Within-doc repetition counts: the frequency gate is total
+    occurrences, not distinct docs, so a document that repeats its own
+    boilerplate marks those spans too (the paper's policy; set
+    ``min_occurrences`` higher to only cut hotter text).
+
+    Scale: one explode (corpus tokens x ~1), one hash-keyed count agg,
+    one semi-join back, one per-doc window — every step linear in
+    corpus tokens, no pair expansion anywhere, so no max_df cap is
+    needed (hot boilerplate costs ONE count row however often it
+    repeats). The per-doc window sorts within doc_id partitions only.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # 1-based positions to match the slice arithmetic (docs shorter than
+    # shingle_n produce no shingles, hence no spans)
+    pos_shingles = df.filter(F.size(toks) >= shingle_n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - F.lit(shingle_n - 1)),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_n), " ")),
+            )
+        ).alias("pos0", "h"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "h")
+    repeated = (
+        pos_shingles.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("h")
+    )
+    marked = pos_shingles.join(repeated, "h", "leftsemi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = marked.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(shingle_n - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_len_tokens)
+    )

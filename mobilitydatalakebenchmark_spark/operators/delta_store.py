@@ -19,6 +19,11 @@ Final re-probe 2026-08-14 (round 4): still no ``delta`` module and zero
 delta jars under pyspark's jar dir. Declared closed as environment-gated;
 no further rounds will be spent on it.
 
+Round-9 re-probe 2026-08-15: unchanged — no ``delta`` module, no jar
+under pyspark's bundled jars, no ``~/.ivy2`` cache, and ``pip download
+delta-spark`` cannot resolve any index (DNS failure: the image has no
+network). The 1 pytest skip stays environment-gated.
+
 Without Delta, the same upsert semantics run on plain parquet via the
 recompute path (see VelocityParquetStore.write(mode="append") and
 TemporalStore.append_batch) — those are the canonical engines; this module

@@ -2069,10 +2069,11 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CM_D, _CM_W = 3, 64
 
-
-@register(
-    "countmin_frequency_estimates",
-    oracle=f"""
+# shared by countmin_frequency_estimates (batch) and
+# streaming_countmin_maintainer (stream-then-read): the maintained cell
+# table must equal the from-scratch batch build, so both gates check
+# against the SAME oracle (the islands-maintainer pattern).
+_CM_ORACLE = f"""
 WITH t AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
   FROM events GROUP BY user_id
@@ -2097,7 +2098,12 @@ est AS (
 SELECT user_id, true_n, est_n,
        CAST(est_n - true_n AS BIGINT) AS overcount
 FROM est ORDER BY user_id
-""",
+"""
+
+
+@register(
+    "countmin_frequency_estimates",
+    oracle=_CM_ORACLE,
     doc="Count-Min point-frequency estimates (operators/countmin.py): "
     "3x64 counter table built by one explode + one bounded-width "
     "shuffle, per-key estimate = min of its 3 cells via a broadcast "
@@ -2127,4 +2133,190 @@ def countmin_frequency_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("true_n")).alias("overcount"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_countmin_maintainer",
+    oracle=_CM_ORACLE,
+    doc="the STREAMING Count-Min maintainer gets its own driver verdict "
+    "(streaming/countmin_stream.py — previously pytest-only): the gate "
+    "splits the events into three parquet files, streams them through "
+    "stream_countmin as three file-source micro-batches "
+    "(maxFilesPerTrigger=1, availableNow) into the LATEST-pointer-"
+    "committed cell table with (run, epoch) replay stamps, reads the "
+    "MAINTAINED table back and computes per-key estimates from it; the "
+    "oracle recomputes cells + estimates from the raw events in one "
+    "batch pass, so any merge-associativity, replay-stamp or pointer-"
+    "commit defect in the incremental path flips a cell. CMS cells "
+    "merge by addition, so arrival order cannot change the result; "
+    "streaming state is the d*w sketch forever, regardless of stream "
+    "length",
+    tags=("streaming", "sketch", "frequency", "write"),
+)
+def streaming_countmin_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.countmin import countmin_estimates
+    from ..streaming.countmin_stream import read_countmin, stream_countmin
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"stream_countmin_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "src")
+    table = os.path.join(base, "cms")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    # three arrival slices, one file each -> exactly three micro-batches
+    for m in range(3):
+        ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_countmin(stream, table, ckpt, "user_id", d=_CM_D, w=_CM_W)
+    q.awaitTermination()
+
+    cells = read_countmin(spark, table)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    est = countmin_estimates(
+        cells, truth.select("user_id"), "user_id", d=_CM_D, w=_CM_W
+    )
+    return (
+        truth.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming fixed-reference CUSUM (streaming/stateful.py streaming_cusum —
+# the applyInPandasWithState representative, previously pytest-only). The
+# process-control recursion S_t = max(0, S_{t-1} + (x_t - ref)) has the
+# closed form S_t = P_t - min(0, prefix-min P) over P = prefix sum of
+# (x - ref), so the engine-side keyed state is SQL-replayable and every
+# column stays exact BIGINT cents. The stream arrives as three seq-RANGE
+# slices (CUSUM is order-sensitive: modulo slices would interleave), so
+# in-order micro-batches reproduce the batch recursion bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SC_REF_CENTS = 5000       # ~ the event-value mean: a near-critical walk
+_SC_THRESHOLD = 20000      # excursion alarm level (exact integer cents)
+
+
+@register(
+    "streaming_cusum_maintainer",
+    oracle=f"""
+WITH x AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity, event_id,
+         CAST(round(value * 100) AS BIGINT) - {_SC_REF_CENTS} AS d
+  FROM events
+), p AS (
+  SELECT entity, event_id,
+         sum(d) OVER (PARTITION BY entity ORDER BY event_id
+                      ROWS UNBOUNDED PRECEDING) AS pref
+  FROM x
+), s AS (
+  SELECT entity, event_id,
+         pref - least(min(pref) OVER (PARTITION BY entity ORDER BY event_id
+                                      ROWS UNBOUNDED PRECEDING), 0) AS s_t,
+         row_number() OVER (PARTITION BY entity ORDER BY event_id DESC)
+             AS rdesc
+  FROM p
+)
+SELECT entity,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN s_t > {_SC_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms,
+       CAST(max(s_t) AS BIGINT) AS max_excursion_scaled,
+       CAST(max(CASE WHEN rdesc = 1 THEN s_t END) AS BIGINT) AS s_scaled
+FROM s GROUP BY entity ORDER BY entity
+""",
+    doc="the applyInPandasWithState stateful stream gets its own driver "
+    "verdict (streaming/stateful.py streaming_cusum — engine-side keyed "
+    "state, O(1) BIGINT per entity): events stream in as three seq-range "
+    "parquet micro-batches, the per-entity clamped recursion S_t = "
+    "max(0, S+(x-ref)) runs inside the state store, every (entity, "
+    "batch) emission lands in a parquet sink, and the gate reads back "
+    "each entity's FINAL emission; the oracle replays the recursion via "
+    "its prefix closed form S_t = P_t - min(0, running-min P) — exact "
+    "integer cents end to end, so one misordered row, lost state cell "
+    "or double-applied batch flips a value",
+    tags=("streaming", "stateful", "changepoint", "write"),
+)
+def streaming_cusum_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.stateful import streaming_cusum
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"stream_cusum_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("event_id").alias("seq"),
+        (F.round(F.col("value") * 100).cast("long") - F.lit(_SC_REF_CENTS))
+        .alias("cents"),
+    )
+    # CUSUM is order-sensitive: slices are seq RANGES written oldest
+    # first, so the file source's (mtime, path) ordering delivers the
+    # micro-batches in stream order (the state fn sorts by seq WITHIN a
+    # batch; cross-batch order is arrival order by contract)
+    hi = ev.agg(F.max("seq")).first()[0]  # one scalar — bounded collect
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    for lo_excl, hi_incl in ((-1, cut1), (cut1, cut2), (cut2, hi)):
+        ev.filter(
+            (F.col("seq") > lo_excl) & (F.col("seq") <= hi_incl)
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("entity string, seq long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # cents already carries the -ref shift, so ref_cents=0 here; the
+    # recursion S=max(0, S+cents) is identical either way
+    sq = (
+        streaming_cusum(stream, ref_cents=0, threshold_cents=_SC_THRESHOLD)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    emissions = spark.read.parquet(out)
+    w_last = Window.partitionBy("entity").orderBy(F.desc("n_events"))
+    return (
+        emissions.withColumn("_rk", F.row_number().over(w_last))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "entity", "n_events", "n_alarms", "max_excursion_scaled",
+            "s_scaled",
+        )
+        .orderBy("entity")
     )

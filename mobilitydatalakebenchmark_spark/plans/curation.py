@@ -2736,3 +2736,74 @@ def robust_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style linear quality classifier INFERENCE (operators/
+# classifier.py): hashed unigram+bigram features, broadcast integer
+# weight vector, exact BIGINT score per document — the trained-classifier
+# curation step (GPT-3/PaLM/CCNet quality filters) as one linear
+# relational pass. The gate's weights are the deterministic md5-derived
+# stand-in (synthetic_hash_weights), so the DuckDB twin replays the
+# ENTIRE model application value-for-value.
+# ---------------------------------------------------------------------------
+
+_FT_BUCKETS = 4096
+_FT_SCALE = 1000
+
+
+@register(
+    "fasttext_quality_inference",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), uni AS (
+  SELECT doc_id, unnest(ts) AS gram FROM tok
+), bi AS (
+  SELECT doc_id, ts[i] || '_' || ts[i+1] AS gram
+  FROM tok, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+), g AS (
+  SELECT doc_id, gram FROM uni UNION ALL SELECT doc_id, gram FROM bi
+), f AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('ft' || gram), 1, 8) AS BIGINT)
+             % {_FT_BUCKETS} AS bucket
+  FROM g
+), wt AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('ftw' || CAST(bucket AS VARCHAR)), 1, 8)
+              AS BIGINT) % {2 * _FT_SCALE + 1} - {_FT_SCALE} AS w
+  FROM f
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(w) AS BIGINT) AS score_scaled,
+       sum(w) > 0 AS is_positive
+FROM wt GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="fastText-style linear classifier inference (operators/"
+    "classifier.py — the trained-quality-filter curation step): every "
+    "doc explodes to hashed unigram+bigram buckets (md5 % 4096), a "
+    "broadcast (bucket, weight) table joins in, and the doc's score is "
+    "the exact BIGINT sum of integer weights; one linear pass, weight "
+    "table never shuffles, no UDF anywhere — the oracle replays the "
+    "whole model application cell-for-cell",
+    tags=("text", "classifier", "curation"),
+)
+def fasttext_quality_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import (
+        linear_classifier_scores,
+        synthetic_hash_weights,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    weights = synthetic_hash_weights(
+        spark, n_buckets=_FT_BUCKETS, scale=_FT_SCALE, salt="ftw"
+    )
+    return linear_classifier_scores(
+        docs,
+        weights,
+        n_buckets=_FT_BUCKETS,
+        word_ngrams=2,
+        salt="ft",
+    ).orderBy("doc_id")

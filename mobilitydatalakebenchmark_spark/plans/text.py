@@ -1226,6 +1226,68 @@ def dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact substring-level duplicate spans (operators/dedup.duplicate_spans —
+# the ExactSubstr policy of Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): every maximal token run duplicated
+# anywhere in the corpus, per document, with a min-length cut. Unlike
+# dedup_shared_passages this never forms doc PAIRS — positions are marked
+# through a global shingle-frequency table, so the plan is linear in
+# corpus tokens with no max_df cap needed. All-integer output.
+# ---------------------------------------------------------------------------
+
+_SS_N = 8           # shingle width (span boundary resolution)
+_SS_MIN_LEN = 12    # minimum duplicate-span length to report, in tokens
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ps AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+{_SS_N - 1}], ' ')) AS h
+  FROM tok, LATERAL unnest(generate_series(1, len(toks) - {_SS_N - 1}))
+           AS t(i)
+), rep AS (
+  SELECT h FROM ps GROUP BY h HAVING count(*) >= 2
+), m AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS island
+  FROM ps WHERE h IN (SELECT h FROM rep)
+), sp AS (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_SS_N - 1} AS BIGINT) AS span_end
+  FROM m GROUP BY doc_id, island
+)
+SELECT doc_id, span_start, span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+FROM sp WHERE span_end - span_start + 1 >= {_SS_MIN_LEN}
+ORDER BY doc_id, span_start
+""",
+    doc="exact substring-level duplicate spans (operators/dedup."
+    "duplicate_spans — ExactSubstr of Lee et al. 2022 re-expressed "
+    "Spark-first): positional 8-token shingle hashes -> global "
+    "occurrence count (within-doc repeats included) -> marked-position "
+    "gaps-and-islands per doc -> maximal duplicated runs >= 12 tokens; "
+    "no pair join anywhere, linear in corpus tokens, exact integer "
+    "token positions",
+    tags=("text", "dedup"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        t(spark, sf_dir, "documents", heavy=True),
+        shingle_n=_SS_N,
+        min_len_tokens=_SS_MIN_LEN,
+        min_occurrences=2,
+    ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
 # Round 4: chunking, Zipf corpus stats, CCNet-style perplexity buckets.
 # ---------------------------------------------------------------------------
 

@@ -1064,3 +1064,175 @@ def knn_persisted_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hits") >= 2).alias("recall_ok"),
         F.lit(n_indexed).cast("long").alias("n_indexed"),
     ).orderBy("probe_id")
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN: the metadata-predicate k-NN every retrieval stack needs
+# ("nearest N among label = X"). The predicate lands INSIDE the inverted-
+# list candidate scan — filter-then-rank — so the probe returns the k
+# nearest MATCHING vectors; post-filtering an unfiltered top-k instead
+# silently returns < k (often 0) matches whenever the query's neighborhood
+# is dominated by non-matching vectors. Persisted-index twin:
+# ann_index.IVFIndexStore.topk(where=...), pytest-pinned; this gate is the
+# md5-seeded in-plan form (lloyd_iters=0), fully value-checked like
+# knn_ivf_seeded.
+# ---------------------------------------------------------------------------
+
+_IVF_F_NPROBE = 3  # filtered probes scan one extra list: the predicate
+# thins each list ~10x here, so a wider route keeps the candidate pool
+# comparable to the unfiltered gate at the same k
+
+
+@register(
+    "knn_ivf_filtered",
+    oracle=f"""
+WITH seeds AS (
+  SELECT embedding AS cvec,
+         row_number() OVER (ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id) - 1
+             AS centroid_id
+  FROM embeddings
+  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K}
+), assigned AS (
+  SELECT vec_id, embedding, label, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, e.label, s.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding, s.cvec)
+                      / (sqrt(list_dot_product(e.embedding, e.embedding))
+                         * sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                      s.centroid_id) AS ark
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE ark = 1
+), probe_lists AS (
+  SELECT probe_id, probe_vec, centroid_id FROM (
+    SELECT p.vec_id AS probe_id, p.embedding AS probe_vec, s.centroid_id,
+           row_number() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY list_dot_product(p.embedding, s.cvec)
+                      / (sqrt(list_dot_product(p.embedding, p.embedding))
+                         * sqrt(list_dot_product(s.cvec, s.cvec))) DESC,
+                      s.centroid_id) AS prk
+    FROM embeddings p CROSS JOIN seeds s
+    WHERE p.vec_id IN ({", ".join(map(str, PROBE_IDS))})
+  ) WHERE prk <= {_IVF_F_NPROBE}
+), scored AS (
+  SELECT pl.probe_id, a.vec_id, a.label,
+         round(list_dot_product(pl.probe_vec, a.embedding)
+               / (sqrt(list_dot_product(pl.probe_vec, pl.probe_vec))
+                  * sqrt(list_dot_product(a.embedding, a.embedding))), 4)
+             AS cos_sim
+  FROM probe_lists pl JOIN assigned a USING (centroid_id)
+  WHERE a.label = pl.probe_id + 1 AND a.vec_id != pl.probe_id
+)
+SELECT probe_id, vec_id, label, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 5 ORDER BY probe_id, cos_sim DESC, vec_id
+""",
+    doc="filtered IVF ANN (per-probe metadata predicate label = probe_id "
+    "+ 1 applied INSIDE the inverted-list candidate scan, never as a "
+    "recall-losing post-filter of an unfiltered top-k): md5-seeded "
+    "centroids make the whole filtered index replayable in SQL, so the "
+    "gate is fully value-checked like knn_ivf_seeded; persisted twin "
+    "ann_index.IVFIndexStore.topk(where=...) pushes the same predicate "
+    "to the parquet list scan alongside dynamic partition pruning "
+    "(pytest-pinned)",
+    tags=("vector", "knn", "filter"),
+)
+def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    seeds_rows = (
+        e.select("vec_id", "embedding")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(_IVF_K)
+        .collect()
+    )
+    seeds = spark.createDataFrame(
+        [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds_rows)],
+        "centroid_id int, cvec array<float>",
+    ).withColumn("_sn", norm(F.col("cvec")))
+    sims = (
+        e.withColumn("_vn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            "_vn",
+            "centroid_id",
+            (
+                dot(F.col("embedding"), F.col("cvec"))
+                / (F.col("_vn") * F.col("_sn"))
+            ).alias("_cs"),
+        )
+    )
+    assigned = (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_cs"), (-F.col("centroid_id")).alias("_nc"))
+            ).alias("_m"),
+            F.first("embedding").alias("embedding"),
+            F.first("label").alias("label"),
+            F.first("_vn").alias("_vn"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            "_vn",
+            (-F.col("_m._nc")).cast("int").alias("centroid_id"),
+        )
+    )
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        norm(F.col("embedding")).alias("_pn"),
+    )
+    prk_w = Window.partitionBy("probe_id").orderBy(
+        F.desc("_cs"), F.asc("centroid_id")
+    )
+    probe_lists = (
+        probes.crossJoin(F.broadcast(seeds))
+        .select(
+            "probe_id",
+            "probe_vec",
+            "_pn",
+            "centroid_id",
+            (
+                dot(F.col("probe_vec"), F.col("cvec"))
+                / (F.col("_pn") * F.col("_sn"))
+            ).alias("_cs"),
+        )
+        .withColumn("prk", F.row_number().over(prk_w))
+        .filter(F.col("prk") <= _IVF_F_NPROBE)
+        .drop("_cs", "prk")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_lists), "centroid_id")
+        # filter-then-rank: the predicate thins the CANDIDATE set, so
+        # top-k ranks over matching vectors only
+        .filter(
+            (F.col("label") == F.col("probe_id") + 1)
+            & (F.col("vec_id") != F.col("probe_id"))
+        )
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("probe_vec"), F.col("embedding"))
+                / (F.col("_vn") * F.col("_pn")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "vec_id", "label", "cos_sim")
+        .orderBy("probe_id", F.desc("cos_sim"), "vec_id")
+    )

@@ -590,3 +590,84 @@ def test_ivfpq_streaming_append_is_idempotent(
         ).collect()
     )
     assert got == want
+
+
+class TestFilteredProbe:
+    """topk(where=...) — filtered ANN over metadata stored in the lists."""
+
+    def _build(self, embeddings, tmp_path):
+        from mobilitydatalakebenchmark_spark.operators.ann_index import (
+            IVFIndexStore,
+        )
+
+        store = IVFIndexStore(str(tmp_path / "ivf"), n_centroids=8)
+        store.build(embeddings, lloyd_iters=0, meta_cols=("label",))
+        return store
+
+    def test_lists_carry_metadata(self, spark, embeddings, tmp_path):
+        store = self._build(embeddings, tmp_path)
+        lists = spark.read.parquet(f"{store.path}/lists.parquet")
+        assert "label" in lists.columns
+        got = {(r.vec_id, r.label) for r in lists.collect()}
+        want = {(r.vec_id, r.label) for r in embeddings.collect()}
+        assert got == want
+
+    def test_filtered_results_match_predicate(
+        self, spark, embeddings, probes, tmp_path
+    ):
+        store = self._build(embeddings, tmp_path)
+        out = store.topk(
+            probes, k=5, nprobe=3, where=F.col("label") == 3
+        ).collect()
+        assert out  # the predicate keeps ~1/10 of every list
+        labels = {
+            r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()
+        }
+        assert all(labels[r.vec_id] == 3 for r in out)
+
+    def test_full_scan_filtered_probe_is_exact(
+        self, spark, embeddings, probes, tmp_path
+    ):
+        # nprobe = n_centroids scans every list, so filtered IVF must
+        # equal brute-force top-k over the label-filtered corpus exactly
+        from mobilitydatalakebenchmark_spark.operators.similarity import (
+            brute_force_topk,
+        )
+
+        store = self._build(embeddings, tmp_path)
+        got = {
+            (r.probe_id, r.rk): r.vec_id
+            for r in store.topk(
+                probes, k=5, nprobe=8, where=F.col("label") == 3
+            ).collect()
+        }
+        want = {
+            (r.probe_id, r.rk): r.vec_id
+            for r in brute_force_topk(
+                embeddings.filter(F.col("label") == 3), probes, k=5
+            ).collect()
+        }
+        assert got == want
+
+    def test_post_filter_loses_matches_prefilter_keeps_k(
+        self, spark, embeddings, probes, tmp_path
+    ):
+        # the reason filtered ANN exists: post-filtering an unfiltered
+        # top-k returns fewer matching rows than filter-then-rank
+        store = self._build(embeddings, tmp_path)
+        pre = store.topk(probes, k=5, nprobe=8, where=F.col("label") == 3)
+        post = store.topk(probes, k=5, nprobe=8).filter(F.col("label") == 3)
+        assert post.count() < pre.count()
+
+    def test_append_carries_metadata(self, spark, embeddings, tmp_path):
+        store = self._build(embeddings, tmp_path)
+        extra = embeddings.limit(5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "embedding",
+            F.lit(3).alias("label"),
+        )
+        store.append(extra, meta_cols=("label",))
+        lists = spark.read.parquet(f"{store.path}/lists.parquet")
+        appended = lists.filter(F.col("vec_id") >= 100000)
+        assert appended.count() == 5
+        assert all(r.label == 3 for r in appended.collect())
