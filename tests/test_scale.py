@@ -183,6 +183,20 @@ BOUNDS = {
     "versioned_schema_evolution": 8.0,
     "bucketed_join_colocated": 8.0,
     "countmin_frequency_estimates": 8.0,
+    # round-9: the streaming CMS maintainer merges a SKETCH-sized table
+    # per epoch (3 epochs either way — only the per-epoch build grows
+    # with data); the stateful CUSUM stream is one state pass over 3
+    # seq-range batches; substring spans is the no-pair-join dedup
+    # (explode -> hash count -> semi-join -> per-doc window, linear in
+    # corpus tokens BY CONSTRUCTION — a quadratic would mean a pair
+    # join crept back in); classifier inference is explode + broadcast
+    # join + one keyed sum; filtered ANN adds a predicate to the same
+    # candidate-join shape as knn_ivf_seeded
+    "streaming_countmin_maintainer": 8.0,
+    "streaming_cusum_maintainer": 8.0,
+    "dedup_substring_spans": 8.0,
+    "fasttext_quality_inference": 8.0,
+    "knn_ivf_filtered": 8.0,
 }
 
 

@@ -7,6 +7,11 @@ DRIVER_VERIFIED_R{N} (hash-matched window gates only), plus the red
 rows that must stay in the next window for a post-fix verdict. Removes
 the transcription step that rotation mistakes come from.
 
+Also prints a per-gate WALL ESTIMATE (secs from the newest ORACLE_r*.json
+that has the gate, sf0.01 runs) and the window total — the r8 lesson:
+write-path gates cost 4-30 s each at the driver, so the window wall must
+be watched as they rotate in (keep it under ~90 s, max 2-3 write gates).
+
 Usage:
     python tools/window_report.py                     # window + blocks
     python tools/window_report.py CORRECTNESS_r08.json 8   # + graduation
@@ -25,23 +30,57 @@ from mobilitydatalakebenchmark_spark import plans
 from mobilitydatalakebenchmark_spark.plans import load_registry
 
 
+def _wall_estimates() -> dict[str, float]:
+    """Per-gate secs from the newest ORACLE_r*.json sweeps (newest file
+    wins per gate; sf0.01 — the driver's correctness SF)."""
+    import glob
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    secs: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "ORACLE_r[0-9]*.json"))):
+        if "sf0.1" in os.path.basename(path):
+            continue
+        try:
+            with open(path) as fh:
+                art = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in (art.get("gates") or {}).items():
+            if isinstance(row, dict) and isinstance(row.get("secs"), (int, float)):
+                secs[name] = float(row["secs"])
+    return secs
+
+
 def main() -> None:
     reg = load_registry()
     window = list(reg)[:50]
     blocks = {
         name: f"r{n}"
         for n, block in (
-            (3, plans.DRIVER_VERIFIED_R3),
             (4, plans.DRIVER_VERIFIED_R4),
             (5, plans.DRIVER_VERIFIED_R5),
             (6, plans.DRIVER_VERIFIED_R6),
             (7, plans.DRIVER_VERIFIED_R7),
+            (8, plans.DRIVER_VERIFIED_R8),
         )
         for name in block
     }
+    secs = _wall_estimates()
+    total = 0.0
+    n_unknown = 0
     print(f"-- driver window ({len(window)} of {len(reg)} gates) --")
     for i, name in enumerate(window, 1):
-        print(f"{i:2d}  {name}  [{blocks.get(name, 'needs verdict')}]")
+        s = secs.get(name)
+        if s is None:
+            n_unknown += 1
+            est = "   ?  "
+        else:
+            total += s
+            est = f"{s:5.1f}s"
+        print(f"{i:2d}  {est}  {name}  [{blocks.get(name, 'needs verdict')}]")
+    note = f" (+{n_unknown} gates with no ORACLE secs yet)" if n_unknown else ""
+    print(f"-- est. window wall at sf0.01: {total:.1f}s{note}; "
+          f"keep under ~90s --")
 
     if len(sys.argv) >= 2:
         path = sys.argv[1]
