@@ -206,6 +206,8 @@ def load_registry() -> dict[str, Q]:
     # classifier inference, metadata-filtered IVF ANN).
     newest = (
         "streaming_countmin_maintainer", "streaming_cusum_maintainer",
+        "streaming_ewma_maintainer", "streaming_heavy_hitters_topk",
+        "streaming_ares_reservoir",
         "dedup_substring_spans", "fasttext_quality_inference",
         "knn_ivf_filtered",
     )

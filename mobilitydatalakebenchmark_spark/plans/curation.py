@@ -2807,3 +2807,247 @@ def fasttext_quality_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_ngrams=2,
         salt="ft",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: driver verdicts for the remaining applyInPandasWithState
+# streams (streaming/stateful.py — EWMA, Misra-Gries, A-Res were
+# pytest-only; CUSUM's gate lives in plans/advanced.py). Shared shape:
+# stream the test rows through the stateful operator as three file-source
+# micro-batches into a parquet sink, read the sink back, and compare to a
+# batch/SQL oracle. Order-sensitive streams (EWMA) get seq-RANGE slices;
+# order-free ones (MG with covering counters, A-Res) get modulo slices.
+# ---------------------------------------------------------------------------
+
+
+def _gate_dirs(sf_dir: str, name: str) -> tuple[str, str, str]:
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"{name}_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return (
+        os.path.join(base, "src"),
+        os.path.join(base, "out"),
+        os.path.join(base, "ckpt"),
+    )
+
+
+_EW_WINDOW = 16
+
+
+@register(
+    "streaming_ewma_maintainer",
+    oracle="""
+WITH x AS (
+  SELECT CAST(user_id AS VARCHAR) AS entity, event_id AS seq,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT entity, seq,
+       {terms} AS ewma_scaled
+FROM x
+WINDOW w AS (PARTITION BY entity ORDER BY seq)
+ORDER BY entity, seq
+""".replace(
+        "{terms}",
+        " + ".join(
+            f"coalesce(lag(cents, {j}) OVER w, 0) * {1 << (15 - j)}"
+            for j in range(_EW_WINDOW)
+        ),
+    ),
+    doc="the streaming truncated-EWMA smoother gets its own driver "
+    "verdict (streaming/stateful.streaming_ewma — engine-side keyed "
+    "state = the last 16 cents per entity): events stream in as three "
+    "seq-range micro-batches, every per-row emission lands in the "
+    "exactly-once parquet sink, and the FULL streamed series must be "
+    "bit-identical to the batch 16-lag window unroll the oracle "
+    "computes — power-of-two weights keep every value exact BIGINT, so "
+    "one lost state cell, misordered row or double-applied batch flips "
+    "a value; the truncation IS what makes the smoother streamable "
+    "(bounded state, unlike the untruncated recursion)",
+    tags=("streaming", "stateful", "smoothing", "write"),
+)
+def streaming_ewma_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_ewma
+
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_ewma")
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("event_id").alias("seq"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hi = ev.agg(F.max("seq")).first()[0]  # one scalar — bounded collect
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    for lo_excl, hi_incl in ((-1, cut1), (cut1, cut2), (cut2, hi)):
+        ev.filter(
+            (F.col("seq") > lo_excl) & (F.col("seq") <= hi_incl)
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("entity string, seq long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sq = (
+        streaming_ewma(stream, window=_EW_WINDOW)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.read.parquet(out).select(
+        "entity", "seq", "ewma_scaled"
+    ).orderBy("entity", "seq")
+
+
+@register(
+    "streaming_heavy_hitters_topk",
+    # identical oracle to text_token_topk(_sketch): with 64 counters per
+    # shard and the ~31-token synthetic vocabulary no MG decrement ever
+    # fires, so the streamed candidate set covers every token and the
+    # exact recount's top-20 must EQUAL the exact top-20 (the decrement
+    # regime is pinned by the planted-skew pytest; see
+    # text_token_topk_sketch's note on why a near-uniform corpus cannot
+    # exercise it value-checkably)
+    oracle="""
+SELECT token, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token LIMIT 20
+""",
+    doc="the streaming Misra-Gries heavy-hitter stream gets its own "
+    "driver verdict (streaming/stateful.streaming_heavy_hitters — "
+    "token-space SHARDED keyed state, bounded at n_counters per shard "
+    "forever): the token stream arrives as three micro-batches, each "
+    "shard re-emits its live counter summary per batch, the gate takes "
+    "each shard's FINAL summary (max n_seen), recounts the surviving "
+    "candidates exactly against the full corpus, and the recounted "
+    "top-20 must equal the exact top-20 — the streamed form of the "
+    "text_token_topk_sketch recipe (sketch proposes, recount disposes)",
+    tags=("streaming", "stateful", "sketch", "write"),
+)
+def streaming_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_heavy_hitters
+    from .text import tokens
+
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_mg")
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    for m in range(3):
+        toks.filter(F.col("doc_id") % 3 == m).select("token").coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sq = (
+        streaming_heavy_hitters(stream, n_counters=64, n_shards=8)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    emissions = spark.read.parquet(out)
+    w_last = Window.partitionBy("shard").orderBy(F.desc("n_seen"))
+    candidates = (
+        emissions.withColumn("_rk", F.dense_rank().over(w_last))
+        .filter(F.col("_rk") == 1)  # each shard's final summary
+        .select("token")
+        .distinct()
+    )
+    # exact recount of the candidates over the full stream, then top-k —
+    # the MG guarantee makes this equal the global exact top-k
+    return (
+        toks.join(candidates, "token", "leftsemi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "streaming_ares_reservoir",
+    oracle="""
+WITH sized AS (
+  SELECT source, doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), keyed AS (
+  SELECT source, doc_id,
+         round(ln((CAST('0x' || substr(md5('ares' || cast(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) + 1) / 4294967296.0)
+               / cast(n_tokens AS DOUBLE), 10) AS ares_key
+  FROM sized
+)
+SELECT source, doc_id, ares_key, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY ares_key DESC, doc_id) AS rk
+  FROM keyed
+) WHERE rk <= 3 ORDER BY source, rk
+""",
+    doc="the streaming weighted reservoir gets its own driver verdict "
+    "(streaming/stateful.streaming_weighted_sample — A-Res with the "
+    "DETERMINISTIC md5 draw, state = top-k (id, key) pairs per group "
+    "forever): docs stream in as three modulo micro-batches, each "
+    "emission is the group's reservoir-so-far, and because a final-"
+    "reservoir member stays in the reservoir from its arrival onward, "
+    "the top-k over the UNION of emissions is the final reservoir — "
+    "which must equal the batch weighted_sample (sample_weighted_ares's "
+    "oracle) exactly, under any arrival order",
+    tags=("streaming", "stateful", "sampling", "write"),
+)
+def streaming_ares_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_weighted_sample
+
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_ares")
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    sized = d.select(
+        F.col("source").alias("group"),
+        "doc_id",
+        n_tokens.cast("long").alias("weight"),
+    )
+    for m in range(3):
+        sized.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("group string, doc_id long, weight long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sq = (
+        streaming_weighted_sample(stream, k=3, salt="ares")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    emissions = spark.read.parquet(out).select(
+        "group", "doc_id", "ares_key"
+    ).distinct()
+    w = Window.partitionBy("group").orderBy(F.desc("ares_key"), F.asc("doc_id"))
+    return (
+        emissions.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("group").alias("source"), "doc_id", "ares_key", "rk")
+        .orderBy("source", "rk")
+    )

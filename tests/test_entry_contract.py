@@ -70,11 +70,11 @@ def test_rotation_names_all_exist():
 
     reg = set(load_registry())
     for block in (
-        plans.DRIVER_VERIFIED_R3,
         plans.DRIVER_VERIFIED_R4,
         plans.DRIVER_VERIFIED_R5,
         plans.DRIVER_VERIFIED_R6,
         plans.DRIVER_VERIFIED_R7,
+        plans.DRIVER_VERIFIED_R8,
     ):
         missing = set(block) - reg
         assert not missing, missing
