@@ -211,6 +211,14 @@ def load_registry() -> dict[str, Q]:
         "dedup_substring_spans", "fasttext_quality_inference",
         "knn_ivf_filtered",
     )
+    # First-verdict gates DEFERRED past the window to keep the r9 wall
+    # under the ~90s budget (VERDICT r8 item 6: write-path gates cost
+    # 5-20s each; the window already carries 8 first-verdict gates, 5 of
+    # them write-path). These two are oracle-checked locally at both SFs
+    # (ORACLE_r09 artifacts) and rotate into the r10 window first.
+    deferred = (
+        "stream_stream_interval_join", "streaming_lsh_dedup_candidates",
+    )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:
     # - countmin_frequency_estimates (r8 verdict): r9 changed
@@ -229,9 +237,14 @@ def load_registry() -> dict[str, Q]:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     # staleness rotation: anything never driver-verified first (brand-new
-    # gates are already placed via `newest`), then oldest verdicts first
+    # gates are already placed via `newest`; `deferred` waits for the
+    # next round's window), then oldest verdicts first
     for name, q in REGISTRY.items():
-        if name not in DRIVER_VERIFIED and name not in ordered:
+        if (
+            name not in DRIVER_VERIFIED
+            and name not in ordered
+            and name not in deferred
+        ):
             ordered[name] = q
     for block in (
         DRIVER_VERIFIED_R4,

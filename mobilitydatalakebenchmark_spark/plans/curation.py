@@ -3051,3 +3051,167 @@ def streaming_ares_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("group").alias("source"), "doc_id", "ares_key", "rk")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (streaming/joins.py — previously pytest-
+# only): purchases and clicks arrive as two INDEPENDENT watermarked file
+# streams; Spark buffers both sides in keyed state (StreamingSymmetricHash
+# Join) and the watermark + the 12h join bound evict state the moment the
+# other side can no longer match. ts-RANGE slices keep each stream's event
+# time moving forward, so the generous watermark never evicts a row whose
+# cross-batch partner is still coming — the inner-join output over the
+# drained streams must therefore equal the batch interval join exactly
+# (integer event ids only: hash-robust by construction).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+SELECT p.user_id, p.event_id AS purchase_event, c.event_id AS click_event
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 12 HOUR
+ORDER BY p.user_id, purchase_event, click_event
+""",
+    doc="stream-stream inner interval join gets its own driver verdict "
+    "(streaming/joins.interval_join_streams): purchase and click events "
+    "stream in as two 3-micro-batch file sources (ts-range slices), the "
+    "symmetric hash join buffers both sides in watermark-bounded keyed "
+    "state, and every (purchase, click-within-12h) pair must land in "
+    "the sink exactly once — the batch join is the oracle, so a "
+    "premature state eviction, a dropped cross-batch match or a "
+    "double emission flips a row",
+    tags=("streaming", "join", "time", "write"),
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.joins import interval_join_streams
+
+    src_l, out, ckpt = _gate_dirs(sf_dir, "stream_ss_join")
+    src_r = src_l + "_right"
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("purchase_event"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("click_event"),
+    )
+    # ts-range slices: both streams' watermarks advance monotonically,
+    # so state eviction (watermark + 12h bound) always trails any
+    # still-possible cross-batch match
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    for side, src in ((purchases, src_l), (clicks, src_r)):
+        ts_col = "l_ts" if src is src_l else "r_ts"
+        for a, b in ((None, cut1), (cut1, cut2), (cut2, None)):
+            sl = side
+            if a is not None:
+                sl = sl.filter(F.col(ts_col) > a)
+            if b is not None:
+                sl = sl.filter(F.col(ts_col) <= b)
+            sl.coalesce(1).write.mode("append").parquet(src)
+
+    left = (
+        spark.readStream.schema(
+            "user_id long, l_ts timestamp, purchase_event long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_l)
+    )
+    right = (
+        spark.readStream.schema(
+            "user_id long, r_ts timestamp, click_event long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_r)
+    )
+    joined = interval_join_streams(
+        left, right, key="user_id", within="12 hours", watermark="48 hours"
+    )
+    sq = (
+        joined.select("user_id", "purchase_event", "click_event")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.read.parquet(out).orderBy(
+        "user_id", "purchase_event", "click_event"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming LSH candidate pairs (streaming/stateful.streaming_lsh_
+# candidates — previously pytest-only): signatures/band keys are the SAME
+# pure expressions as the batch path, the state is per-bucket membership,
+# and a pair is emitted the moment the second member of a bucket arrives.
+# The union of emissions over any arrival order equals the batch candidate
+# set, with n_bands recoverable as the count of distinct emitting bands —
+# so the gate shares dedup_minhash_lsh_candidates' oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_lsh_dedup_candidates",
+    oracle=None,  # bound below to the batch twin's oracle (shared verbatim)
+    doc="the streaming LSH near-duplicate detector gets its own driver "
+    "verdict (streaming/stateful.streaming_lsh_candidates — keyed state "
+    "= per-(band, bucket) membership): documents stream in as three "
+    "modulo micro-batches, each new co-bucketed doc emits one candidate "
+    "pair per predecessor exactly once, and the per-pair distinct-band "
+    "count over ALL emissions must equal the batch LSH candidate table "
+    "(dedup_minhash_lsh_candidates' oracle, shared verbatim) — dedup-as-"
+    "data-arrives rather than as a batch sweep",
+    tags=("streaming", "stateful", "dedup", "minhash", "write"),
+)
+def streaming_lsh_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import streaming_lsh_candidates
+
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_lsh")
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    for m in range(3):
+        d.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # same geometry as the batch gate: 4 sliced hashes, 2 bands, 3-shingles
+    sq = (
+        streaming_lsh_candidates(
+            stream, n_hashes=4, bands=2, shingle_n=3
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("band_idx").alias("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# share the batch twin's oracle verbatim (single source of truth for the
+# minhash->band->pair SQL)
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_lsh_dedup_candidates"].oracle = _REG[
+    "dedup_minhash_lsh_candidates"
+].oracle

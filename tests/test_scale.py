@@ -192,6 +192,14 @@ BOUNDS = {
     # join crept back in); classifier inference is explode + broadcast
     # join + one keyed sum; filtered ANN adds a predicate to the same
     # candidate-join shape as knn_ivf_seeded
+    # stream-stream join: symmetric hash-join state is watermark-
+    # bounded; 4x data through the same 3 epochs grows matches ~k
+    # (k-consistent replication multiplies per-user purchase x click
+    # pairs k^2 inside the 12h bound -> ride that growth loosely);
+    # streaming LSH emits one pair per co-bucketed predecessor — the
+    # stop-gate is bucket geometry, as in the batch twin
+    "stream_stream_interval_join": 40.0,
+    "streaming_lsh_dedup_candidates": 8.0,
     "streaming_countmin_maintainer": 8.0,
     "streaming_cusum_maintainer": 8.0,
     "dedup_substring_spans": 8.0,
