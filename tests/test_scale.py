@@ -202,6 +202,12 @@ BOUNDS = {
     "streaming_lsh_dedup_candidates": 8.0,
     "streaming_countmin_maintainer": 8.0,
     "streaming_cusum_maintainer": 8.0,
+    # EWMA emits per ROW (4x rows -> 4x sink writes, still linear);
+    # MG state is n_counters per shard forever (only the recount
+    # grows); A-Res state is k pairs per group forever
+    "streaming_ewma_maintainer": 8.0,
+    "streaming_heavy_hitters_topk": 8.0,
+    "streaming_ares_reservoir": 8.0,
     "dedup_substring_spans": 8.0,
     "fasttext_quality_inference": 8.0,
     "knn_ivf_filtered": 8.0,
