@@ -111,6 +111,7 @@ class VersionedParquetStore:
         df: DataFrame,
         mode: str = "append",
         txn: tuple[str, int] | None = None,
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """Write ``df`` as a new version; returns the version number.
         ``mode='append'``: the new version is previous + this batch.
@@ -121,7 +122,19 @@ class VersionedParquetStore:
         dir write is an overwrite, so a retried commit reclaims its own
         orphan). ``txn=(run_id, epoch)`` makes the commit idempotent: a
         transaction already recorded in a manifest is skipped and its
-        version returned — the streaming replay guard."""
+        version returned — the streaming replay guard.
+
+        ``partition_by`` lays THIS version's dir out hive-partitioned —
+        PARTITION EVOLUTION, the Iceberg property Hive tables lack:
+        each version owns its layout, so a table can adopt (or change)
+        partitioning without rewriting history. Readers see one logical
+        table either way (``snapshot`` unions per-dir scans by column
+        name, and partition discovery restores the column from the dir
+        names); filters on the partition column prune directories for
+        the versions that carry the layout and fall back to row-group
+        pushdown for the versions that don't — exactly the migration
+        story at fleet scale: new data gets the better layout NOW, old
+        data keeps serving until compaction rewrites it."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"unsupported commit mode {mode!r}")
         spark = df.sparkSession
@@ -132,7 +145,10 @@ class VersionedParquetStore:
         prev = self.latest_version()
         version = 0 if prev is None else prev + 1
         new_dir = os.path.join(self.path, "data", f"v{version}")
-        df.write.mode("overwrite").parquet(new_dir)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(new_dir)
         # store dirs relative to the store root (relocatable; see
         # _read_manifest); anything outside the root keeps its absolute
         # form
@@ -173,15 +189,28 @@ class VersionedParquetStore:
         from later versions are invisible. ``merge_schema=True`` unions
         heterogeneous per-version schemas (schema evolution: columns a
         version never wrote read as NULL); off by default because the
-        merged-footer scan costs one footer read per file."""
+        merged-footer scan costs one footer read per file.
+
+        Each dir is scanned as its own root and the scans union BY NAME:
+        per-root partition discovery restores hive-partitioned columns
+        (partition evolution — see ``commit(partition_by=)``), where a
+        single multi-root read would reject mixed layouts outright. A
+        schema mismatch between versions without ``merge_schema=True``
+        raises (unionByName), rather than silently sampling one footer."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.path}")
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*self._read_manifest(spark, version))
+        parts = []
+        for d in self._read_manifest(spark, version):
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            parts.append(reader.parquet(d))
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = out.unionByName(nxt, allowMissingColumns=merge_schema)
+        return out
 
     def data_files(
         self, spark: SparkSession, version: int | None = None

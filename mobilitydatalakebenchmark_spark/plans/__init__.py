@@ -218,6 +218,8 @@ def load_registry() -> dict[str, Q]:
     # (ORACLE_r09 artifacts) and rotate into the r10 window first.
     deferred = (
         "stream_stream_interval_join", "streaming_lsh_dedup_candidates",
+        "streaming_native_window_counts", "streaming_dedup_exactly_once",
+        "dedup_substring_removal", "versioned_partition_evolution",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -1226,6 +1226,81 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "versioned_partition_evolution",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS layout_evolved,
+       TRUE AS partition_pruned
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc="PARTITION EVOLUTION on the versioned store (the Iceberg property "
+    "Hive tables lack): version 0 commits the even-key slice "
+    "unpartitioned, version 1 commits the odd-key slice hive-partitioned "
+    "by o_orderstatus (commit(partition_by=)); snapshot() unions the "
+    "per-dir scans by name, so readers see ONE logical table across "
+    "layouts, the aggregate must equal the raw table, and the gate pins "
+    "BOTH halves of the migration story in-plan: the v1 dir really is "
+    "hive-laid-out (o_orderstatus= subdirs on disk) and a status filter "
+    "reaches the partitioned branch as a directory-pruning "
+    "PartitionFilter while the unpartitioned branch falls back to "
+    "row-group pushdown — new data gets the better layout now, old data "
+    "keeps serving until compaction rewrites it",
+    tags=("store", "versioned", "partition", "write"),
+)
+def versioned_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..operators.versioned_store import VersionedParquetStore
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"versioned_partevo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    store = VersionedParquetStore(base)
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    store.commit(orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+    store.commit(
+        orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(2),
+        partition_by=("o_orderstatus",),
+    )
+    v0_dir = os.path.join(base, "data", "v0")
+    v1_dir = os.path.join(base, "data", "v1")
+    layout_evolved = any(
+        e.startswith("o_orderstatus=") for e in os.listdir(v1_dir)
+    ) and not any(
+        e.startswith("o_orderstatus=") for e in os.listdir(v0_dir)
+    )
+    snap = store.snapshot(spark)
+    plan = (
+        snap.filter(F.col("o_orderstatus") == "O")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pruned = "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .withColumn("layout_evolved", F.lit(bool(layout_evolved)))
+        .withColumn("partition_pruned", F.lit(bool(pruned)))
+        .orderBy("o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-7: the IVM materialized-join layer gets a CORRECTNESS row too.
 # Build the join view from initial slices, append a second batch via the

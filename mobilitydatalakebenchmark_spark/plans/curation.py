@@ -3215,3 +3215,144 @@ from . import REGISTRY as _REG  # noqa: E402
 _REG["streaming_lsh_dedup_candidates"].oracle = _REG[
     "dedup_minhash_lsh_candidates"
 ].oracle
+
+
+# ---------------------------------------------------------------------------
+# Native watermarked streaming aggregation (W2's TRUE streaming form):
+# groupBy(window(ts, 1h)) in APPEND mode only emits a window once the
+# watermark proves it complete — the core Structured Streaming contract
+# the foreachBatch maintainers sidestep. The gate pins that contract:
+# in-order ts-range slices (so no row is ever late past the 1h watermark),
+# then two far-future sentinel rows advance the watermark past every real
+# window (append mode finalizes a window on the FOLLOWING batch's
+# watermark, hence two sentinels), and the emitted windows must equal the
+# batch hourly rollup exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_native_window_counts",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+    doc="native watermarked tumbling-window aggregation under a driver "
+    "verdict: events stream in as three ts-range micro-batches through "
+    "groupBy(window(ts, '1 hour'), event_type).count() with a 1h "
+    "watermark in APPEND mode (state = open windows only, evicted at "
+    "finalization — the native streaming operator, not a foreachBatch "
+    "maintainer); two sentinel rows push the watermark past every real "
+    "window so all of them finalize, and the emitted set must equal the "
+    "batch hourly rollup cell-for-cell — one late-dropped row, one "
+    "unfinalized window or one double emission flips the table",
+    tags=("streaming", "window", "time", "write"),
+)
+def streaming_native_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_native_win")
+    ev = t(spark, sf_dir, "events").select("ts", "event_type")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    slices = [
+        ev.filter(F.col("ts") <= cut1),
+        ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        ev.filter(F.col("ts") > cut2),
+    ]
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(src_dir)
+    # two sentinel batches: batch N's emissions use the watermark from
+    # batch N-1's max event time, so the FIRST sentinel finalizes all
+    # but the freshest real windows and the SECOND finalizes the rest
+    from ..session import local_df
+
+    for days in (30, 60):
+        local_df(
+            spark,
+            [(hi + __import__("datetime").timedelta(days=days), "__sentinel__")],
+            "ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    sq = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.date_format("ws", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Native streaming deduplication: dropDuplicates on a stream keeps the
+# seen-key set in the state store, so a key is emitted exactly once
+# across ALL micro-batches — exactly-once ingest semantics without a
+# maintainer. The gate plants every event TWICE in different micro-
+# batches; production streams bound the state with
+# dropDuplicatesWithinWatermark (keys expire after the lateness horizon),
+# which this gate deliberately does not use so the cross-batch guarantee
+# itself is what's pinned.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_dedup_exactly_once",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id
+""",
+    doc="native streaming deduplication under a driver verdict: every "
+    "event is planted TWICE in different micro-batches (copy A in batch "
+    "id%3, copy B in batch (id+1)%3) and dropDuplicates('event_id') on "
+    "the stream must emit each event EXACTLY once across the whole "
+    "run — the seen-key state store is the operator; the oracle is the "
+    "plain distinct table, so a forgotten key (double emission) or an "
+    "overzealous filter (lost event) flips a row",
+    tags=("streaming", "dedup", "write"),
+)
+def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_dedup")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for m in range(3):
+        copy_a = ev.filter(F.col("event_id") % 3 == m)
+        copy_b = ev.filter((F.col("event_id") + 1) % 3 == m)
+        copy_a.unionByName(copy_b).coalesce(1).write.mode("append").parquet(
+            src_dir
+        )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sq = (
+        stream.dropDuplicates(["event_id"])
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.read.parquet(out).orderBy("event_id")

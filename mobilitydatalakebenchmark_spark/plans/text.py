@@ -1287,6 +1287,101 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+@register(
+    "dedup_substring_removal",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), ps AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+{_SS_N - 1}], ' ')) AS h
+  FROM tok, LATERAL unnest(generate_series(1, len(toks) - {_SS_N - 1}))
+           AS t(i)
+), rep AS (
+  SELECT h FROM ps GROUP BY h HAVING count(*) >= 2
+), m AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS island
+  FROM ps WHERE h IN (SELECT h FROM rep)
+), sp AS (
+  SELECT doc_id,
+         CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(max(pos) + {_SS_N - 1} AS BIGINT) AS span_end
+  FROM m GROUP BY doc_id, island
+  HAVING max(pos) + {_SS_N - 1} - min(pos) + 1 >= {_SS_MIN_LEN}
+), spg AS (
+  SELECT doc_id, span_start, span_end,
+         CASE WHEN max(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR span_start > max(span_end) OVER (
+                PARTITION BY doc_id ORDER BY span_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              )
+         THEN 1 ELSE 0 END AS ni
+  FROM sp
+), isl AS (
+  SELECT doc_id, span_start, span_end,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY span_start
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM spg
+), merged AS (
+  SELECT doc_id, min(span_start) AS s, max(span_end) AS e
+  FROM isl GROUP BY doc_id, island
+), dup AS (
+  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(len(toks) - coalesce(dup_tokens, 0) AS BIGINT) AS kept_tokens
+FROM tok t LEFT JOIN dup USING (doc_id) ORDER BY doc_id
+""",
+    doc="the APPLICATION half of exact-substring dedup: the reported "
+    "duplicate spans (dedup_substring_spans) merge into per-doc interval "
+    "unions (operators/timeseries.coalesce_intervals — overlapping spans "
+    "must not double-count) and every document reports its exact "
+    "n/dup/kept token budget — the 'how much survives the ExactSubstr "
+    "cut' accounting a curation pipeline runs before committing to the "
+    "removal; one extra doc-keyed window over the spans table, all "
+    "integer token arithmetic",
+    tags=("text", "dedup", "curation"),
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_spans
+    from ..operators.timeseries import coalesce_intervals
+
+    d = t(spark, sf_dir, "documents", heavy=True)
+    spans = duplicate_spans(
+        d, shingle_n=_SS_N, min_len_tokens=_SS_MIN_LEN, min_occurrences=2
+    )
+    merged = coalesce_intervals(spans, "doc_id", "span_start", "span_end")
+    dup = merged.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        toks.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.col("dup_tokens"), F.lit(0))
+            ).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 4: chunking, Zipf corpus stats, CCNet-style perplexity buckets.
 # ---------------------------------------------------------------------------

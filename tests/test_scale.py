@@ -199,6 +199,15 @@ BOUNDS = {
     # streaming LSH emits one pair per co-bucketed predecessor — the
     # stop-gate is bucket geometry, as in the batch twin
     "stream_stream_interval_join": 40.0,
+    # native watermarked window agg: state = open windows (bounded by
+    # the watermark horizon); native streaming dedup state grows with
+    # distinct keys (linear); substring REMOVAL adds one doc-keyed
+    # window over the spans table to the spans plan; partition
+    # evolution is two commits + one unioned snapshot aggregate
+    "streaming_native_window_counts": 8.0,
+    "streaming_dedup_exactly_once": 8.0,
+    "dedup_substring_removal": 8.0,
+    "versioned_partition_evolution": 8.0,
     "streaming_lsh_dedup_candidates": 8.0,
     "streaming_countmin_maintainer": 8.0,
     "streaming_cusum_maintainer": 8.0,

@@ -228,3 +228,32 @@ def test_compact_preserves_evolved_columns(spark, tmp_path):
     assert len(got) == 8
     assert all(got[i] is None for i in range(5))
     assert all(got[i] == 7 for i in range(5, 8))
+
+
+def test_partition_evolution_roundtrip(spark, batches, tmp_path):
+    # v0 unpartitioned, v1 hive-partitioned: one logical table, exact rows
+    import os
+
+    s = VersionedParquetStore(str(tmp_path / "vs"))
+    b0 = batches[0].withColumn("status", F.lit("A"))
+    b1 = batches[1].withColumn(
+        "status", F.when(F.col("id") % 2 == 0, "A").otherwise("B")
+    )
+    s.commit(b0)
+    s.commit(b1, partition_by=("status",))
+    v1 = str(tmp_path / "vs" / "data" / "v1")
+    assert any(e.startswith("status=") for e in os.listdir(v1))
+    snap = s.snapshot(spark)
+    assert set(snap.columns) == set(b0.columns)
+    assert snap.count() == b0.count() + b1.count()
+    got = sorted((r.id, r.b, r.status) for r in snap.collect())
+    want = sorted(
+        (r.id, r.b, r.status) for r in b0.collect()
+    ) + sorted((r.id, r.b, r.status) for r in b1.collect())
+    want.sort()
+    assert got == want
+    # filters on the partition column stay correct across layouts
+    assert (
+        snap.filter(F.col("status") == "B").count()
+        == b1.filter(F.col("status") == "B").count()
+    )
