@@ -297,3 +297,58 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Frontier BFS: exact hop distance from ``source`` to every reachable
+    node, as ``(node, hop)`` rows (unreachable nodes absent).
+
+    The loop is level-synchronous: the hop-``h`` frontier joins the arc
+    table, newly discovered nodes (left-anti against everything settled)
+    become the hop-``h+1`` frontier. A node's FIRST discovery is its
+    shortest distance — the anti-join makes later rediscoveries no-ops,
+    which is exactly the ``min(hop)`` a bounded recursive-CTE oracle
+    computes. Bounded by ``max_hops`` with early exit on an empty
+    frontier, so the result equals the unbounded BFS whenever the true
+    eccentricity fits the bound.
+
+    Scale: per level one equi-join (frontier ⋈ arcs, hash-partitioned on
+    the node id — frontiers are usually small enough that AQE broadcasts
+    them) + one anti-join against the settled set; ``localCheckpoint``
+    per level cuts lineage, so shuffle count grows with the graph's
+    DIAMETER, not its size. No driver-side collect: the early-exit probe
+    is an ``isEmpty`` on the already-checkpointed frontier.
+    """
+    undirected = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("src"),
+            F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    arcs = symmetrize(undirected).localCheckpoint(eager=True)
+    dist = arcs.sparkSession.createDataFrame(
+        [(int(source), 0)], "node long, hop int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(max_hops):
+        discovered = (
+            frontier.join(arcs, frontier["node"] == arcs["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hop", F.lit(h + 1).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if discovered.isEmpty():
+            break
+        dist = dist.unionByName(discovered).localCheckpoint(eager=True)
+        frontier = discovered
+    return dist

@@ -220,6 +220,8 @@ def load_registry() -> dict[str, Q]:
         "stream_stream_interval_join", "streaming_lsh_dedup_candidates",
         "streaming_native_window_counts", "streaming_dedup_exactly_once",
         "dedup_substring_removal", "versioned_partition_evolution",
+        "graph_bfs_hops", "streaming_session_native",
+        "ts_forward_fill", "event_sequence_regex",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

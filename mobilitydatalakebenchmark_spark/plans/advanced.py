@@ -2395,3 +2395,140 @@ def streaming_cusum_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entity")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hop distances (operators/graph.bfs_hops) — the classic
+# frontier algorithm the graph family was missing (pagerank/triangle/
+# k-core/LPA are all local or fixed-round; BFS is the reachability/
+# diameter primitive). Graph: lineitem part/supp keys folded mod 4001,
+# low-quantity rows only, so the graph is sparse enough to have real
+# multi-hop structure (4 levels at sf0.01) instead of a dense 2-hop
+# blob. The oracle replays the exact same search as a hop-bounded
+# recursive CTE with min(hop) per node — level-synchronous BFS and
+# min-over-walks agree on shortest distance by definition.
+# Scale: shuffle count ∝ graph DIAMETER (bounded 12), not size; each
+# level is one frontier⋈arcs equi-join + one anti-join, frontiers
+# broadcast when small. localCheckpoint per level caps lineage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_bfs_hops",
+    oracle="""
+WITH RECURSIVE ids AS (
+  SELECT l_partkey % 4001 AS a, l_suppkey % 4001 AS b FROM lineitem
+  WHERE l_partkey % 4001 <> l_suppkey % 4001 AND l_quantity < 8
+), arcs AS (
+  SELECT DISTINCT a AS src, b AS dst FROM ids
+  UNION SELECT DISTINCT b, a FROM ids
+), walk AS (
+  SELECT (SELECT min(src) FROM arcs) AS node, 0 AS hop
+  UNION
+  SELECT arcs.dst, walk.hop + 1
+  FROM walk JOIN arcs ON arcs.src = walk.node
+  WHERE walk.hop < 12
+), d AS (
+  SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
+)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM d GROUP BY hop ORDER BY hop
+""",
+    doc="level-synchronous frontier BFS from the smallest node of the "
+    "folded low-quantity lineitem graph: per-hop frontier histogram with "
+    "min/max/sum node fingerprints, verified against a hop-bounded "
+    "recursive-CTE shortest-path oracle (min(hop) per node)",
+    tags=("graph", "iterative"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") < 8).select(
+        (F.col("l_partkey") % 4001).alias("src"),
+        (F.col("l_suppkey") % 4001).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    seed = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.min(F.least("a", "b")))
+        .first()[0]
+    )
+    dist = bfs_hops(edges, int(seed), max_hops=12)
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy("hop")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching over per-entity event strings — the
+# MATCH_RECOGNIZE workload (funnels with quantifiers, burst detection)
+# expressed Spark-first: one shuffle collects each user's ordered
+# event-type initials into a path string (the five event types have
+# distinct initials: c/e/p/s/v), then regexp_count runs the pattern
+# automaton JVM-side. Non-overlapping greedy counts are engine-agnostic
+# for these patterns, so DuckDB's regexp_extract_all replays them
+# exactly. Scale: one hash shuffle on user_id; path length is bounded by
+# per-entity event counts (chunk long entities upstream if a key is
+# pathological); the regex scan is linear per row and embarrassingly
+# parallel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_sequence_regex",
+    oracle="""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS path
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(path) AS INTEGER) AS path_len,
+       CAST(len(regexp_extract_all(path, 'v+c*p')) AS INTEGER) AS n_funnel,
+       CAST(len(regexp_extract_all(path, 'ee+')) AS INTEGER)
+         AS n_error_burst,
+       CAST(len(regexp_extract_all(path, 's[^p]*p')) AS INTEGER)
+         AS n_signup_to_purchase
+FROM paths ORDER BY user_id
+""",
+    doc="MATCH_RECOGNIZE-style sequence mining: per-user ordered event "
+    "paths scanned for view+click*->purchase funnels, error bursts and "
+    "signup-to-first-purchase spans via greedy non-overlapping regex "
+    "counts, replayed exactly by DuckDB's regexp_extract_all",
+    tags=("sequence", "window", "text"),
+)
+def event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i"))
+        )
+    )
+    path = F.concat_ws("", F.transform(ordered, lambda s: s["i"]))
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .select(
+            "user_id",
+            F.length("path").alias("path_len"),
+            F.regexp_count("path", F.lit("v+c*p")).alias("n_funnel"),
+            F.regexp_count("path", F.lit("ee+")).alias("n_error_burst"),
+            F.regexp_count("path", F.lit("s[^p]*p")).alias(
+                "n_signup_to_purchase"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -3356,3 +3356,95 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq.awaitTermination()
     return spark.read.parquet(out).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Native streaming SESSION windows — the third native stateful contract
+# (after streaming_native_window_counts and streaming_dedup_exactly_once):
+# session_window(ts, 30m) on a watermarked stream keeps one open session
+# per user in the state store and MERGES sessions across micro-batches
+# when a later batch lands inside the gap. A session only emits once the
+# watermark passes its close (last event + gap), so the state is bounded
+# by open sessions. The gate streams ts-range slices (in-order, nothing
+# late past the 1h watermark), a user's session can genuinely straddle
+# slice cuts (the merge path is exercised, not just the happy path),
+# and two far-future sentinel batches finalize every real session. The
+# emitted set must equal the batch gap-island sessionization
+# cell-for-cell — the oracle is shared verbatim with the batch
+# session_window_native gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_session_native",
+    oracle=None,  # bound to session_window_native's oracle below
+    doc="native streaming session windows under a driver verdict: events "
+    "stream in as three ts-range micro-batches through "
+    "groupBy(user_id, session_window(ts, '30 min')) with a 1h watermark "
+    "in APPEND mode; the state store merges sessions that straddle "
+    "batch cuts and emits each exactly once when the watermark closes "
+    "it; two sentinel batches finalize the tail, and the streamed "
+    "session table must equal the batch gap-island sessionization "
+    "cell-for-cell (oracle shared with session_window_native)",
+    tags=("streaming", "session", "window", "write"),
+)
+def streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_session")
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    slices = [
+        ev.filter(F.col("ts") <= cut1),
+        ev.filter((F.col("ts") > cut1) & (F.col("ts") <= cut2)),
+        ev.filter(F.col("ts") > cut2),
+    ]
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(src_dir)
+    from ..session import local_df
+
+    for days in (30, 60):
+        local_df(
+            spark,
+            [(-1, hi + __import__("datetime").timedelta(days=days))],
+            "user_id long, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "mn", "mx", "n_events")
+    )
+    sq = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("mn", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("mx", TS_FMT_SPARK).alias("session_last"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_REG["streaming_session_native"].oracle = _REG["session_window_native"].oracle

@@ -975,3 +975,59 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_overlaps") >= _IV_MIN_OVERLAPS)
         .orderBy("user_a", "user_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (last-observation-carried-forward) — the time-series gap
+# repair every sensor/telemetry pipeline runs before resampling. Nulls
+# are planted deterministically (event_id % 7 == 0 masks the reading),
+# then each gap takes the entity's most recent non-null value in
+# (ts, event_id) order; leading gaps stay NULL. Spark's
+# last(ignorenulls=True) over an unbounded-preceding row frame IS the
+# operator; DuckDB replays it with last_value(... IGNORE NULLS).
+# Values are compared in exact cents so the fill is bit-checkable.
+# Scale: one hash shuffle on user_id + an in-partition ordered scan —
+# state is one value per entity, keys distribute.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_forward_fill",
+    oracle="""
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       (cents IS NULL) AS was_gap,
+       last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_cents
+FROM x ORDER BY event_id
+""",
+    doc="per-entity forward fill of deterministically masked readings "
+    "(last non-null carried forward in event order, leading gaps NULL), "
+    "exact-cents value parity with DuckDB's IGNORE NULLS window",
+    tags=("window", "time", "timeseries"),
+)
+def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_id") % 7 == 0, F.lit(None).cast("long")
+    ).otherwise(F.round(F.col("value") * 100).cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("cents", cents)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("cents").isNull().alias("was_gap"),
+            F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+        )
+        .orderBy("event_id")
+    )

@@ -220,6 +220,15 @@ BOUNDS = {
     "dedup_substring_spans": 8.0,
     "fasttext_quality_inference": 8.0,
     "knn_ivf_filtered": 8.0,
+    # BFS: shuffle count ∝ diameter (k-consistent replication keeps the
+    # folded node space and thus the diameter fixed; each level's join
+    # grows ~k); streaming sessions: state = open sessions per user;
+    # forward fill: one user_id window shuffle; sequence regex: per-user
+    # path grows ~k, regex scan is linear in path length
+    "graph_bfs_hops": 8.0,
+    "streaming_session_native": 8.0,
+    "ts_forward_fill": 8.0,
+    "event_sequence_regex": 8.0,
 }
 
 
