@@ -222,6 +222,7 @@ def load_registry() -> dict[str, Q]:
         "dedup_substring_removal", "versioned_partition_evolution",
         "graph_bfs_hops", "streaming_session_native",
         "ts_forward_fill", "event_sequence_regex",
+        "assoc_rules_pairs", "event_rle_streaks",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -2532,3 +2532,107 @@ def event_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules — the co-occurrence mining workload
+# (frequent pairs, support/confidence/lift) every recommender/curation
+# pipeline runs over transaction logs. Baskets = orders, items = parts.
+# Pair generation is a within-basket self-join: bounded-quadratic per
+# basket (TPC-H baskets hold ≤7 items; at 100 TB, cap basket size
+# upstream — a degenerate mega-basket is a data bug, not a workload).
+# All counting is exact BIGINT; confidence is the gates' proven
+# one-division-at-the-end pattern (identical operands → bit-identical
+# IEEE doubles on both engines, no rounding).
+# Scale: one distinct (order, part) shuffle, one self-join on orderkey
+# (hash-partitioned, baskets co-located), one pair-count shuffle, two
+# broadcast-sized per-item count joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "assoc_rules_pairs",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+), n_orders AS (
+  SELECT count(DISTINCT oid) AS n FROM baskets
+), item_n AS (
+  SELECT item, count(*) AS n_item FROM baskets GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.oid = b.oid AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(ia.n_item AS BIGINT) AS n_a,
+       CAST(ib.n_item AS BIGINT) AS n_b,
+       p.n_ab / ia.n_item AS confidence,
+       (p.n_ab * (SELECT n FROM n_orders)) / (ia.n_item * ib.n_item)
+         AS lift
+FROM pairs p
+JOIN item_n ia ON ia.item = p.item_a
+JOIN item_n ib ON ib.item = p.item_b
+WHERE p.n_ab >= 2
+ORDER BY n_ab DESC, item_a, item_b LIMIT 50
+""",
+    doc="market-basket association rules over order baskets: exact "
+    "BIGINT pair/item supports from one within-basket self-join, "
+    "confidence and lift as single end-of-plan divisions (bit-identical "
+    "IEEE), top-50 pairs by support",
+    tags=("join", "mining"),
+)
+def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = baskets.select("oid").distinct().count()
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                item_n.select(
+                    F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_n.select(
+                    F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+                )
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (F.col("n_ab") / F.col("n_a")).alias("confidence"),
+            (F.col("n_ab") * F.lit(n_orders) / (F.col("n_a") * F.col("n_b"))).alias(
+                "lift"
+            ),
+        )
+        .orderBy(F.desc("n_ab"), "item_a", "item_b")
+        .limit(50)
+    )

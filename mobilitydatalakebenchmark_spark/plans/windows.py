@@ -1031,3 +1031,60 @@ def ts_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-length streak mining — the RLE form of gaps-and-islands: maximal
+# runs of the SAME event type per user, found with the rank-difference
+# trick (global row_number minus per-type row_number is constant within
+# a run). Pure integer window algebra, so both engines agree exactly.
+# Scale: ONE user_id hash shuffle feeds both window sorts (same
+# partition key), then one bounded groupBy; per-entity state only.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_rle_streaks",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, count(*) AS run_len
+  FROM seq GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type,
+       CAST(max(run_len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_len) AS BIGINT) AS n_events
+FROM runs GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""",
+    doc="per-user maximal same-event runs via the rank-difference RLE "
+    "trick (longest streak, run count, totals — all exact integers); "
+    "one user_id shuffle shared by both window sorts",
+    tags=("window", "sequence"),
+)
+def event_rle_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.withColumn(
+            "grp", F.row_number().over(w_all) - F.row_number().over(w_typ)
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id", "event_type")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_len").alias("n_events"),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -229,6 +229,11 @@ BOUNDS = {
     "streaming_session_native": 8.0,
     "ts_forward_fill": 8.0,
     "event_sequence_regex": 8.0,
+    # basket self-join is bounded-quadratic PER BASKET (k-consistent
+    # replication grows baskets, so pairs grow ~k^2 within the ≤7-item
+    # bound — ride that loosely); RLE streaks: one user_id shuffle
+    "assoc_rules_pairs": 40.0,
+    "event_rle_streaks": 8.0,
 }
 
 
