@@ -223,6 +223,7 @@ def load_registry() -> dict[str, Q]:
         "graph_bfs_hops", "streaming_session_native",
         "ts_forward_fill", "event_sequence_regex",
         "assoc_rules_pairs", "event_rle_streaks",
+        "er_sorted_neighborhood", "attribution_last_touch",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -2636,3 +2636,116 @@ def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_ab"), "item_a", "item_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution by SORTED-NEIGHBORHOOD blocking (Hernandez &
+# Stolfo 1995) — the other classic blocking family next to the dedup
+# ladder's LSH: sort records by a blocking key, compare each record only
+# to its w successors inside a block. Dirty duplicates are PLANTED
+# deterministically (every 5th customer re-enters with a typo-suffixed
+# name and an offset key), so recall is exactly checkable: the gate must
+# find precisely the planted pairs and nothing else.
+# Scale posture: candidate pairs come from WINDOW LEADS inside hash-
+# partitioned blocks — zero joins, no global sort (a row number without
+# partitionBy would be the single-partition scale-killer this gate
+# deliberately avoids); Levenshtein verification runs JVM-side on the
+# ≤w candidates per row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "er_sorted_neighborhood",
+    oracle="""
+WITH src AS (
+  SELECT c_custkey, c_name,
+         CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS addr
+  FROM customer
+), dirty AS (
+  SELECT c_custkey + 10000000 AS key, c_name || 'x' AS name, addr
+  FROM src WHERE c_custkey % 5 = 0
+), all_recs AS (
+  SELECT c_custkey AS key, c_name AS name, addr FROM src
+  UNION ALL SELECT key, name, addr FROM dirty
+), ranked AS (
+  SELECT key, name, addr, substr(name, 10, 5) AS block,
+         lead(key, 1) OVER w AS k1, lead(name, 1) OVER w AS n1,
+         lead(addr, 1) OVER w AS a1,
+         lead(key, 2) OVER w AS k2, lead(name, 2) OVER w AS n2,
+         lead(addr, 2) OVER w AS a2,
+         lead(key, 3) OVER w AS k3, lead(name, 3) OVER w AS n3,
+         lead(addr, 3) OVER w AS a3
+  FROM all_recs
+  WINDOW w AS (PARTITION BY substr(name, 10, 5) ORDER BY name, key)
+), cand AS (
+  SELECT block, key AS key_a, name || '|' || addr AS rec_a,
+         k1 AS key_b, n1 || '|' || a1 AS rec_b
+  FROM ranked WHERE k1 IS NOT NULL
+  UNION ALL
+  SELECT block, key, name || '|' || addr, k2, n2 || '|' || a2
+  FROM ranked WHERE k2 IS NOT NULL
+  UNION ALL
+  SELECT block, key, name || '|' || addr, k3, n3 || '|' || a3
+  FROM ranked WHERE k3 IS NOT NULL
+)
+SELECT block, key_a, key_b,
+       CAST(levenshtein(rec_a, rec_b) AS INTEGER) AS lev
+FROM cand WHERE levenshtein(rec_a, rec_b) <= 2
+ORDER BY key_a, key_b
+""",
+    doc="sorted-neighborhood entity resolution with planted typo "
+    "duplicates: window-lead candidate pairs inside hash-partitioned "
+    "blocks (zero joins, no global sort), Levenshtein<=2 verification "
+    "on the full name|balance-cents record — neighbor names differ by "
+    "one digit but their random balances diverge, so the planted pairs "
+    "(shared balance, one-char name typo) survive; verified at the "
+    "gate's SFs that the output IS exactly the planted set",
+    tags=("dedup", "window", "mining"),
+)
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    addr = F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    clean = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        addr.alias("addr"),
+    )
+    dirty = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("key"),
+        F.concat(F.col("c_name"), F.lit("x")).alias("name"),
+        addr.alias("addr"),
+    )
+    recs = clean.unionByName(dirty).withColumn(
+        "block", F.substring("name", 10, 5)
+    )
+    w = Window.partitionBy("block").orderBy("name", "key")
+    rec = F.concat_ws("|", "name", "addr")
+    ranked = recs.select(
+        "block",
+        "key",
+        rec.alias("rec"),
+        *[
+            c
+            for i in (1, 2, 3)
+            for c in (
+                F.lead("key", i).over(w).alias(f"k{i}"),
+                F.lead(rec, i).over(w).alias(f"r{i}"),
+            )
+        ],
+    )
+    cand = None
+    for i in (1, 2, 3):
+        part = ranked.filter(F.col(f"k{i}").isNotNull()).select(
+            "block",
+            F.col("key").alias("key_a"),
+            F.col("rec").alias("rec_a"),
+            F.col(f"k{i}").alias("key_b"),
+            F.col(f"r{i}").alias("rec_b"),
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    return (
+        cand.withColumn("lev", F.levenshtein("rec_a", "rec_b"))
+        .filter(F.col("lev") <= 2)
+        .select("block", "key_a", "key_b", "lev")
+        .orderBy("key_a", "key_b")
+    )

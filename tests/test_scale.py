@@ -234,6 +234,10 @@ BOUNDS = {
     # bound — ride that loosely); RLE streaks: one user_id shuffle
     "assoc_rules_pairs": 40.0,
     "event_rle_streaks": 8.0,
+    # ER: window leads inside blocks — zero joins, linear; attribution:
+    # one user_id window shuffle, linear
+    "er_sorted_neighborhood": 8.0,
+    "attribution_last_touch": 8.0,
 }
 
 
