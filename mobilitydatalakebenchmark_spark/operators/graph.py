@@ -352,3 +352,64 @@ def bfs_hops(
         dist = dist.unionByName(discovered).localCheckpoint(eager=True)
         frontier = discovered
     return dist
+
+
+def bellman_ford_bounded(
+    edges_w: DataFrame,
+    source: int,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford: cheapest cost from ``source`` to every node
+    reachable within ``rounds`` edges, as ``(node, cost)`` rows.
+
+    ``edges_w`` is an undirected weighted edge list (positive integer
+    weights; parallel edges collapse to their min weight so the relaxed
+    graph is well-defined). Round ``k`` relaxes every arc once, so after
+    ``rounds`` rounds the table holds the exact min cost over all walks
+    of ≤ ``rounds`` edges — the same set a depth-bounded recursive-CTE
+    oracle enumerates. With ``rounds ≥ V-1`` this is the full
+    single-source shortest path.
+
+    Scale: one arcs⋈dist equi-join + one min-groupBy per round (both
+    hash-partitioned on the node id — the same key, so the exchange is
+    reused); ``localCheckpoint`` per round cuts lineage. Shuffle count
+    ∝ rounds, never data size. Integer costs keep every engine
+    bit-agreeing.
+    """
+    canon = (
+        edges_w.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+    )
+    arcs = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = arcs.sparkSession.createDataFrame(
+        [(int(source), 0)], "node long, cost long"
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(arcs, dist["node"] == arcs["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w")).alias("cost"),
+            )
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        dist = relaxed
+    return dist

@@ -2749,3 +2749,78 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("block", "key_a", "key_b", "lev")
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford — weighted single-source shortest path, the
+# relaxation algorithm class next to graph_bfs_hops' unweighted BFS.
+# Same sparse folded graph; weights are small positive integers
+# (l_linenumber-derived) and parallel edges collapse to min weight, so
+# both engines relax the identical graph in exact BIGINT arithmetic.
+# k relaxation rounds == min cost over all walks of ≤ k edges == the
+# depth-bounded recursive-CTE enumeration the oracle runs.
+# Scale: shuffle count ∝ rounds (join + min-groupBy per round on the
+# same node key), never data size; localCheckpoint per round.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_bellman_ford",
+    oracle="""
+WITH RECURSIVE ids AS (
+  SELECT l_partkey % 4001 AS a, l_suppkey % 4001 AS b,
+         CAST(l_linenumber % 5 + 1 AS BIGINT) AS w
+  FROM lineitem
+  WHERE l_partkey % 4001 <> l_suppkey % 4001 AND l_quantity < 8
+), edges AS (
+  SELECT least(a, b) AS a, greatest(a, b) AS b, min(w) AS w
+  FROM ids GROUP BY 1, 2
+), arcs AS (
+  SELECT a AS src, b AS dst, w FROM edges
+  UNION ALL SELECT b, a, w FROM edges
+), walk AS (
+  SELECT (SELECT min(src) FROM arcs) AS node, CAST(0 AS BIGINT) AS cost,
+         0 AS depth
+  UNION
+  SELECT arcs.dst, walk.cost + arcs.w, walk.depth + 1
+  FROM walk JOIN arcs ON arcs.src = walk.node
+  WHERE walk.depth < 4
+), d AS (SELECT node, min(cost) AS cost FROM walk GROUP BY node)
+SELECT cost, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM d GROUP BY cost ORDER BY cost
+""",
+    doc="bounded Bellman-Ford from the smallest node of the weighted "
+    "folded lineitem graph (integer weights, parallel edges collapsed "
+    "to min): per-cost-level histogram with node fingerprints, verified "
+    "against a depth-bounded recursive-CTE walk enumeration (min cost "
+    "over walks of <=4 edges)",
+    tags=("graph", "iterative"),
+)
+def graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bellman_ford_bounded
+
+    li = t(spark, sf_dir, "lineitem")
+    edges_w = li.filter(F.col("l_quantity") < 8).select(
+        (F.col("l_partkey") % 4001).alias("src"),
+        (F.col("l_suppkey") % 4001).alias("dst"),
+        (F.col("l_linenumber") % 5 + 1).cast("long").alias("w"),
+    ).filter(F.col("src") != F.col("dst"))
+    seed = (
+        edges_w.select(F.least("src", "dst").alias("m"))
+        .agg(F.min("m"))
+        .first()[0]
+    )
+    dist = bellman_ford_bounded(edges_w, int(seed), rounds=4)
+    return (
+        dist.groupBy("cost")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy("cost")
+    )

@@ -101,3 +101,34 @@ class TestSequenceRegexPaths:
         assert row["path"] == "vvcpsevvp"
         # greedy non-overlapping: 'vvcp' then 'vvp'
         assert row["n_funnel"] == 2
+
+
+class TestBellmanFordBounded:
+    def _bf(self, spark, triples, source, rounds=4):
+        from mobilitydatalakebenchmark_spark.operators.graph import (
+            bellman_ford_bounded,
+        )
+
+        df = spark.createDataFrame(triples, "src long, dst long, w long")
+        return {
+            r["node"]: r["cost"]
+            for r in bellman_ford_bounded(df, source, rounds=rounds).collect()
+        }
+
+    def test_cheaper_long_path_beats_direct_edge(self, spark):
+        # direct 0-2 costs 10; via 1 costs 2
+        got = self._bf(spark, [(0, 2, 10), (0, 1, 1), (1, 2, 1)], 0)
+        assert got[2] == 2
+
+    def test_parallel_edges_collapse_to_min(self, spark):
+        got = self._bf(spark, [(0, 1, 5), (1, 0, 2)], 0)
+        assert got[1] == 2
+
+    def test_round_bound_limits_walk_length(self, spark):
+        # chain of weight-1 edges; rounds=2 reaches only 2 edges out
+        got = self._bf(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)], 0, rounds=2)
+        assert got == {0: 0, 1: 1, 2: 2}
+
+    def test_undirected_relaxation(self, spark):
+        got = self._bf(spark, [(2, 0, 3)], 0)
+        assert got[2] == 3

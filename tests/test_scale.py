@@ -238,6 +238,9 @@ BOUNDS = {
     # one user_id window shuffle, linear
     "er_sorted_neighborhood": 8.0,
     "attribution_last_touch": 8.0,
+    # Bellman-Ford: shuffle count ∝ rounds (fixed 4), per-round join
+    # grows ~k on the fixed folded node space
+    "graph_bellman_ford": 8.0,
 }
 
 
