@@ -224,7 +224,7 @@ def load_registry() -> dict[str, Q]:
         "ts_forward_fill", "event_sequence_regex",
         "assoc_rules_pairs", "event_rle_streaks",
         "er_sorted_neighborhood", "attribution_last_touch",
-        "graph_bellman_ford",
+        "graph_bellman_ford", "classifier_calibration_bins",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

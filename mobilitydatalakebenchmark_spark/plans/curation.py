@@ -3448,3 +3448,98 @@ def streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["streaming_session_native"].oracle = _REG["session_window_native"].oracle
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration table (reliability diagram) — the eval step
+# that follows fasttext_quality_inference in a real curation pipeline:
+# bin documents by score, compare the bin's predicted-positive share
+# to an observed label rate. The label here is data-derived (doc longer
+# than 60 tokens) so the oracle replays it; the gate pins the BINNING
+# and RATE mechanics (fixed-width integer score bins, exact BIGINT
+# counts, one division at the end per rate).
+# Scale: reuses the inference plan (one explode + broadcast weights),
+# then a single bounded groupBy on the bin id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "classifier_calibration_bins",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), uni AS (
+  SELECT doc_id, unnest(ts) AS gram FROM tok
+), bi AS (
+  SELECT doc_id, ts[i] || '_' || ts[i+1] AS gram
+  FROM tok, LATERAL unnest(generate_series(1, len(ts) - 1)) AS t(i)
+), g AS (
+  SELECT doc_id, gram FROM uni UNION ALL SELECT doc_id, gram FROM bi
+), f AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('ft' || gram), 1, 8) AS BIGINT)
+             % {_FT_BUCKETS} AS bucket
+  FROM g
+), wt AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('ftw' || CAST(bucket AS VARCHAR)), 1, 8)
+              AS BIGINT) % {2 * _FT_SCALE + 1} - {_FT_SCALE} AS w
+  FROM f
+), scored AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM wt GROUP BY doc_id
+), labeled AS (
+  SELECT s.doc_id, s.score,
+         CASE WHEN len(string_split(d.text, ' ')) > 60 THEN 1 ELSE 0 END
+           AS label
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT CAST(floor(score / 1000.0) AS INTEGER) AS score_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(label) AS BIGINT) AS n_pos,
+       sum(label) / count(*) AS pos_rate,
+       CAST(min(score) AS BIGINT) AS min_score,
+       CAST(max(score) AS BIGINT) AS max_score
+FROM labeled GROUP BY 1 ORDER BY score_bin
+""",
+    doc="classifier calibration / reliability table: documents binned by "
+    "fixed-width integer score bins of the fastText-style inference "
+    "scores, observed long-doc label rate per bin (exact BIGINT counts, "
+    "one division per rate) — the eval artifact a quality-filter "
+    "deployment reads before picking a threshold",
+    tags=("text", "classifier", "curation"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classifier import (
+        linear_classifier_scores,
+        synthetic_hash_weights,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    weights = synthetic_hash_weights(
+        spark, n_buckets=_FT_BUCKETS, scale=_FT_SCALE, salt="ftw"
+    )
+    scored = linear_classifier_scores(
+        docs, weights, n_buckets=_FT_BUCKETS, word_ngrams=2, salt="ft"
+    ).select("doc_id", F.col("score_scaled").alias("score"))
+    labeled = scored.join(
+        docs.select(
+            "doc_id",
+            (F.size(F.split("text", " ")) > 60).cast("int").alias("label"),
+        ),
+        "doc_id",
+    )
+    return (
+        labeled.groupBy(
+            F.floor(F.col("score") / F.lit(1000.0))
+            .cast("int")
+            .alias("score_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").alias("n_pos"),
+            (F.sum("label") / F.count(F.lit(1))).alias("pos_rate"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("score_bin")
+    )

@@ -241,6 +241,8 @@ BOUNDS = {
     # Bellman-Ford: shuffle count ∝ rounds (fixed 4), per-round join
     # grows ~k on the fixed folded node space
     "graph_bellman_ford": 8.0,
+    # calibration reuses the linear inference plan + one bounded groupBy
+    "classifier_calibration_bins": 8.0,
 }
 
 
