@@ -3543,3 +3543,82 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IVM maintainer under a driver verdict — the last foreachBatch
+# path that was pytest-only: a materialized orders⋈lineitem view is built
+# on HALF the orders, the other half streams in as three file-source
+# micro-batches through stream_to_materialized_join (delta rule per
+# epoch, two-sided idempotent replay protection, nonce-mixed run
+# identity), and the MAINTAINED view's aggregate must equal the one-shot
+# batch join the oracle computes. A double-applied epoch, a dropped
+# batch, or a delta-rule error flips a cell.
+# Scale: per epoch cost ∝ |batch| × match rate, never view size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_ivm_join_maintainer",
+    oracle="""
+SELECT o.o_orderstatus,
+       count(*) AS n_rows,
+       count(DISTINCT o.o_orderkey) AS n_orders,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS ext_cents,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+    doc="streaming incremental view maintenance under a driver verdict: "
+    "the materialized join view is built on even orderkeys, odd "
+    "orderkeys stream in as three micro-batches through the delta-rule "
+    "foreachBatch maintainer (two-sided idempotent replay protection), "
+    "and the maintained view's aggregate must equal the one-shot batch "
+    "join cell-for-cell",
+    tags=("streaming", "ivm", "join", "write"),
+)
+def streaming_ivm_join_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import MaterializedJoin
+    from ..streaming.ivm_stream import stream_to_materialized_join
+
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_ivm")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderkey").alias("o_rid"),
+        "o_orderstatus",
+        "o_orderkey",
+    )
+    li = t(spark, sf_dir, "lineitem", heavy=True).select(
+        F.col("l_orderkey").alias("k"),
+        "l_linenumber",
+        "l_extendedprice",
+        "l_quantity",
+    ).coalesce(8)
+    mj = MaterializedJoin(out, on="k", left_row_id="o_rid")
+    mj.build(o.filter(F.col("k") % 2 == 0).coalesce(4), li)
+    odd = o.filter(F.col("k") % 2 == 1)
+    for m in range(3):
+        odd.filter(F.col("k") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(odd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream_to_materialized_join(stream, mj, ckpt, row_id_col="o_rid").awaitTermination()
+    return (
+        mj.view(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "ext_cents"
+            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )

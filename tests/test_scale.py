@@ -243,6 +243,9 @@ BOUNDS = {
     "graph_bellman_ford": 8.0,
     # calibration reuses the linear inference plan + one bounded groupBy
     "classifier_calibration_bins": 8.0,
+    # streaming IVM: per-epoch cost ∝ |batch| × match rate (k-consistent
+    # replication grows matches ~k per arrival — ride loosely)
+    "streaming_ivm_join_maintainer": 40.0,
 }
 
 
