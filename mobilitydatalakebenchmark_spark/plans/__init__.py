@@ -225,7 +225,7 @@ def load_registry() -> dict[str, Q]:
         "assoc_rules_pairs", "event_rle_streaks",
         "er_sorted_neighborhood", "attribution_last_touch",
         "graph_bellman_ford", "classifier_calibration_bins",
-        "streaming_ivm_join_maintainer",
+        "streaming_ivm_join_maintainer", "streaming_shard_export",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3622,3 +3622,63 @@ def streaming_ivm_join_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming shard export under a driver verdict — the terminal pipeline
+# stage (streaming/shard_stream.py) was pytest-only: documents stream in
+# as three micro-batches through stream_to_shards (idempotent append
+# against the persisted manifest, touched-shard-only rewrites), and the
+# PERSISTED manifest must equal the one-shot batch packing cell-for-cell.
+# Packing is order-sensitive (md5(doc_id) order after the source's fill
+# level), so the micro-batches are md5-RANGE slices — the seq-range
+# discipline the other order-sensitive streaming gates use — which makes
+# sequential appends reproduce the global packing exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_shard_export",
+    oracle=None,  # bound to pack_shard_manifest's oracle below
+    doc="streaming training-shard export under a driver verdict: three "
+    "md5-range micro-batches through stream_to_shards (512-token "
+    "shards), then the PERSISTED manifest (shard, counts, id range, "
+    "content md5) must equal the batch packing oracle cell-for-cell — "
+    "a double-placed doc, a lost append, or an understated fill level "
+    "flips a row (oracle shared verbatim with pack_shard_manifest)",
+    tags=("streaming", "packing", "text", "write"),
+)
+def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.shard_stream import stream_to_shards
+
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_shards")
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    h1 = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+    cuts = [
+        h1 < "5",
+        (h1 >= "5") & (h1 < "a"),
+        h1 >= "a",
+    ]
+    for cond in cuts:
+        d.filter(cond).coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("source string, doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream_to_shards(stream, out, ckpt, shard_tokens=512).awaitTermination()
+    return (
+        spark.read.parquet(f"{out}/manifest.parquet")
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            "min_doc_id",
+            "max_doc_id",
+            "content_md5",
+        )
+        .orderBy("shard")
+    )
+
+
+_REG["streaming_shard_export"].oracle = _REG["pack_shard_manifest"].oracle

@@ -246,6 +246,8 @@ BOUNDS = {
     # streaming IVM: per-epoch cost ∝ |batch| × match rate (k-consistent
     # replication grows matches ~k per arrival — ride loosely)
     "streaming_ivm_join_maintainer": 40.0,
+    # shard export: per-batch cost O(batch + touched shards)
+    "streaming_shard_export": 8.0,
 }
 
 
