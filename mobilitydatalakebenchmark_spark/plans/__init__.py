@@ -226,6 +226,7 @@ def load_registry() -> dict[str, Q]:
         "er_sorted_neighborhood", "attribution_last_touch",
         "graph_bellman_ford", "classifier_calibration_bins",
         "streaming_ivm_join_maintainer", "streaming_shard_export",
+        "streaming_ann_index_ingest",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

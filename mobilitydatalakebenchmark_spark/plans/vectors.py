@@ -1236,3 +1236,93 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "vec_id", "label", "cos_sim")
         .orderBy("probe_id", F.desc("cos_sim"), "vec_id")
     )
+
+
+@register(
+    "streaming_ann_index_ingest",
+    # same oracle shape as knn_persisted_index_probe: the streamed
+    # index's lists depend on Spark-trained centroids, but "every held-
+    # out vector was indexed by the stream" and "recall@5 vs the exact
+    # scan clears the floor" are deterministic in-plan claims.
+    oracle=f"""
+SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_returned,
+       TRUE AS returned_k, TRUE AS recall_ok,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed
+FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+ORDER BY probe_id
+""",
+    doc="streaming ANN index ingest under a driver verdict (streaming/"
+    "ingest.stream_to_ann_index — the living-index arrival path, "
+    "previously pytest-only): the IVF index is built on the vec_id%5!=3 "
+    "slice, the held-out slice STREAMS in as three micro-batches "
+    "appended against the frozen centroids (idempotent: anti-membership "
+    "strip + per-checkpoint epoch high-water mark), and the on-disk "
+    "index is probed — per-probe returned_k and recall@5>=2 vs exact "
+    "brute force, plus n_indexed == |corpus| pinning that the stream "
+    "indexed every vector exactly once",
+    tags=("streaming", "vector", "knn", "ivf", "store", "write"),
+)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import IVFIndexStore
+    from ..operators.similarity import brute_force_topk
+    from ..streaming.ingest import stream_to_ann_index
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_gates",
+        f"ann_stream_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+
+    e = t(spark, sf_dir, "embeddings")
+    store = IVFIndexStore(os.path.join(base, "store"), n_centroids=8)
+    store.build(e.filter(F.col("vec_id") % 5 != 3), lloyd_iters=1)
+
+    held_out = e.filter(F.col("vec_id") % 5 == 3).select("vec_id", "embedding")
+    for m in range(3):
+        held_out.filter(F.col("vec_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    stream = (
+        spark.readStream.schema(held_out.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream_to_ann_index(stream, store, ckpt).awaitTermination()
+    n_indexed = store.indexed_ids(spark).count()
+
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    ann = store.topk(probes, k=5, nprobe=4).select("probe_id", "vec_id")
+    exact = brute_force_topk(e, probes, k=5).select(
+        F.col("probe_id").alias("exact_probe"),
+        F.col("vec_id").alias("exact_id"),
+    )
+    hits = (
+        ann.join(
+            exact,
+            (F.col("probe_id") == F.col("exact_probe"))
+            & (F.col("vec_id") == F.col("exact_id")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("*").alias("n_returned"),
+            F.count("exact_id").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        "probe_id",
+        "n_returned",
+        (F.col("n_returned") == 5).alias("returned_k"),
+        (F.col("n_hits") >= 2).alias("recall_ok"),
+        F.lit(n_indexed).cast("long").alias("n_indexed"),
+    ).orderBy("probe_id")

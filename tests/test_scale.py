@@ -248,6 +248,9 @@ BOUNDS = {
     "streaming_ivm_join_maintainer": 40.0,
     # shard export: per-batch cost O(batch + touched shards)
     "streaming_shard_export": 8.0,
+    # ANN ingest: per-batch cost ∝ batch (frozen-centroid assign) + one
+    # id-table anti-scan; probe reads nprobe/k of the lists
+    "streaming_ann_index_ingest": 8.0,
 }
 
 
