@@ -274,3 +274,70 @@ def rrf_fuse(
         F.coalesce("rank_b", F.lit(0)).alias("rank_b"),
         "rrf_score",
     )
+
+
+def dcg_weights_scaled(k: int = 10, scale: int = 1_000_000) -> list[int]:
+    """Integer DCG rank weights: round(scale / log2(rank + 1)) for rank
+    1..k. Pre-scaling the discount to fixed literals is what lets a DCG
+    be an EXACT integer dot product (rel x weight) instead of a float
+    sum whose addition order differs per engine — the same deferred-
+    division discipline the rest of this repo uses. The tiny quantization
+    (|err| <= 0.5/scale per term) is identical on both sides, so it is
+    invisible to the gate."""
+    import math
+
+    return [round(scale / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    ranked: DataFrame,
+    relevance: DataFrame,
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """nDCG@k per query from a ranked run and graded relevance labels.
+
+    ``ranked``: (query_id, rank, doc_id) — rank 1-based, <= k rows per
+    query (bm25_topk output). ``relevance``: (doc_id, rel) integer
+    grades. DCG = sum(rel_r * w_r) with the integer weights of
+    ``dcg_weights_scaled``; the ideal ordering re-ranks the SAME
+    retrieved set by (rel desc, rank asc) — the retrieved-set
+    normalization, which needs no corpus-wide relevant-doc scan and is
+    the form eval harnesses use for run-to-run comparisons. Output:
+    (query_id, dcg_scaled, idcg_scaled, ndcg) with one double division
+    per query; ndcg = 0.0 when nothing retrieved is relevant.
+
+    Scale: |queries| x k rows end-to-end; the relevance join is the only
+    contact with corpus-sized data and it joins on doc_id equality.
+    """
+    weights = dcg_weights_scaled(k, scale)
+
+    def w_of(rank_col):
+        expr = F.lit(0).cast("long")
+        for r, w in enumerate(weights, start=1):
+            expr = F.when(rank_col == r, F.lit(w).cast("long")).otherwise(expr)
+        return expr
+
+    labeled = ranked.join(relevance, "doc_id").select(
+        "query_id", "rank", F.col("rel").cast("long").alias("rel")
+    )
+    ideal_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("rank"))
+    )
+    scored = labeled.withColumn("w", w_of(F.col("rank"))).withColumn(
+        "iw", w_of(ideal_rank)
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(F.col("rel") * F.col("w")).alias("dcg_scaled"),
+        F.sum(F.col("rel") * F.col("iw")).alias("idcg_scaled"),
+    )
+    return per_q.withColumn(
+        "ndcg",
+        F.when(F.col("idcg_scaled") == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.col("dcg_scaled").cast("double")
+                / F.col("idcg_scaled").cast("double"),
+                6,
+            )
+        ),
+    )

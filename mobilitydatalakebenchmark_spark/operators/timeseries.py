@@ -206,3 +206,121 @@ def coalesce_intervals(
         F.max(end_col).alias(end_col),
         n_rows,
     )
+
+
+def hampel_flags(
+    df: DataFrame,
+    entity_col: str,
+    order_cols: list[str],
+    cents_col: str,
+    half_window: int = 5,
+    k_per_10000: int = 44478,
+) -> DataFrame:
+    """Hampel filter: rolling-median outlier detection, exact-integer.
+
+    The classical robust alternative to z-score screening (the mean and
+    stddev a spike CONTAMINATES are exactly what anomaly_zscore compares
+    against): per row, take the +-half_window ROWS frame over the
+    entity's ordered series, flag the row when
+
+        |x - median(frame)| > K * MAD(frame),   K = 4.4478 = 3 * 1.4826
+
+    (1.4826 is the normal-consistency constant for the median absolute
+    deviation). Every comparison here stays BIGINT: with ``med2`` = the
+    sum of the frame's two middle order statistics (= 2x median, integral
+    for any frame size) and ``mad22`` = the same two-mid sum over the
+    sorted |2x_j - med2| deviations (= 4x MAD), the test multiplies
+    through to
+
+        2 * |2x - med2| * 10000 > k_per_10000 * mad22
+
+    so the gate's oracle can replay it value-for-value — no float
+    anywhere, unlike every textbook implementation.
+
+    Plan shape: ONE window sort per entity (collect_list over the rows
+    frame), then pure array expressions (sort_array / transform) inside
+    whole-stage codegen. State per row is the 2*half_window+1 frame —
+    bounded, skew-safe; the shuffle is the per-entity sort every other
+    window in this module already pays.
+    """
+    frame_w = (
+        Window.partitionBy(entity_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-half_window, half_window)
+    )
+    with_frame = df.withColumn(
+        "_fr", F.sort_array(F.collect_list(F.col(cents_col)).over(frame_w))
+    ).withColumn("_n", F.size("_fr"))
+    mid_lo = F.floor((F.col("_n") + 1) / 2).cast("int")
+    mid_hi = (F.floor(F.col("_n") / 2) + 1).cast("int")
+    with_med = with_frame.withColumn(
+        "med2", F.element_at("_fr", mid_lo) + F.element_at("_fr", mid_hi)
+    )
+    dev_sorted = F.sort_array(
+        F.transform("_fr", lambda v: F.abs(v * 2 - F.col("med2")))
+    )
+    with_mad = with_med.withColumn("_dv", dev_sorted).withColumn(
+        "mad22",
+        F.element_at("_dv", mid_lo) + F.element_at("_dv", mid_hi),
+    )
+    center_dev2 = F.abs(F.col(cents_col) * 2 - F.col("med2"))
+    return with_mad.withColumn(
+        "is_outlier",
+        center_dev2 * 2 * 10000 > F.lit(k_per_10000) * F.col("mad22"),
+    ).drop("_fr", "_n", "_dv")
+
+
+def seasonal_profile_scaled(
+    df: DataFrame,
+    ts_col: str,
+    cents_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Additive seasonal component per hour-of-day, exact-integer core.
+
+    The decomposition step of STL-lite: bucket the series hourly (sum of
+    integer cents per bucket), detrend each bucket against a CENTERED
+    moving average over ``period`` buckets, then average the detrended
+    values per hour-of-day. Division is deferred to the very end so all
+    aggregation is BIGINT:
+
+        detrended24 = period * v - frame_sum        (exact, per bucket)
+        seasonal    = sum(detrended24) / (n * period)  (one double divide)
+
+    Only INTERIOR buckets (full ``period``-row frames) contribute —
+    boundary frames would mix denominators and break exactness.
+
+    Scale: the unpartitioned window runs over the POST-AGGREGATION hourly
+    series (calendar hours, ~9k rows/year), not raw events — a bounded
+    single-reducer sort, same class as any global ORDER BY of a rollup.
+    """
+    half_lo = period // 2 - 1
+    half_hi = period // 2
+    hourly = df.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts")
+    ).agg(F.sum(F.col(cents_col)).alias("v"))
+    frame_w = (
+        Window.orderBy("bucket_ts").rowsBetween(-half_lo, half_hi)
+    )
+    detr = (
+        hourly.withColumn("_fs", F.sum("v").over(frame_w))
+        .withColumn("_fc", F.count("v").over(frame_w))
+        .filter(F.col("_fc") == period)
+        .withColumn("detr", F.col("v") * period - F.col("_fs"))
+    )
+    return (
+        detr.groupBy(F.hour("bucket_ts").cast("int").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("detr").alias("sum_detr_scaled"),
+        )
+        .withColumn(
+            "seasonal_cents",
+            F.round(
+                F.col("sum_detr_scaled").cast("double")
+                / (F.col("n_buckets") * period).cast("double")
+                / F.lit(100.0),
+                6,
+            ),
+        )
+    )

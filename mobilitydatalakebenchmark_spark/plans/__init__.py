@@ -227,6 +227,12 @@ def load_registry() -> dict[str, Q]:
         "graph_bellman_ford", "classifier_calibration_bins",
         "streaming_ivm_join_maintainer", "streaming_shard_export",
         "streaming_ann_index_ingest",
+        # late-r9 depth additions (oracle-checked locally at all three
+        # SFs the session they landed): Hampel rolling-median outliers,
+        # STL-lite seasonal profile, deterministic multiplier bootstrap
+        # CI, nDCG@10 retrieval eval
+        "hampel_outlier_filter", "seasonal_decompose_additive",
+        "bootstrap_ci_mean", "retrieval_ndcg_eval",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

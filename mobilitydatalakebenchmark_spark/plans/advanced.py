@@ -2824,3 +2824,122 @@ def graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cost")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: robust time-series depth (operators/timeseries.py
+# additions). Hampel rolling-median outlier detection — the robust
+# complement to anomaly_zscore_outliers (a spike inflates the mean/std
+# the z-score compares against; the median/MAD it cannot) — kept exact
+# BIGINT end-to-end via the 2x-median / 4x-MAD multiply-through, so the
+# oracle replays every comparison. And an STL-lite additive seasonal
+# profile: centered-MA detrending with division deferred past all
+# aggregation (interior frames only, one double divide per hour-of-day).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hampel_outlier_filter",
+    oracle="""
+WITH x AS (
+  SELECT user_id AS entity, event_id AS seq,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), f AS (
+  SELECT entity, seq, cents,
+         list_sort(list(cents) OVER (
+           PARTITION BY entity ORDER BY seq
+           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS fr
+  FROM x
+), m AS (
+  SELECT entity, seq, cents, fr,
+         fr[CAST((len(fr) + 1) // 2 AS INT)]
+           + fr[CAST(len(fr) // 2 + 1 AS INT)] AS med2
+  FROM f
+), d AS (
+  SELECT entity, seq, cents, med2,
+         list_sort(list_transform(fr, v -> abs(2 * v - med2))) AS dv
+  FROM m
+), z AS (
+  SELECT entity, seq, cents, CAST(med2 AS BIGINT) AS med2,
+         CAST(dv[CAST((len(dv) + 1) // 2 AS INT)]
+              + dv[CAST(len(dv) // 2 + 1 AS INT)] AS BIGINT) AS mad22
+  FROM d
+)
+SELECT entity, seq, cents, med2, mad22
+FROM z
+WHERE 2 * abs(2 * cents - med2) * 10000 > 44478 * mad22
+ORDER BY entity, seq
+""",
+    doc="Hampel rolling-median outlier filter (operators/timeseries."
+    "hampel_flags): per entity, an 11-row centered frame's median and "
+    "MAD flag the row when |x - med| > 3*1.4826*MAD — all BIGINT via "
+    "med2 = sum of the two middle order stats (2x median) and mad22 "
+    "(4x MAD), test multiplied through to 2*|2x-med2|*10000 > "
+    "44478*mad22, so both engines compare identical integers; one "
+    "window sort per entity, array expressions inside codegen, the "
+    "robust screen a z-score cannot give (the spike contaminates the "
+    "mean it is compared against)",
+    tags=("window", "time", "anomaly"),
+)
+def hampel_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import hampel_flags
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("seq"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = hampel_flags(ev, "entity", ["seq"], "cents", half_window=5)
+    return (
+        out.filter(F.col("is_outlier"))
+        .select("entity", "seq", "cents", "med2", "mad22")
+        .orderBy("entity", "seq")
+    )
+
+
+@register(
+    "seasonal_decompose_additive",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1
+), fr AS (
+  SELECT bucket_ts, v,
+         CAST(sum(v) OVER w AS BIGINT) AS fs,
+         CAST(count(v) OVER w AS BIGINT) AS fc
+  FROM hourly
+  WINDOW w AS (ORDER BY bucket_ts ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)
+), detr AS (
+  SELECT CAST(hour(bucket_ts) AS INT) AS hod, v * 24 - fs AS detr
+  FROM fr WHERE fc = 24
+)
+SELECT hod,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(detr) AS BIGINT) AS sum_detr_scaled,
+       round(CAST(CAST(sum(detr) AS BIGINT) AS DOUBLE)
+             / CAST(count(*) * 24 AS DOUBLE) / 100.0, 6) AS seasonal_cents
+FROM detr GROUP BY hod ORDER BY hod
+""",
+    doc="STL-lite additive seasonal profile (operators/timeseries."
+    "seasonal_profile_scaled): hourly cents series detrended against a "
+    "centered 24-bucket moving average with division deferred past all "
+    "aggregation (detr = 24*v - frame_sum stays BIGINT; interior full "
+    "frames only so denominators never mix), then hour-of-day averages "
+    "— one double divide each. The unpartitioned window runs over the "
+    "POST-rollup series (calendar hours), a bounded single-reducer "
+    "sort, not a raw-event scan",
+    tags=("window", "time", "seasonality"),
+)
+def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import seasonal_profile_scaled
+
+    ev = t(spark, sf_dir, "events").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return (
+        seasonal_profile_scaled(ev, "ts", "cents", period=24)
+        .select("hod", "n_buckets", "sum_detr_scaled", "seasonal_cents")
+        .orderBy("hod")
+    )

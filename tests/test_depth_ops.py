@@ -1,0 +1,210 @@
+"""Round-9 depth operators: Hampel filter, seasonal profile, multiplier
+bootstrap, nDCG — each checked against an independent pure-Python
+reference on constructed data (the gate oracles cover the engine-vs-
+engine parity; these cover the MATH)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _py_med2(vals):
+    s = sorted(vals)
+    n = len(s)
+    return s[(n + 1) // 2 - 1] + s[n // 2]
+
+
+def _py_hampel(series, half=5, k_per_10000=44478):
+    """Brute-force Hampel reference over one entity's ordered series."""
+    out = []
+    for i, x in enumerate(series):
+        fr = series[max(0, i - half) : i + half + 1]
+        med2 = _py_med2(fr)
+        mad22 = _py_med2([abs(2 * v - med2) for v in fr])
+        out.append(2 * abs(2 * x - med2) * 10000 > k_per_10000 * mad22)
+    return out
+
+
+class TestHampel:
+    def _run(self, spark, series):
+        from mobilitydatalakebenchmark_spark.operators.timeseries import (
+            hampel_flags,
+        )
+
+        rows = [("e", i, v) for i, v in enumerate(series)]
+        df = spark.createDataFrame(rows, "entity string, seq int, cents long")
+        got = (
+            hampel_flags(df, "entity", ["seq"], "cents")
+            .orderBy("seq")
+            .select("seq", "is_outlier", "med2", "mad22")
+            .collect()
+        )
+        return got
+
+    def test_matches_bruteforce(self, spark):
+        series = [100, 102, 99, 101, 5000, 100, 98, 103, 100, 101, 99,
+                  102, 100, 97, 101, -4000, 100, 102]
+        got = self._run(spark, series)
+        want = _py_hampel(series)
+        assert [r.is_outlier for r in got] == want
+        # the two injected spikes are flagged, the steady rows are not
+        flagged = {r.seq for r in got if r.is_outlier}
+        assert 4 in flagged and 15 in flagged
+        assert 0 not in flagged and 9 not in flagged
+
+    def test_med2_mad22_exact(self, spark):
+        series = [10, 20, 30, 40, 50, 60, 70]
+        got = self._run(spark, series)
+        for i, r in enumerate(got):
+            fr = series[max(0, i - 5) : i + 5 + 1]
+            assert r.med2 == _py_med2(fr)
+            assert r.mad22 == _py_med2([abs(2 * v - r.med2) for v in fr])
+
+    def test_constant_series_never_flags(self, spark):
+        # MAD = 0 and dev = 0: 0 > 0 is false — no division-by-zero trap
+        got = self._run(spark, [42] * 15)
+        assert not any(r.is_outlier for r in got)
+
+
+class TestSeasonalProfile:
+    def test_recovers_planted_seasonality(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.timeseries import (
+            seasonal_profile_scaled,
+        )
+
+        # 10 days x 24h: flat trend 1000 cents + deterministic hod bump
+        rows = []
+        for d in range(1, 11):
+            for h in range(24):
+                ts = f"2024-03-{d:02d} {h:02d}:15:00"
+                rows.append((ts, 1000 + (500 if h == 7 else 0)))
+        df = spark.createDataFrame(rows, "ts_s string, cents long").select(
+            F.to_timestamp("ts_s").alias("ts"), "cents"
+        )
+        got = {
+            r.hod: r
+            for r in seasonal_profile_scaled(df, "ts", "cents").collect()
+        }
+        assert set(got) == set(range(24))
+        # hour 7 carries the positive component, every flat hour the
+        # compensating negative share (seasonal sums to ~0 by design)
+        assert got[7].seasonal_cents > 4.0
+        assert all(got[h].seasonal_cents < 0 for h in range(24) if h != 7)
+        total = sum(r.sum_detr_scaled for r in got.values())
+        # detrended-sum telescopes to ~0 over interior rows of a
+        # periodic series with flat trend
+        assert abs(total) <= 24 * 500
+
+    def test_interior_frames_only(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.timeseries import (
+            seasonal_profile_scaled,
+        )
+
+        # 30 hourly buckets -> only rows 12..17 (0-based 11..17? exact:
+        # frames need 11 preceding + 12 following) have full frames
+        rows = [(f"2024-03-01 {h:02d}:00:00", 100) for h in range(24)] + [
+            (f"2024-03-02 {h:02d}:00:00", 100) for h in range(6)
+        ]
+        df = spark.createDataFrame(rows, "ts_s string, cents long").select(
+            F.to_timestamp("ts_s").alias("ts"), "cents"
+        )
+        got = seasonal_profile_scaled(df, "ts", "cents").collect()
+        assert sum(r.n_buckets for r in got) == 30 - 11 - 12
+
+
+class TestBootstrap:
+    def _weights_py(self, rep, key, salt="boot"):
+        h = hashlib.md5(f"{salt}{rep}_{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % 3
+
+    def test_replicate_means_replay_exactly(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.bootstrap import (
+            replicate_means,
+        )
+
+        data = [(k, (k * 37) % 500 + 100) for k in range(1, 201)]
+        df = spark.createDataFrame(data, "k long, cents long")
+        got = {r.rep: r for r in replicate_means(df, "k", "cents", reps=8).collect()}
+        assert set(got) == set(range(1, 9))
+        for rep in range(1, 9):
+            ws = [(self._weights_py(rep, k), c) for k, c in data]
+            wsum = sum(w * c for w, c in ws)
+            wn = sum(w for w, _ in ws)
+            assert got[rep].wsum == wsum and got[rep].wn == wn
+            assert got[rep].mean == wsum / wn
+
+    def test_ci_brackets_point_estimate(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.bootstrap import (
+            bootstrap_ci_mean,
+        )
+
+        data = [(k, (k * 37) % 500 + 100) for k in range(1, 501)]
+        df = spark.createDataFrame(data, "k long, cents long")
+        row = bootstrap_ci_mean(df, "k", "cents").first()
+        assert row.n_reps == 32
+        assert row.boot_lo_cents < row.est_mean_cents < row.boot_hi_cents
+        # mean-1 multipliers: the interval is a resampling wobble around
+        # the point estimate, not a rescaling
+        spread = row.boot_hi_cents - row.boot_lo_cents
+        assert 0 < spread < row.est_mean_cents * 0.2
+
+
+class TestNdcg:
+    def test_weights_shape(self):
+        from mobilitydatalakebenchmark_spark.operators.retrieval import (
+            dcg_weights_scaled,
+        )
+
+        w = dcg_weights_scaled(10)
+        assert w[0] == 1_000_000 and w == sorted(w, reverse=True)
+        assert w[2] == 500_000  # 1e6 / log2(4)
+
+    def test_perfect_and_inverted_rankings(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.retrieval import (
+            dcg_weights_scaled,
+            ndcg_at_k,
+        )
+
+        rel = spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 0)], "doc_id long, rel int"
+        )
+        perfect = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+            "query_id string, rank int, doc_id long",
+        )
+        inverted = spark.createDataFrame(
+            [("q", 1, 3), ("q", 2, 2), ("q", 3, 1)],
+            "query_id string, rank int, doc_id long",
+        )
+        p = ndcg_at_k(perfect, rel).first()
+        assert p.ndcg == 1.0 and p.dcg_scaled == p.idcg_scaled
+        i = ndcg_at_k(inverted, rel).first()
+        w = dcg_weights_scaled(10)
+        dcg = 0 * w[0] + 1 * w[1] + 2 * w[2]
+        idcg = 2 * w[0] + 1 * w[1]
+        assert i.dcg_scaled == dcg and i.idcg_scaled == idcg
+        assert i.ndcg == round(dcg / idcg, 6)
+
+    def test_all_irrelevant_is_zero(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.retrieval import (
+            ndcg_at_k,
+        )
+
+        rel = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, rel int")
+        run = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2)],
+            "query_id string, rank int, doc_id long",
+        )
+        assert ndcg_at_k(run, rel).first().ndcg == 0.0
+
+
+def test_dcg_weight_quantization_error_bounded():
+    from mobilitydatalakebenchmark_spark.operators.retrieval import (
+        dcg_weights_scaled,
+    )
+
+    for r, w in enumerate(dcg_weights_scaled(10), start=1):
+        assert abs(w - 1_000_000 / math.log2(r + 1)) <= 0.5
