@@ -1,0 +1,129 @@
+"""Nonparametric two-sample tests, exact-integer style: KS and
+Mann-Whitney U.
+
+The chi-square drift gate (plans/curation.drift_chi2_event_mix) screens
+CATEGORICAL mix shift; a pipeline also needs the continuous-distribution
+complements: did the VALUE distribution drift between two windows (KS),
+and does one group stochastically dominate another (Mann-Whitney U,
+whose normalization U/(n1*n2) is exactly the AUC — the statistic every
+ranking/classifier eval reports)?
+
+Both statistics are rational numbers with known denominators, so the
+whole computation stays BIGINT until one final division:
+
+* KS: D = max |F1(v) - F2(v)| over observed values. Multiplying through
+  by n1*n2 gives d_scaled = max |cum1*n2 - cum2*n1| — integer.
+* MWU: with midranks for ties, 2*midrank of a tie-run starting at
+  1-based position s with length c is the integer 2s + c - 1, so
+  2*R1 = sum(c1 * (2s + c - 1)) and 2*U1 = 2*R1 - n1*(n1+1) are exact;
+  AUC = 2*U1 / (2*n1*n2).
+
+Plan shape: one groupBy(value) collapse of the raw data (the only
+corpus-sized shuffle), then an UNPARTITIONED running-sum window over the
+DISTINCT values. That window is the scale knob: its input is bounded by
+value cardinality, not row count — for discretized/cents-grained data
+this is the classic "KS on binned data" formulation; quantize the value
+column first if its cardinality approaches the driver's comfort zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _group_counts(
+    df: DataFrame, value_col: str, is_g1: Column
+) -> DataFrame:
+    """Collapse to one row per distinct value with per-group counts."""
+    return df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(is_g1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(is_g1, 0).otherwise(1)).alias("c2"),
+    )
+
+
+def ks_two_sample(df: DataFrame, value_col: str, is_g1: Column) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance, exact until one division.
+
+    Output (single row): n1, n2, d_scaled = max|cum1*n2 - cum2*n1|
+    (BIGINT), and d = round(d_scaled/(n1*n2), 6).
+    """
+    counts = _group_counts(df, value_col, is_g1)
+    cum_w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.sum("c1").over(cum_w).alias("f1"),
+        F.sum("c2").over(cum_w).alias("f2"),
+    )
+    totals = counts.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            ).alias("d_scaled")
+        )
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            F.round(
+                F.col("d_scaled").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("d"),
+        )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame, value_col: str, is_g1: Column
+) -> DataFrame:
+    """Mann-Whitney U with midrank tie handling, exact integers.
+
+    Output (single row): n1, n2, u1_scaled2 = 2*U1, u2_scaled2 = 2*U2
+    (both BIGINT; u1+u2 = 2*n1*n2 by construction) and
+    auc = round(2*U1 / (2*n1*n2), 6) — P(X1 > X2) + P(X1 = X2)/2.
+    """
+    counts = _group_counts(df, value_col, is_g1).withColumn(
+        "cnt", F.col("c1") + F.col("c2")
+    )
+    prev_w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = counts.withColumn(
+        "start", F.coalesce(F.sum("cnt").over(prev_w), F.lit(0)) + 1
+    ).withColumn("rank2", 2 * F.col("start") + F.col("cnt") - 1)
+    totals = counts.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    r1_2 = ranked.agg(
+        F.sum(F.col("c1") * F.col("rank2")).alias("r1_scaled2")
+    )
+    return (
+        r1_2.crossJoin(F.broadcast(totals))
+        .select(
+            "n1",
+            "n2",
+            (
+                F.col("r1_scaled2") - F.col("n1") * (F.col("n1") + 1)
+            ).alias("u1_scaled2"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "u1_scaled2",
+            (2 * F.col("n1") * F.col("n2") - F.col("u1_scaled2")).alias(
+                "u2_scaled2"
+            ),
+            F.round(
+                F.col("u1_scaled2").cast("double")
+                / (2 * F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("auc"),
+        )
+    )

@@ -233,6 +233,7 @@ def load_registry() -> dict[str, Q]:
         # CI, nDCG@10 retrieval eval
         "hampel_outlier_filter", "seasonal_decompose_additive",
         "bootstrap_ci_mean", "retrieval_ndcg_eval",
+        "drift_ks_value_shift", "rank_auc_mann_whitney",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3761,3 +3761,108 @@ def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_orderkey", "cents",
         reps=_BOOT_REPS, lo_rank=_BOOT_LO_RANK, hi_rank=_BOOT_HI_RANK,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: nonparametric two-sample tests (operators/
+# nonparametric.py) — the continuous-distribution complements to the
+# categorical chi-square drift gate. Both statistics are rationals with
+# known denominators, so everything is BIGINT until one final division:
+# KS multiplies the CDF gap through by n1*n2; Mann-Whitney uses integer
+# doubled midranks (2s + c - 1). The only corpus-sized shuffle is the
+# per-value collapse; the running-sum window rides DISTINCT values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_ks_value_shift",
+    oracle="""
+WITH x AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS g1
+  FROM events
+), c AS (
+  SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+         CAST(sum(1 - g1) AS BIGINT) AS c2
+  FROM x GROUP BY v
+), cum AS (
+  SELECT CAST(sum(c1) OVER w AS BIGINT) AS f1,
+         CAST(sum(c2) OVER w AS BIGINT) AS f2
+  FROM c
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c
+)
+SELECT n.n1, n.n2,
+       CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_scaled,
+       round(CAST(CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS DOUBLE)
+             / CAST(n.n1 * n.n2 AS DOUBLE), 6) AS d
+FROM cum CROSS JOIN n GROUP BY n.n1, n.n2
+""",
+    doc="two-sample Kolmogorov-Smirnov drift test (operators/"
+    "nonparametric.ks_two_sample): did the event-value distribution "
+    "shift between the first and second half of the month? D = "
+    "max|F1-F2| multiplied through by n1*n2 so the scan for the max "
+    "CDF gap is pure BIGINT (one division at the end); one per-value "
+    "collapse shuffle + a distinct-value running-sum window — the "
+    "continuous complement to the chi-square mix gate",
+    tags=("stats", "drift", "nonparametric"),
+)
+def drift_ks_value_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nonparametric import ks_two_sample
+
+    ev = t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"), "ts"
+    )
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    return ks_two_sample(ev, "cents", F.col("ts") < cut)
+
+
+@register(
+    "rank_auc_mann_whitney",
+    oracle="""
+WITH x AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('click', 'purchase')
+), c AS (
+  SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+         CAST(sum(1 - g1) AS BIGINT) AS c2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM x GROUP BY v
+), r AS (
+  SELECT c1,
+         2 * (coalesce(sum(cnt) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+           + cnt - 1 AS rank2
+  FROM c
+), n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c
+), s AS (
+  SELECT CAST(sum(c1 * rank2) AS BIGINT) AS r1s2 FROM r
+)
+SELECT n1, n2,
+       r1s2 - n1 * (n1 + 1) AS u1_scaled2,
+       2 * n1 * n2 - (r1s2 - n1 * (n1 + 1)) AS u2_scaled2,
+       round(CAST(r1s2 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n2 AS DOUBLE), 6) AS auc
+FROM s CROSS JOIN n
+""",
+    doc="Mann-Whitney U / AUC with midrank ties (operators/"
+    "nonparametric.mann_whitney_u): does the purchase value "
+    "distribution stochastically dominate clicks? Doubled midranks "
+    "(2s + c - 1) keep every rank sum BIGINT; AUC = 2U1/(2 n1 n2) = "
+    "P(X1>X2) + P(X1=X2)/2 — the statistic every ranking eval "
+    "normalizes to, computed exactly with one final division",
+    tags=("stats", "ranking", "nonparametric"),
+)
+def rank_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nonparametric import mann_whitney_u
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    return mann_whitney_u(ev, "cents", F.col("event_type") == "purchase")

@@ -208,3 +208,100 @@ def test_dcg_weight_quantization_error_bounded():
 
     for r, w in enumerate(dcg_weights_scaled(10), start=1):
         assert abs(w - 1_000_000 / math.log2(r + 1)) <= 0.5
+
+
+def _py_ks(s1, s2):
+    vals = sorted(set(s1) | set(s2))
+    n1, n2 = len(s1), len(s2)
+    best = 0
+    c1 = c2 = 0
+    from collections import Counter
+
+    m1, m2 = Counter(s1), Counter(s2)
+    for v in vals:
+        c1 += m1[v]
+        c2 += m2[v]
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    return n1, n2, best
+
+
+def _py_mwu(s1, s2):
+    """Midrank MWU: U1 = sum over pairs of [x1 > x2] + 0.5*[x1 == x2]."""
+    u1_2 = 0
+    for a in s1:
+        for b in s2:
+            u1_2 += 2 if a > b else (1 if a == b else 0)
+    return u1_2
+
+
+class TestNonparametric:
+    def _df(self, spark, s1, s2):
+        rows = [(v, 1) for v in s1] + [(v, 0) for v in s2]
+        return spark.createDataFrame(rows, "v long, g int")
+
+    def test_ks_matches_bruteforce(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.nonparametric import (
+            ks_two_sample,
+        )
+
+        s1 = [(i * 13) % 50 for i in range(40)]
+        s2 = [(i * 7) % 50 + 5 for i in range(55)]
+        df = self._df(spark, s1, s2)
+        got = ks_two_sample(df, "v", F.col("g") == 1).first()
+        n1, n2, d_scaled = _py_ks(s1, s2)
+        assert (got.n1, got.n2, got.d_scaled) == (n1, n2, d_scaled)
+        assert got.d == round(d_scaled / (n1 * n2), 6)
+
+    def test_ks_identical_samples_zero(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.nonparametric import (
+            ks_two_sample,
+        )
+
+        s = [1, 2, 3, 4, 5] * 4
+        got = ks_two_sample(self._df(spark, s, s), "v", F.col("g") == 1).first()
+        assert got.d_scaled == 0 and got.d == 0.0
+
+    def test_ks_disjoint_samples_one(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.nonparametric import (
+            ks_two_sample,
+        )
+
+        got = ks_two_sample(
+            self._df(spark, [1, 2, 3], [10, 11]), "v", F.col("g") == 1
+        ).first()
+        assert got.d == 1.0
+
+    def test_mwu_matches_pairwise_bruteforce(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.nonparametric import (
+            mann_whitney_u,
+        )
+
+        s1 = [(i * 13) % 23 for i in range(30)]
+        s2 = [(i * 7) % 23 + 2 for i in range(45)]
+        got = mann_whitney_u(
+            self._df(spark, s1, s2), "v", F.col("g") == 1
+        ).first()
+        u1_2 = _py_mwu(s1, s2)
+        assert got.u1_scaled2 == u1_2
+        assert got.u2_scaled2 == 2 * len(s1) * len(s2) - u1_2
+        assert got.auc == round(u1_2 / (2 * len(s1) * len(s2)), 6)
+
+    def test_mwu_total_dominance(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.nonparametric import (
+            mann_whitney_u,
+        )
+
+        got = mann_whitney_u(
+            self._df(spark, [100, 101], [1, 2, 3]), "v", F.col("g") == 1
+        ).first()
+        assert got.auc == 1.0
+
+    def test_mwu_all_ties_half(self, spark):
+        from mobilitydatalakebenchmark_spark.operators.nonparametric import (
+            mann_whitney_u,
+        )
+
+        got = mann_whitney_u(
+            self._df(spark, [7, 7, 7], [7, 7]), "v", F.col("g") == 1
+        ).first()
+        assert got.auc == 0.5

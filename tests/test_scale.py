@@ -251,6 +251,25 @@ BOUNDS = {
     # ANN ingest: per-batch cost ∝ batch (frozen-centroid assign) + one
     # id-table anti-scan; probe reads nprobe/k of the lists
     "streaming_ann_index_ingest": 8.0,
+    # late-r9 depth: Hampel is one window sort per entity with O(W log W)
+    # per-row array work (W fixed at 11); the seasonal profile's window
+    # runs over the POST-rollup hourly series (bucket count is fixed by
+    # the calendar, not row count — near-flat); bootstrap is reps x rows
+    # explode into a 32-row map-side-combined groupBy (linear); nDCG
+    # reuses the linear BM25 plan + a |queries| x k tail
+    "hampel_outlier_filter": 8.0,
+    "seasonal_decompose_additive": 8.0,
+    "bootstrap_ci_mean": 8.0,
+    "retrieval_ndcg_eval": 8.0,
+    # fasttext inference: one gram explode + broadcast weight join +
+    # map-side-combined per-doc sum — the r9 rebalance must keep it
+    # linear, never single-core
+    "fasttext_quality_inference": 8.0,
+    # nonparametric tests: one per-value collapse shuffle; the running-
+    # sum window rides DISTINCT values (k-consistent replication grows
+    # counts, not cardinality — near-flat)
+    "drift_ks_value_shift": 8.0,
+    "rank_auc_mann_whitney": 8.0,
 }
 
 
