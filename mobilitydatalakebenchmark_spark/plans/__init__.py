@@ -234,6 +234,8 @@ def load_registry() -> dict[str, Q]:
         "hampel_outlier_filter", "seasonal_decompose_additive",
         "bootstrap_ci_mean", "retrieval_ndcg_eval",
         "drift_ks_value_shift", "rank_auc_mann_whitney",
+        "graph_connected_components", "attribution_time_decay",
+        "retention_kaplan_meier",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

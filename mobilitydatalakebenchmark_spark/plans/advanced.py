@@ -2943,3 +2943,72 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("hod", "n_buckets", "sum_detr_scaled", "seasonal_cents")
         .orderBy("hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: the connected-components operator under a DIRECT
+# fixpoint verdict. operators/components.connected_components is the
+# engine's duplicate-cluster core (every drop_near_duplicates gate
+# exercises it), but its prior verdicts were always through a dedup
+# composition; here the pointer-doubling labels are checked against a
+# genuinely RECURSIVE transitive-closure oracle on a folded graph — if
+# the log-round hopping under-converged, min-reachable labels would
+# disagree. The sparse order-part co-purchase graph (quantity-1 lines)
+# fragments into many small components, so the closure enumeration
+# the oracle must do stays linear in component sizes; the Spark side's
+# cost is log(diameter) rounds regardless.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT 2000000 + l_orderkey AS u, l_partkey AS v
+  FROM lineitem WHERE l_quantity < 2
+), arcs AS (
+  SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+), reach(node, r) AS (
+  SELECT u, u FROM arcs
+  UNION
+  SELECT a.u, rr.r FROM arcs a JOIN reach rr ON rr.node = a.v
+), lab AS (
+  SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS size,
+       CAST(min(node) AS BIGINT) AS min_node,
+       CAST(max(node) AS BIGINT) AS max_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM lab GROUP BY component
+ORDER BY size DESC, component
+""",
+    doc="connected components under a direct fixpoint verdict "
+    "(operators/components.connected_components — pointer-doubling "
+    "min-label hopping, localCheckpoint per round, shuffle count ~ "
+    "log(diameter) not data size): per-component size histogram and "
+    "node fingerprints over the order-part co-purchase graph (hundreds to thousands of REAL components, closure bounded), verified "
+    "against a genuinely RECURSIVE transitive-closure oracle (min "
+    "reachable node), not a round-bounded twin — under-convergence "
+    "cannot hide",
+    tags=("graph", "iterative"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 2)
+    edges = li.select(
+        (F.lit(2000000) + F.col("l_orderkey")).alias("doc_a"),
+        F.col("l_partkey").alias("doc_b"),
+    ).distinct()
+    labels = connected_components(edges, "doc_a", "doc_b", max_iter=10)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy(F.desc("size"), "component")
+    )

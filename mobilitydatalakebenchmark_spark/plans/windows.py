@@ -1186,3 +1186,243 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: time-decay attribution — the multi-touch
+# complement to attribution_last_touch. EVERY prior touch inside the
+# 7-day lookback earns credit, halving per elapsed day: weight
+# 2^(7-floor(days)) in {2..128} is a pure INTEGER, so the per-channel
+# decay-weighted credit is an exact BIGINT sum (credit is reported
+# unnormalized — the per-purchase share normalization would force a
+# float per pair; the channel ranking and the one-division share are
+# identical). Scale shape: touches explode into 8 day buckets and join
+# purchases on (user, day) equality — the pair join is bounded by the
+# lookback window, never user-quadratic.
+# ---------------------------------------------------------------------------
+
+_DECAY_CASE_SQL = (
+    "CASE CAST(floor((pe - te) / 86400000000.0) AS INT) "
+    "WHEN 0 THEN 128 WHEN 1 THEN 64 WHEN 2 THEN 32 WHEN 3 THEN 16 "
+    "WHEN 4 THEN 8 WHEN 5 THEN 4 WHEN 6 THEN 2 ELSE 0 END"
+)
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+WITH touches AS (
+  SELECT user_id, event_type AS channel, epoch_us(ts) AS te
+  FROM events WHERE event_type IN ('click', 'view')
+), purchases AS (
+  SELECT user_id, epoch_us(ts) AS pe,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT t.channel, p.cents,
+         CAST({_DECAY_CASE_SQL} AS BIGINT) AS w
+  FROM touches t JOIN purchases p
+    ON t.user_id = p.user_id
+   AND t.te <= p.pe
+   AND p.pe - t.te < CAST(7 * 24 * 3600 AS BIGINT) * 1000000
+), per AS (
+  SELECT channel,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(cents * w) AS BIGINT) AS credit_scaled
+  FROM pairs GROUP BY channel
+)
+SELECT channel, n_pairs, credit_scaled,
+       round(CAST(credit_scaled AS DOUBLE)
+             / CAST(sum(credit_scaled) OVER () AS DOUBLE), 6) AS share
+FROM per ORDER BY channel
+""",
+    doc="time-decay multi-touch attribution: every click/view inside the "
+    "purchase's 7-day lookback earns credit halving per elapsed day — "
+    "integer weights 2^(7-d) keep the decay-weighted credit an exact "
+    "BIGINT sum (one share division per channel at the end); the Spark "
+    "side joins touch day-buckets (8 exploded rows per touch) to "
+    "purchase days so the pair join is lookback-bounded, never "
+    "user-quadratic",
+    tags=("window", "time", "attribution"),
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    day_us = 86400000000
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        epoch_us("ts").alias("te"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_us("ts").alias("pe"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (epoch_us("ts") / F.lit(day_us)).cast("long").alias("pday"),
+    )
+    # lookback-bounded equi-join: a touch can only credit purchases in
+    # its own or the next 7 calendar day-buckets
+    touch_buckets = touches.withColumn(
+        "pday",
+        F.explode(
+            F.sequence(
+                (F.col("te") / F.lit(day_us)).cast("long"),
+                (F.col("te") / F.lit(day_us)).cast("long") + 7,
+            )
+        ),
+    )
+    d_days = F.floor((F.col("pe") - F.col("te")) / F.lit(float(day_us))).cast(
+        "int"
+    )
+    w = (
+        F.when(d_days == 0, 128).when(d_days == 1, 64)
+        .when(d_days == 2, 32).when(d_days == 3, 16)
+        .when(d_days == 4, 8).when(d_days == 5, 4)
+        .when(d_days == 6, 2).otherwise(0)
+    ).cast("long")
+    pairs = touch_buckets.join(purchases, ["user_id", "pday"]).filter(
+        (F.col("te") <= F.col("pe"))
+        & (F.col("pe") - F.col("te") < F.lit(7 * 24 * 3600 * 1000000))
+    )
+    per = pairs.select("channel", "cents", w.alias("w")).groupBy(
+        "channel"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("cents") * F.col("w")).alias("credit_scaled"),
+    )
+    total = Window.partitionBy()
+    return per.select(
+        "channel",
+        "n_pairs",
+        "credit_scaled",
+        F.round(
+            F.col("credit_scaled").cast("double")
+            / F.sum("credit_scaled").over(total).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: Kaplan-Meier survival over time-to-first-error —
+# the nonparametric reliability/retention curve. Everything is exact
+# BIGINT (durations in floored days, death/at-risk counts) up to the
+# per-step hazard factor (1 - d/n, one double division of two bigints),
+# and the survival product is an ORDERED left fold over the step factors
+# (F.aggregate ↔ DuckDB list_reduce with the same 1.0 seed) — the same
+# fixed-parenthesization discipline as the BM25 fold, so both engines
+# produce the identical IEEE double before the final 6dp round.
+# ---------------------------------------------------------------------------
+
+_KM_CUTOFF_SQL = "TIMESTAMP '2024-01-31 00:00:00'"
+
+
+@register(
+    "retention_kaplan_meier",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS first_us,
+         min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS err_us
+  FROM events GROUP BY user_id
+), lifetimes AS (
+  SELECT CAST(floor((coalesce(err_us, epoch_us({_KM_CUTOFF_SQL})) - first_us)
+                    / 86400000000.0) AS BIGINT) AS dur,
+         (err_us IS NOT NULL) AS observed
+  FROM u
+), g AS (
+  SELECT dur,
+         CAST(sum(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n_at
+  FROM lifetimes GROUP BY dur
+), r AS (
+  SELECT dur, d,
+         CAST((SELECT sum(n_at) FROM g) AS BIGINT)
+           - CAST(coalesce(sum(n_at) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+  FROM g
+), f AS (
+  SELECT dur, d, n_risk,
+         CASE WHEN d > 0
+              THEN 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS factor
+  FROM r
+), lst AS (
+  SELECT list(struct_pack(t := dur, f := factor) ORDER BY dur) AS l FROM f
+)
+SELECT f.dur, f.d, f.n_risk,
+       round(list_reduce(
+         list_prepend(CAST(1.0 AS DOUBLE),
+           list_transform(list_filter(lst.l, x -> x.t <= f.dur),
+                          x -> x.f)),
+         (a, b) -> a * b), 6) AS survival
+FROM f CROSS JOIN lst ORDER BY f.dur
+""",
+    doc="Kaplan-Meier survival over time-to-first-error (the "
+    "nonparametric reliability curve): per-user lifetimes in floored "
+    "days (censored at month end when no error observed), per-step "
+    "death/at-risk counts exact BIGINT, hazard factor one double "
+    "division, survival = ORDERED left fold of the step factors "
+    "(F.aggregate == list_reduce, same 1.0 seed, same "
+    "parenthesization); the step table is bounded by DISTINCT "
+    "durations (calendar days), so the fold list is tiny at any scale",
+    tags=("stats", "time", "survival"),
+)
+def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cutoff_us = epoch_us(F.lit("2024-01-31 00:00:00").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(epoch_us("ts")).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "error", epoch_us("ts"))
+        ).alias("err_us"),
+    )
+    lifetimes = u.select(
+        F.floor(
+            (F.coalesce(F.col("err_us"), cutoff_us) - F.col("first_us"))
+            / F.lit(86400000000.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.col("err_us").isNotNull().alias("observed"),
+    )
+    g = lifetimes.groupBy("dur").agg(
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("n_at"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    r = g.select(
+        "dur",
+        "d",
+        (
+            F.sum("n_at").over(w_all)
+            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    f = r.withColumn(
+        "factor",
+        F.when(
+            F.col("d") > 0,
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+        ).otherwise(F.lit(1.0)),
+    )
+    lst = f.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("dur").alias("t"), F.col("factor").alias("f")))
+        ).alias("l")
+    )
+    joined = f.crossJoin(F.broadcast(lst))
+    survival = F.round(
+        F.aggregate(
+            F.filter(F.col("l"), lambda x: x["t"] <= F.col("dur")),
+            F.lit(1.0),
+            lambda acc, x: acc * x["f"],
+        ),
+        6,
+    )
+    return joined.select(
+        "dur", "d", "n_risk", survival.alias("survival")
+    ).orderBy("dur")

@@ -270,6 +270,13 @@ BOUNDS = {
     # counts, not cardinality — near-flat)
     "drift_ks_value_shift": 8.0,
     "rank_auc_mann_whitney": 8.0,
+    # direct CC gate: pointer-doubling rounds ∝ log(diameter); k-fold
+    # replication grows edges ~k on a bounded fold space
+    "graph_connected_components": 8.0,
+    # time-decay attribution: lookback-bounded day-bucket equi-join
+    "attribution_time_decay": 8.0,
+    # KM: one user collapse + a calendar-bounded step table
+    "retention_kaplan_meier": 8.0,
 }
 
 
