@@ -236,6 +236,17 @@ def load_registry() -> dict[str, Q]:
         "drift_ks_value_shift", "rank_auc_mann_whitney",
         "graph_connected_components", "attribution_time_decay",
         "retention_kaplan_meier",
+        # business-analytics depth (oracle-checked at all three SFs the
+        # session they landed): RFM quintile grid, ABC/Pareto revenue
+        # classes, calendar-aligned MoM/YoY, hourly-grid gap audit
+        "rfm_segmentation", "abc_pareto_class",
+        "period_over_period_revenue", "ts_gap_detection",
+        # robust-stats / ANN / graph / feature-engineering depth (same
+        # local three-SF oracle discipline): Theil-Sen pairwise-median
+        # trend, sign-bit Hamming top-k, resource-allocation link
+        # prediction, leave-one-out target encoding
+        "theil_sen_slope", "vec_hamming_topk",
+        "graph_link_prediction_ra", "target_encoding_loo",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3012,3 +3012,396 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("size"), "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: RFM segmentation — the classic customer-value
+# grid (recency / frequency / monetary quintile scores). Reference
+# analogue: the benchmark's "collapse facts into a per-entity dim, then
+# score the dim" shape (velocity star first-seen dim, SURVEY §2.4).
+# All three metrics are exact BIGINT (recency = floored days from the
+# corpus max order date, frequency = order count, monetary = cents);
+# each quintile score is pure rank arithmetic — 5 - ((rn-1)*5 div n) on
+# a UNIQUE ordering (metric, custkey) — no float percentile anywhere,
+# so both engines agree bit-for-bit.
+# Scale: one o_custkey shuffle collapses the fact table; the three rank
+# windows run over the CUSTOMER DIM (orders of magnitude smaller than
+# facts). At 100 TB swap the exact dim-wide rank for approx-quantile
+# cut points; the exact form here is bounded by customers, not orders.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+WITH mx AS (
+  SELECT max(o_orderdate) AS mx_date FROM orders
+), per_cust AS (
+  SELECT o_custkey AS custkey,
+         CAST((epoch_us((SELECT mx_date FROM mx)) - epoch_us(max(o_orderdate)))
+              // (CAST(86400 AS BIGINT) * 1000000) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cust FROM per_cust
+), scored AS (
+  SELECT custkey, recency_days, frequency, monetary_cents,
+         5 - ((row_number() OVER (ORDER BY recency_days, custkey) - 1) * 5)
+               // (SELECT n_cust FROM n) AS r_score,
+         5 - ((row_number() OVER (ORDER BY frequency DESC, custkey) - 1) * 5)
+               // (SELECT n_cust FROM n) AS f_score,
+         5 - ((row_number() OVER (ORDER BY monetary_cents DESC, custkey) - 1)
+              * 5) // (SELECT n_cust FROM n) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+       CAST(min(custkey) AS BIGINT) AS min_custkey
+FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
+""",
+    doc="RFM segmentation: collapse orders to a per-customer dim "
+    "(recency in exact floored days from the corpus max date, "
+    "frequency, monetary cents), score each metric into quintiles via "
+    "rank arithmetic on a unique (metric, custkey) ordering — "
+    "5 - ((rn-1)*5 div n), no float percentiles — and report the "
+    "segment grid (count, revenue, min custkey per cell); one fact "
+    "shuffle + dim-sized rank windows",
+    tags=("mining", "window"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mx_date"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_date"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.expr(
+                "(unix_micros(mx_date) - unix_micros(last_date))"
+                " div (86400000000)"
+            ).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    n_cust = per_cust.count()
+    quintile = f"(5 - ((rn - 1) * 5) div {n_cust})"
+    scored = (
+        per_cust.withColumn(
+            "rn", F.row_number().over(Window.orderBy("recency_days", "custkey"))
+        )
+        .withColumn("r_score", F.expr(quintile))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("frequency"), "custkey")),
+        )
+        .withColumn("f_score", F.expr(quintile))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("monetary_cents"), "custkey")
+            ),
+        )
+        .withColumn("m_score", F.expr(quintile))
+        .drop("rn")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").alias("segment_cents"),
+            F.min("custkey").alias("min_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: ABC / Pareto classification — rank items by
+# revenue and cut the cumulative share at 80% / 95% (the classic A/B/C
+# inventory analysis, and the "top sources carry the corpus" audit a
+# training-data pipeline runs before sampling). Reference analogue: the
+# benchmark's ranked zone-map scans (SURVEY §2.5 A4) — here the ranking
+# is over the PART DIM after one fact-collapse shuffle.
+# Exactness: revenue is scaled integer cents x (100 - discount
+# basis points), so the cumulative sum and both share cuts are pure
+# BIGINT comparisons (cum*100 <= 80*total) — no float boundary can
+# flip a class between engines; the reported share is one division at
+# the very end, rounded 6dp.
+# Scale: one l_partkey shuffle collapses lineitem; the ordered cumsum
+# runs over the part dim. At 100 TB the dim-wide running sum becomes a
+# two-pass prefix (per-partition totals broadcast back) — same plan
+# Spark already picks for a single unbounded window ordered by key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abc_pareto_class",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev_scaled
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT partkey, rev_scaled,
+         sum(rev_scaled) OVER (ORDER BY rev_scaled DESC, partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+         (SELECT sum(rev_scaled) FROM per_part) AS total
+  FROM per_part
+), classed AS (
+  SELECT partkey, rev_scaled,
+         CASE WHEN cum * 100 <= 80 * total THEN 'A'
+              WHEN cum * 100 <= 95 * total THEN 'B'
+              ELSE 'C' END AS cls,
+         total
+  FROM ranked
+)
+SELECT cls,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev_scaled) AS BIGINT) AS class_rev_scaled,
+       round(CAST(sum(rev_scaled) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+         AS revenue_share
+FROM classed GROUP BY cls ORDER BY cls
+""",
+    doc="ABC / Pareto classification of parts by revenue: exact "
+    "scaled-integer revenue (cents x (100 - discount bp)), dim-sized "
+    "ordered cumulative sum, class cuts as pure BIGINT cross-multiplied "
+    "comparisons (cum*100 <= 80*total), share = one end-of-plan "
+    "division rounded 6dp; one fact shuffle + one dim window",
+    tags=("mining", "window"),
+)
+def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_scaled")
+    )
+    w_cum = Window.orderBy(F.desc("rev_scaled"), "partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "partkey",
+        "rev_scaled",
+        F.sum("rev_scaled").over(w_cum).alias("cum"),
+        F.sum("rev_scaled").over(w_all).alias("total"),
+    )
+    classed = ranked.withColumn(
+        "cls",
+        F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev_scaled").alias("class_rev_scaled"),
+            F.round(
+                F.sum("rev_scaled").cast("double")
+                / F.max("total").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: period-over-period revenue — monthly revenue
+# with month-over-month and year-over-year deltas, the first dashboard
+# query any lakehouse serves. Reference analogue: the benchmark's
+# time-bucketed rollups (SURVEY §2.6 W1) plus a calendar-aligned
+# self-lookup. MoM/YoY use CALENDAR self-joins (prev month with year
+# rollover, same month last year), not lag-over-rows, so missing
+# months can never silently shift the comparison.
+# Exactness: monthly revenue is an exact BIGINT cents sum; each pct
+# is one division of two exact BIGINTs rounded 6dp.
+# Scale: one (year, month) shuffle (tiny key space) + two broadcast
+# self-joins of the month dim against itself.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "period_over_period_revenue",
+    oracle="""
+WITH monthly AS (
+  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+         CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT cur.y, cur.m, cur.revenue_cents,
+       round(CAST(cur.revenue_cents - mom.revenue_cents AS DOUBLE)
+             / CAST(mom.revenue_cents AS DOUBLE), 6) AS mom_pct,
+       round(CAST(cur.revenue_cents - yoy.revenue_cents AS DOUBLE)
+             / CAST(yoy.revenue_cents AS DOUBLE), 6) AS yoy_pct
+FROM monthly cur
+LEFT JOIN monthly mom
+  ON mom.y = CASE WHEN cur.m = 1 THEN cur.y - 1 ELSE cur.y END
+ AND mom.m = CASE WHEN cur.m = 1 THEN 12 ELSE cur.m - 1 END
+LEFT JOIN monthly yoy ON yoy.y = cur.y - 1 AND yoy.m = cur.m
+ORDER BY cur.y, cur.m
+""",
+    doc="period-over-period revenue: exact monthly cents rollup with "
+    "MoM (calendar prev month, year rollover) and YoY (same month "
+    "last year) deltas via self-joins on the month dim — missing "
+    "months can't shift the comparison the way lag-over-rows would; "
+    "each pct is one BIGINT/BIGINT division rounded 6dp",
+    tags=("window", "time"),
+)
+def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    cur = monthly.alias("cur")
+    mom = monthly.alias("mom")
+    yoy = monthly.alias("yoy")
+    prev_y = F.when(F.col("cur.m") == 1, F.col("cur.y") - 1).otherwise(
+        F.col("cur.y")
+    )
+    prev_m = F.when(F.col("cur.m") == 1, F.lit(12)).otherwise(
+        F.col("cur.m") - 1
+    )
+    pct = lambda a, b: F.round(  # noqa: E731
+        (a - b).cast("double") / b.cast("double"), 6
+    )
+    return (
+        cur.join(
+            F.broadcast(mom),
+            (F.col("mom.y") == prev_y) & (F.col("mom.m") == prev_m),
+            "left",
+        )
+        .join(
+            F.broadcast(yoy),
+            (F.col("yoy.y") == F.col("cur.y") - 1)
+            & (F.col("yoy.m") == F.col("cur.m")),
+            "left",
+        )
+        .select(
+            F.col("cur.y").alias("y"),
+            F.col("cur.m").alias("m"),
+            F.col("cur.revenue_cents").alias("revenue_cents"),
+            pct(
+                F.col("cur.revenue_cents"), F.col("mom.revenue_cents")
+            ).alias("mom_pct"),
+            pct(
+                F.col("cur.revenue_cents"), F.col("yoy.revenue_cents")
+            ).alias("yoy_pct"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: resource-allocation link prediction — score
+# each co-bought part pair by Zhou/Lu/Zhang's Resource Allocation
+# index: sum over shared baskets of 1/|basket|, the degree-penalized
+# cousin of common-neighbor counting (a mega-basket says little; a
+# 2-item basket is a strong tie). The graph family's join-shaped gate
+# (pagerank/triangles/k-core are the iterative ones).
+# Exactness: weights are EXACT scaled integers — 720720/s (LCM of
+# 1..16, so every realistic basket size divides it; `div` floors
+# identically on both engines beyond that) — summed as BIGINT, so no
+# float summation order exists; the reported score is one division at
+# the very end.
+# Scale: identical shape to assoc_rules_pairs — one distinct shuffle,
+# one within-basket self-join (bounded-quadratic per basket, TPC-H
+# baskets hold <= 7 distinct parts), one pair-count shuffle, one
+# broadcast of per-order sizes.
+# ---------------------------------------------------------------------------
+
+_RA_SCALE = 720720  # lcm(1..16): exact integer weight 720720/s for s <= 16
+
+
+@register(
+    "graph_link_prediction_ra",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+), sizes AS (
+  SELECT oid, CAST(count(*) AS BIGINT) AS sz FROM baskets GROUP BY oid
+), pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum({_RA_SCALE} // s.sz) AS BIGINT) AS ra_scaled
+  FROM baskets a
+  JOIN baskets b ON a.oid = b.oid AND a.item < b.item
+  JOIN sizes s ON s.oid = a.oid
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, n_common, ra_scaled,
+       round(CAST(ra_scaled AS DOUBLE) / {_RA_SCALE}.0, 6) AS ra_score
+FROM pairs WHERE n_common >= 2
+ORDER BY ra_scaled DESC, item_a, item_b LIMIT 50
+""",
+    doc="resource-allocation link prediction over co-purchase baskets: "
+    "pair strength = sum over shared baskets of 1/|basket| as EXACT "
+    "scaled integers (720720 div size, BIGINT sum — no float ordering), "
+    "top-50 by scaled score; same bounded within-basket self-join shape "
+    "as assoc_rules_pairs with a broadcast size dim",
+    tags=("graph", "join", "mining"),
+)
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    sizes = baskets.groupBy(F.col("oid").alias("s_oid")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .join(F.broadcast(sizes), F.col("a.oid") == F.col("s_oid"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(F.expr(f"{_RA_SCALE} div sz")).alias("ra_scaled"),
+        )
+        .filter(F.col("n_common") >= 2)
+    )
+    return (
+        pairs.select(
+            "item_a",
+            "item_b",
+            "n_common",
+            "ra_scaled",
+            F.round(
+                F.col("ra_scaled").cast("double") / F.lit(float(_RA_SCALE)), 6
+            ).alias("ra_score"),
+        )
+        .orderBy(F.desc("ra_scaled"), "item_a", "item_b")
+        .limit(50)
+    )

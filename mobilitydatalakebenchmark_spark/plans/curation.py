@@ -3866,3 +3866,91 @@ def rank_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     return mann_whitney_u(ev, "cents", F.col("event_type") == "purchase")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: leave-one-out target encoding — the standard
+# leakage-safe categorical feature for gradient-boosted / linear
+# models: encode category c on row i as the mean target of all OTHER
+# rows in c, enc_i = (sum_c - y_i) / (n_c - 1). The naive mean leaks
+# the row's own label; LOO is the one-line fix every feature pipeline
+# ships (Micci-Barreca 2001's empirical-Bayes encoder is the smoothed
+# cousin). Brands with a single row are excluded (encoder undefined).
+# Exactness: targets are exact integer cents, so sum_c and n_c are
+# BIGINT; each row's encoding is ONE division of two exact integers
+# (bit-identical IEEE on both engines); the report aggregates by
+# SELECTION (min/max + their argmin rows), never by summing doubles.
+# Scale: one broadcast join of per-category aggregates (category dim is
+# tiny) against the fact table — zero extra shuffles beyond the
+# category rollup; the encoding itself is a map-side expression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "target_encoding_loo",
+    oracle="""
+WITH facts AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), agg AS (
+  SELECT brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sum_y
+  FROM facts GROUP BY brand
+), enc AS (
+  SELECT f.brand, f.y,
+         CAST(a.sum_y - f.y AS DOUBLE) / CAST(a.n - 1 AS DOUBLE) AS loo
+  FROM facts f JOIN agg a ON a.brand = f.brand
+  WHERE a.n > 1
+)
+SELECT brand,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(loo), 6) AS min_enc,
+       round(max(loo), 6) AS max_enc,
+       CAST(min(y) AS BIGINT) AS min_target_cents,
+       CAST(max(y) AS BIGINT) AS max_target_cents
+FROM enc GROUP BY brand ORDER BY brand
+""",
+    doc="leave-one-out target encoding of p_brand against quantity "
+    "cents: enc_i = (sum_c - y_i)/(n_c - 1) — leakage-safe, one "
+    "integer-exact division per row after a broadcast join of the "
+    "category rollup; the report is selection-only (min/max encoding "
+    "and target per brand), so no float summation order exists",
+    tags=("mining", "join"),
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    facts = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("y"),
+    )
+    agg = facts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y")
+    )
+    enc = (
+        facts.join(F.broadcast(agg), "brand")
+        .filter(F.col("n") > 1)
+        .select(
+            "brand",
+            "y",
+            (
+                (F.col("sum_y") - F.col("y")).cast("double")
+                / (F.col("n") - 1).cast("double")
+            ).alias("loo"),
+        )
+    )
+    return (
+        enc.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("loo"), 6).alias("min_enc"),
+            F.round(F.max("loo"), 6).alias("max_enc"),
+            F.min("y").alias("min_target_cents"),
+            F.max("y").alias("max_target_cents"),
+        )
+        .orderBy("brand")
+    )

@@ -1326,3 +1326,99 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hits") >= 2).alias("recall_ok"),
         F.lit(n_indexed).cast("long").alias("n_indexed"),
     ).orderBy("probe_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: binary (sign-bit) vector quantization + Hamming
+# top-k — the 1-bit rung under the int8 / PQ / IVF+PQ ladder: a 64-dim
+# float vector collapses to TWO BIGINT words (32 sign bits each), a
+# 16-byte code that turns 100 TB of fp32 embeddings into ~3 TB of
+# codes scanned with xor + popcount, the standard first-pass filter
+# before exact re-ranking. Charikar (2002) SimHash applied to the
+# embedding column (the text SimHash gate is dedup_simhash; this is
+# the retrieval/ANN face of the same bit algebra).
+# Exactness: every step is integer — sign test, shift-or packing,
+# xor, popcount — so both engines agree bit-for-bit; ranking breaks
+# ties by vec_id.
+# Scale: queries broadcast, one corpus scan, per-query top-k via one
+# rank window over (query, hamming) — at 100 TB the same codes drop
+# into the IVF bucket layout (knn_ivf) to prune the scan.
+# ---------------------------------------------------------------------------
+
+_BQ_WORD_SPARK = (
+    "aggregate(sequence({lo}, {hi}), CAST(0 AS BIGINT), (acc, i) -> acc"
+    " + IF(element_at(embedding, i + 1) > 0, shiftleft(CAST(1 AS BIGINT),"
+    " i - {lo}), CAST(0 AS BIGINT)))"
+)
+_BQ_WORD_DUCK = (
+    "CAST(list_sum(list_transform(range({lo}, {hi} + 1), i -> CASE WHEN"
+    " embedding[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - {lo})) ELSE"
+    " CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+
+@register(
+    "vec_hamming_topk",
+    oracle=f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_BQ_WORD_DUCK.format(lo=0, hi=31)} AS w0,
+         {_BQ_WORD_DUCK.format(lo=32, hi=63)} AS w1
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM codes WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1))
+              AS BIGINT) AS hamming
+  FROM q JOIN codes c ON c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, vec_id) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, vec_id, hamming
+FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk
+""",
+    doc="binary (sign-bit) quantization + Hamming top-10: pack 64 dims "
+    "into two BIGINT words by shift-or over sign tests, score by "
+    "xor + popcount, rank per query with vec_id tie-break — all "
+    "integer algebra, bit-identical across engines; 16-byte codes make "
+    "the scan ~64x lighter than fp32 and drop into the IVF layout at "
+    "scale",
+    tags=("vector", "ann"),
+)
+def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    codes = emb.select(
+        "vec_id",
+        F.expr(_BQ_WORD_SPARK.format(lo=0, hi=31)).alias("w0"),
+        F.expr(_BQ_WORD_SPARK.format(lo=32, hi=63)).alias("w1"),
+    )
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "rnk", "vec_id", "hamming")
+        .orderBy("query_id", "rnk")
+    )

@@ -1426,3 +1426,182 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "dur", "d", "n_risk", survival.alias("survival")
     ).orderBy("dur")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: per-entity time-grid gap detection — the
+# complement of the islands/interval_coalesce gate: instead of
+# coalescing PRESENT hours, materialize each user's expected hourly
+# grid (min..max observed hour) and report the MISSING runs. This is
+# the sensor-health / feed-outage audit every mobility lake runs
+# (reference: the snapshot-cadence checks around SURVEY §2.1 S2's
+# 20 s polling source — a missed poll is exactly a grid gap).
+# Exactness: hour indexes are exact BIGINT (epoch_us div 3600e6); the
+# island key (h - row_number) and every reported stat are integers.
+# Scale: the grid explode is bounded by span-per-entity (retention
+# window), not by rows; one user_id shuffle; the anti-join is a
+# per-user sort-merge on the same key. Output is dim-sized (one row
+# per user).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_gap_detection",
+    oracle="""
+WITH obs AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // (CAST(3600 AS BIGINT) * 1000000) AS h
+  FROM events
+), spans AS (
+  SELECT user_id, min(h) AS h_min, max(h) AS h_max,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM obs GROUP BY user_id
+), grid AS (
+  SELECT s.user_id, g.h
+  FROM spans s, unnest(generate_series(s.h_min, s.h_max)) AS g(h)
+), missing AS (
+  SELECT g.user_id, g.h
+  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.h = g.h
+  WHERE o.h IS NULL
+), runs AS (
+  SELECT user_id, h,
+         h - row_number() OVER (PARTITION BY user_id ORDER BY h) AS grp
+  FROM missing
+), gaps AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS gap_hours
+  FROM runs GROUP BY user_id, grp
+)
+SELECT s.user_id,
+       CAST(s.h_max - s.h_min + 1 AS BIGINT) AS span_hours,
+       s.n_obs AS observed_hours,
+       CAST(coalesce(sum(g.gap_hours), 0) AS BIGINT) AS missing_hours,
+       CAST(count(g.grp) AS BIGINT) AS n_gaps,
+       CAST(coalesce(max(g.gap_hours), 0) AS BIGINT) AS max_gap_hours
+FROM spans s LEFT JOIN gaps g ON g.user_id = s.user_id
+GROUP BY s.user_id, s.h_min, s.h_max, s.n_obs
+ORDER BY s.user_id
+""",
+    doc="per-user hourly-grid gap detection (the islands complement): "
+    "materialize each user's expected hour grid via sequence/"
+    "generate_series over exact BIGINT hour indexes, anti-join the "
+    "observed hours, coalesce missing hours into runs with the "
+    "h - row_number island key, and report span/observed/missing/"
+    "n_gaps/max_gap per user — grid size is span-bounded per entity, "
+    "one user_id shuffle, all integer arithmetic",
+    tags=("window", "time", "quality"),
+)
+def ts_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).distinct()
+    spans = obs.groupBy("user_id").agg(
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h_min", "h_max")).alias("h")
+    )
+    missing = grid.join(obs, ["user_id", "h"], "left_anti")
+    runs = missing.withColumn(
+        "grp",
+        F.col("h")
+        - F.row_number().over(Window.partitionBy("user_id").orderBy("h")),
+    )
+    gaps = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("gap_hours")
+    )
+    return (
+        spans.join(gaps, "user_id", "left")
+        .groupBy("user_id", "h_min", "h_max", "n_obs")
+        .agg(
+            F.coalesce(F.sum("gap_hours"), F.lit(0)).alias("missing_hours"),
+            F.count("grp").alias("n_gaps"),
+            F.coalesce(F.max("gap_hours"), F.lit(0)).alias("max_gap_hours"),
+        )
+        .select(
+            "user_id",
+            (F.col("h_max") - F.col("h_min") + 1).alias("span_hours"),
+            F.col("n_obs").alias("observed_hours"),
+            "missing_hours",
+            "n_gaps",
+            "max_gap_hours",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: Theil-Sen robust trend — the median of all
+# pairwise slopes per entity, the estimator that shrugs off the
+# outliers that wreck the least-squares gate (linreg_trend_per_entity
+# is its fragile twin; Hampel flags points, Theil-Sen fits through
+# them). Sen (1968), "Estimates of the regression coefficient based on
+# Kendall's tau".
+# Exactness: each slope is the single expression
+# (y2 - y1) * 3600e6 / (x2 - x1) over exact microsecond BIGINTs and
+# raw doubles — identical trees on both engines, so identical IEEE
+# values; the median is SELECTION (plus one (a+b)/2 for even counts),
+# never a running sum, so ordering can't smear it; final 6dp round.
+# Scale: the pair join is a per-entity self-join — quadratic in
+# points-per-entity, linear in entities. Points per entity are bounded
+# by the retention window (66/user here); at 100 TB cap points per
+# entity upstream (sample or bucket to hours) exactly as the reference
+# bounds its per-vehicle windows. Equal-timestamp pairs are excluded
+# (slope undefined), mirrored in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_sen_slope",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS x, value AS y, event_id FROM events
+), slopes AS (
+  SELECT a.user_id,
+         (b.y - a.y) * 3600000000.0 / (b.x - a.x) AS slope
+  FROM pts a JOIN pts b
+    ON a.user_id = b.user_id AND a.x < b.x
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(median(slope), 6) AS slope_per_hour
+FROM slopes GROUP BY user_id ORDER BY user_id
+""",
+    doc="Theil-Sen robust trend per user: median of all pairwise "
+    "slopes (value units per hour) over exact microsecond x values — "
+    "slope is one identical expression tree on both engines, median is "
+    "selection not summation, equal-timestamp pairs excluded; "
+    "per-entity self-join bounded by points-per-entity, one user_id "
+    "shuffle",
+    tags=("stats", "time", "window"),
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", epoch_us("ts").alias("x"), F.col("value").alias("y")
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            * F.lit(3600000000.0)
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.median("slope"), 6).alias("slope_per_hour"),
+        )
+        .orderBy("user_id")
+    )

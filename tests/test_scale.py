@@ -218,7 +218,6 @@ BOUNDS = {
     "streaming_heavy_hitters_topk": 8.0,
     "streaming_ares_reservoir": 8.0,
     "dedup_substring_spans": 8.0,
-    "fasttext_quality_inference": 8.0,
     "knn_ivf_filtered": 8.0,
     # BFS: shuffle count ∝ diameter (k-consistent replication keeps the
     # folded node space and thus the diameter fixed; each level's join
@@ -277,6 +276,30 @@ BOUNDS = {
     "attribution_time_decay": 8.0,
     # KM: one user collapse + a calendar-bounded step table
     "retention_kaplan_meier": 8.0,
+    # business-analytics depth: RFM and ABC collapse facts to a dim in
+    # one shuffle, then rank the DIM (grows ~k — the bound watches the
+    # global window staying a sort, not a join); PoP is a tiny month-dim
+    # self-join; gap detection explodes a span-bounded grid per user
+    # (users grow ~k, spans fixed)
+    "rfm_segmentation": 8.0,
+    "abc_pareto_class": 8.0,
+    "period_over_period_revenue": 8.0,
+    "ts_gap_detection": 8.0,
+    # Theil-Sen: the pair join is quadratic per ENTITY, linear in
+    # entities — k-consistent replication adds users, never points per
+    # user, so 4x data must stay ~4x pairs; a hot-entity regression
+    # shows up as 16x
+    "theil_sen_slope": 8.0,
+    # Hamming top-k: 5 fixed queries x k-grown corpus — one scan, one
+    # rank window on a query-bounded score table
+    "vec_hamming_topk": 8.0,
+    # RA link prediction: same bounded within-basket self-join as
+    # assoc_rules (pairs grow ~k^2 inside the ≤7-item basket bound —
+    # ride that loosely like assoc_rules_pairs)
+    "graph_link_prediction_ra": 40.0,
+    # LOO encoding: one category rollup + a broadcast join back — two
+    # map-side passes, zero extra shuffles
+    "target_encoding_loo": 8.0,
 }
 
 
