@@ -247,6 +247,11 @@ def load_registry() -> dict[str, Q]:
         # prediction, leave-one-out target encoding
         "theil_sen_slope", "vec_hamming_topk",
         "graph_link_prediction_ra", "target_encoding_loo",
+        # rank-algebra / experimentation depth (same three-SF oracle
+        # discipline): quantile normalization across sources, hashing-
+        # trick collision audit, funnel latency quantiles, DiD readout
+        "quantile_normalization", "feature_hash_collisions",
+        "funnel_time_to_convert", "experiment_diff_in_diff",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3954,3 +3954,90 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: quantile normalization across sources — map each
+# source's n_chars distribution onto the GLOBAL distribution (the
+# rank-based feature normalization genomics calls quantile
+# normalization and ML pipelines use to make per-source features
+# comparable before mixing corpora). Pure rank algebra: a row at
+# within-source rank r (of n_s) takes the global value at rank
+# ((r-1) * N) div n_s + 1 — integers end to end, and the normalized
+# values are the original BIGINT n_chars, so even the per-source SUM
+# is exact.
+# Scale: one global sort for the reference ranks and one per-source
+# window (both over the document dim); the rank join is an equi-join
+# on a dense integer key. At 100 TB the global rank becomes the
+# standard two-pass distributed rank (per-partition counts broadcast
+# back) — same plan shape AQE already picks for a single ordered
+# window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalization",
+    oracle="""
+WITH g AS (
+  SELECT n_chars AS g_val,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS g_rank
+  FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents
+), s AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS s_rank,
+         count(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+), mapped AS (
+  SELECT s.source,
+         g.g_val AS norm_val
+  FROM s JOIN g
+    ON g.g_rank = ((s.s_rank - 1) * (SELECT n_all FROM n)) // s.n_s + 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(norm_val) AS BIGINT) AS sum_norm,
+       CAST(min(norm_val) AS BIGINT) AS min_norm,
+       CAST(max(norm_val) AS BIGINT) AS max_norm
+FROM mapped GROUP BY source ORDER BY source
+""",
+    doc="quantile normalization of n_chars across sources: each row at "
+    "within-source rank r maps to the global value at rank "
+    "((r-1)*N) div n_s + 1 — rank algebra over exact integers, the "
+    "normalized values stay BIGINT so the per-source sum is exact; "
+    "one global sort + one per-source window + a dense-integer rank "
+    "equi-join",
+    tags=("stats", "mining", "text"),
+)
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    n_all = d.count()
+    g = d.select(
+        F.col("n_chars").alias("g_val"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("g_rank"),
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).cast("long").alias("s_rank"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_s"),
+    ).withColumn("tgt_rank", F.expr(f"((s_rank - 1) * {n_all}) div n_s + 1"))
+    mapped = s.join(g, F.col("tgt_rank") == F.col("g_rank")).withColumnRenamed("g_val", "norm_val")
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("norm_val").alias("sum_norm"),
+            F.min("norm_val").alias("min_norm"),
+            F.max("norm_val").alias("max_norm"),
+        )
+        .orderBy("source")
+    )

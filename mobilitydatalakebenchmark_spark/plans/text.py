@@ -2476,3 +2476,67 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "dcg_scaled", "idcg_scaled", "ndcg")
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: feature-hashing collision audit — the "hashing
+# trick" (Weinberger 2009) maps an unbounded vocabulary into a fixed
+# 1024-bucket feature space; before shipping a hashed featurizer you
+# audit how crowded the buckets get (collisions blur features). The
+# hash is the repo's engine-reproducible md5 algebra (same bytes on
+# both engines), so the whole audit is exact integers: vocabulary ->
+# bucket -> load histogram.
+# Scale: one token explode into a distinct (vocabulary-sized) hash
+# aggregate, then a 1024-key rollup — the heavy shuffle is the
+# vocabulary collapse, identical to text_token_topk's.
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 1024
+
+
+@register(
+    "feature_hash_collisions",
+    oracle=f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents
+), bucketed AS (
+  SELECT CAST(CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+              % {_FH_BUCKETS} AS BIGINT) AS bucket
+  FROM vocab
+), loads AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS load FROM bucketed GROUP BY bucket
+)
+SELECT load,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(load) AS BIGINT) AS n_tokens
+FROM loads GROUP BY load ORDER BY load
+""",
+    doc="feature-hashing (hashing-trick) collision audit: distinct "
+    "whitespace tokens hash via md5 into 1024 buckets, report the "
+    "bucket-load histogram (load -> bucket count -> token mass) — "
+    "engine-reproducible hash algebra, exact integers; one "
+    "vocabulary-collapse shuffle + a 1024-key rollup",
+    tags=("text", "ml", "sketch"),
+)
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    vocab = d.select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    ).distinct()
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        % _FH_BUCKETS
+    ).cast("long")
+    loads = (
+        vocab.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    return (
+        loads.groupBy("load")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("load").alias("n_tokens"),
+        )
+        .orderBy("load")
+    )

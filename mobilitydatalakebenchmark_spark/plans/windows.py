@@ -1605,3 +1605,190 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: funnel time-to-convert — the latency half of
+# the funnel story (funnel_conversion counts WHO converts; this gate
+# reports HOW FAST): per user, the delay from first signup to the
+# first purchase at-or-after it, summarized as exact discrete
+# quantiles. Quantiles are SELECTION at hand-computed ranks
+# (r_p = ((n-1)*p) div 100 + 1 over a unique (delta, user) ordering) —
+# the lower-value discrete definition, identical integer arithmetic on
+# both engines, no interpolation anywhere.
+# Scale: one user_id collapse for signups, one bounded as-of-style
+# min-aggregation for purchases, then a user-dim-sized sort for the
+# rank picks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_us
+  GROUP BY e.user_id
+), d AS (
+  SELECT s.user_id, (p.p_us - s.s_us) // 1000000 AS delta_s
+  FROM s JOIN p ON p.user_id = s.user_id
+), r AS (
+  SELECT delta_s,
+         row_number() OVER (ORDER BY delta_s, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM d
+)
+SELECT CAST(max(n) AS BIGINT) AS n_converted,
+       CAST(min(delta_s) AS BIGINT) AS min_s,
+       CAST(max(CASE WHEN rn = (n - 1) * 25 // 100 + 1
+                     THEN delta_s END) AS BIGINT) AS p25_s,
+       CAST(max(CASE WHEN rn = (n - 1) * 50 // 100 + 1
+                     THEN delta_s END) AS BIGINT) AS p50_s,
+       CAST(max(CASE WHEN rn = (n - 1) * 75 // 100 + 1
+                     THEN delta_s END) AS BIGINT) AS p75_s,
+       CAST(max(delta_s) AS BIGINT) AS max_s
+FROM r
+""",
+    doc="funnel time-to-convert: per user, seconds from first signup "
+    "to the first purchase at-or-after it; exact discrete quantiles by "
+    "rank selection (((n-1)*p) div 100 + 1 over a unique ordering) — "
+    "integer microsecond algebra, no interpolation; one user collapse "
+    "+ one dim-sized sort",
+    tags=("window", "time", "funnel"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("ts")).alias("s_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(epoch_us("ts") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("ts")).alias("p_us"))
+    )
+    d = s.join(p, "user_id").select(
+        "user_id",
+        F.expr("(p_us - s_us) div 1000000").alias("delta_s"),
+    )
+    r = d.select(
+        "delta_s",
+        F.row_number()
+        .over(Window.orderBy("delta_s", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    pick = lambda p_: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.expr(f"(n - 1) * {p_} div 100 + 1"),
+            F.col("delta_s"),
+        )
+    )
+    return r.agg(
+        F.max("n").alias("n_converted"),
+        F.min("delta_s").alias("min_s"),
+        pick(25).alias("p25_s"),
+        pick(50).alias("p50_s"),
+        pick(75).alias("p75_s"),
+        F.max("delta_s").alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: difference-in-differences — the canonical
+# quasi-experiment readout: treatment vs control, before vs after a
+# cutover, effect = (T_after - T_before) - (C_after - C_before).
+# Assignment is the engine-reproducible parity of user_id (a stand-in
+# for a real assignment column); the metric is mean purchase cents.
+# Exactness: the four cell sums and counts are BIGINT; each mean is
+# ONE division of two exact integers, and the DiD combines those four
+# deterministic doubles in a FIXED expression tree — identical IEEE on
+# both engines before the final 6dp round.
+# Scale: one conditional aggregation over one scan — four cells, zero
+# joins, map-side combinable.
+# ---------------------------------------------------------------------------
+
+_DID_CUTOVER = "TIMESTAMP '2024-01-15 00:00:00'"
+
+
+@register(
+    "experiment_diff_in_diff",
+    oracle=f"""
+WITH cells AS (
+  SELECT (user_id % 2 = 1) AS treated,
+         (ts >= {_DID_CUTOVER}) AS after,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), agg AS (
+  SELECT
+    CAST(sum(CASE WHEN treated AND NOT after THEN cents END) AS DOUBLE)
+      / CAST(count(CASE WHEN treated AND NOT after THEN 1 END) AS DOUBLE)
+      AS m_tb,
+    CAST(sum(CASE WHEN treated AND after THEN cents END) AS DOUBLE)
+      / CAST(count(CASE WHEN treated AND after THEN 1 END) AS DOUBLE)
+      AS m_ta,
+    CAST(sum(CASE WHEN NOT treated AND NOT after THEN cents END) AS DOUBLE)
+      / CAST(count(CASE WHEN NOT treated AND NOT after THEN 1 END) AS DOUBLE)
+      AS m_cb,
+    CAST(sum(CASE WHEN NOT treated AND after THEN cents END) AS DOUBLE)
+      / CAST(count(CASE WHEN NOT treated AND after THEN 1 END) AS DOUBLE)
+      AS m_ca,
+    CAST(count(*) AS BIGINT) AS n_purchases
+  FROM cells
+)
+SELECT round(m_tb, 6) AS mean_treated_before,
+       round(m_ta, 6) AS mean_treated_after,
+       round(m_cb, 6) AS mean_control_before,
+       round(m_ca, 6) AS mean_control_after,
+       round((m_ta - m_tb) - (m_ca - m_cb), 6) AS did_cents,
+       n_purchases
+FROM agg
+""",
+    doc="difference-in-differences over the purchase stream: treatment "
+    "= user_id parity, cutover 2024-01-15, effect = (T_after - "
+    "T_before) - (C_after - C_before) on mean cents — four exact "
+    "BIGINT cells, one division each, DiD in a fixed expression tree "
+    "(identical IEEE both engines) rounded 6dp; one conditional "
+    "aggregation over one scan, zero joins",
+    tags=("stats", "mining", "time"),
+)
+def experiment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cutover = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cells = ev.select(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("ts") >= cutover).alias("after"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def mean_cell(tr, af):
+        cond = (F.col("treated") == tr) & (F.col("after") == af)
+        return F.sum(F.when(cond, F.col("cents"))).cast("double") / F.count(
+            F.when(cond, F.lit(1))
+        ).cast("double")
+
+    agg = cells.agg(
+        mean_cell(True, False).alias("m_tb"),
+        mean_cell(True, True).alias("m_ta"),
+        mean_cell(False, False).alias("m_cb"),
+        mean_cell(False, True).alias("m_ca"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    return agg.select(
+        F.round("m_tb", 6).alias("mean_treated_before"),
+        F.round("m_ta", 6).alias("mean_treated_after"),
+        F.round("m_cb", 6).alias("mean_control_before"),
+        F.round("m_ca", 6).alias("mean_control_after"),
+        F.round(
+            (F.col("m_ta") - F.col("m_tb")) - (F.col("m_ca") - F.col("m_cb")),
+            6,
+        ).alias("did_cents"),
+        "n_purchases",
+    )

@@ -300,6 +300,15 @@ BOUNDS = {
     # LOO encoding: one category rollup + a broadcast join back — two
     # map-side passes, zero extra shuffles
     "target_encoding_loo": 8.0,
+    # quantile normalization: two dim-sized rank windows + a dense-
+    # integer rank equi-join; hashing audit: one vocabulary collapse +
+    # a 1024-key rollup; funnel latency: per-user collapse + a user-
+    # keyed join (k-consistent replication keeps per-user matches
+    # fixed); DiD: one conditional aggregation, zero joins
+    "quantile_normalization": 8.0,
+    "feature_hash_collisions": 8.0,
+    "funnel_time_to_convert": 8.0,
+    "experiment_diff_in_diff": 8.0,
 }
 
 
