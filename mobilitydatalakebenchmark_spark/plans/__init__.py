@@ -252,6 +252,11 @@ def load_registry() -> dict[str, Q]:
         # trick collision audit, funnel latency quantiles, DiD readout
         "quantile_normalization", "feature_hash_collisions",
         "funnel_time_to_convert", "experiment_diff_in_diff",
+        # retrieval/corpus/sketch depth (same three-SF oracle
+        # discipline): Matryoshka prefix-recall, trigram novelty curve,
+        # half-corpus vocabulary drift, measured Bloom FPR
+        "vec_matryoshka_recall", "text_ngram_novelty",
+        "text_vocab_drift", "bloom_filter_fpr",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

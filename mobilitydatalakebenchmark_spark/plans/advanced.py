@@ -3405,3 +3405,118 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ra_scaled"), "item_a", "item_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: Bloom-filter build + measured false-positive
+# rate — the engine primitive behind bloom_pruned_star_join, built
+# from first principles and then AUDITED: set k=3 md5-derived bit
+# positions per member key in an m=2^20 space, probe with a disjoint
+# key set (members shifted past the key range), and report the
+# OBSERVED FPR against the fill. Production filters get sized from
+# exactly this measurement, not the textbook formula.
+# Exactness: bit positions are the repo's md5 algebra (engine-exact),
+# the filter is a distinct-position set, membership is an integer
+# match count == k, and the FPR is one division rounded 6dp.
+# Scale: members explode to k rows into one distinct shuffle (the
+# filter); probes explode to k rows and semi-join the filter on the
+# position key — both sides linear, the filter table is at most m
+# rows regardless of data size.
+# ---------------------------------------------------------------------------
+
+_BF_M = 1 << 20
+_BF_K = 3
+_BF_PROBE_SHIFT = 100000000
+
+
+@register(
+    "bloom_filter_fpr",
+    oracle=f"""
+WITH keys AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders
+), member_bits AS (
+  SELECT DISTINCT
+         CAST(CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                                   || CAST(key AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_BF_M} AS BIGINT) AS pos
+  FROM keys, unnest(generate_series(1, {_BF_K})) AS g(i)
+), probe_bits AS (
+  SELECT key + {_BF_PROBE_SHIFT} AS probe,
+         CAST(CAST('0x' || substr(md5('b' || CAST(i AS VARCHAR) || ':'
+                                   || CAST(key + {_BF_PROBE_SHIFT}
+                                           AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_BF_M} AS BIGINT) AS pos
+  FROM keys, unnest(generate_series(1, {_BF_K})) AS g(i)
+), hits AS (
+  SELECT p.probe, CAST(count(m.pos) AS BIGINT) AS n_hit
+  FROM probe_bits p LEFT JOIN member_bits m ON m.pos = p.pos
+  GROUP BY p.probe
+)
+SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+       CAST((SELECT count(*) FROM member_bits) AS BIGINT) AS n_bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(count(CASE WHEN n_hit = {_BF_K} THEN 1 END) AS BIGINT)
+         AS n_false_pos,
+       round(CAST(count(CASE WHEN n_hit = {_BF_K} THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS observed_fpr
+FROM hits
+""",
+    doc="Bloom filter from first principles with a measured FPR: k=3 "
+    "md5 bit positions per member in m=2^20, filter = distinct "
+    "position set, disjoint probes (keys shifted past the range) count "
+    "as false positives when all k positions collide — engine-exact "
+    "hash algebra, integer membership, one end division; filter table "
+    "bounded by m regardless of data size",
+    tags=("sketch", "join", "mining"),
+)
+def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_orderkey").alias("key")).distinct()
+
+    def bits(key_col):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(_BF_K)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("b"),
+                                i.cast("string"),
+                                F.lit(":"),
+                                key_col.cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _BF_M,
+            )
+        )
+
+    member_bits = keys.select(bits(F.col("key")).alias("pos")).distinct()
+    probes = keys.select((F.col("key") + _BF_PROBE_SHIFT).alias("probe"))
+    probe_bits = probes.select("probe", bits(F.col("probe")).alias("pos"))
+    hits = (
+        probe_bits.join(member_bits, "pos", "left_semi")
+        .groupBy("probe")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_keys = keys.count()
+    n_bits = member_bits.count()
+    all_probes = probes.join(
+        hits, "probe", "left"
+    ).select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
+    fp = F.count(F.when(F.col("n_hit") == _BF_K, 1))
+    return all_probes.agg(
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.count(F.lit(1)).alias("n_probes"),
+        fp.alias("n_false_pos"),
+        F.round(
+            fp.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("observed_fpr"),
+    )

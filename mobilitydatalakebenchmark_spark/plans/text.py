@@ -2540,3 +2540,168 @@ def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("load")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: corpus novelty profile — for each document in
+# doc_id order, what fraction of its word trigrams has never appeared
+# in any earlier document? The curve every dataset-curation run looks
+# at: it falls as a crawl saturates, and a cliff marks a bulk
+# duplicate. ("Deduplicating Training Data Makes Language Models
+# Better" measures the same saturation at the substring level —
+# dedup_substring_spans; this is the document-resolution readout.)
+# Exactness: shingles are the repo's canonical trigram builder
+# (shingles() == the generate_series/array_to_string twin), first
+# appearance is min(doc_id) per shingle, everything is integer until
+# the final one-division rate rounded 6dp.
+# Scale: one shingle explode into a min-aggregate keyed by shingle
+# (map-side combinable), one join back on (shingle) to re-attribute
+# first appearances — both shuffles are vocabulary-sized, never
+# pairwise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 2, 1)),
+      i -> array_to_string(w[i:i+2], ' ')))) AS g
+  FROM words
+), firsts AS (
+  SELECT g, min(doc_id) AS first_doc FROM toks GROUP BY g
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(CASE WHEN f.first_doc = t.doc_id THEN 1 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(count(CASE WHEN f.first_doc = t.doc_id THEN 1 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+FROM toks t JOIN firsts f ON f.g = t.g
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    doc="per-document trigram novelty in doc_id order (the corpus "
+    "saturation curve): shingle -> min(doc_id) first appearance -> "
+    "fraction of this doc's shingles first seen here — canonical "
+    "shingle builder, integer counts, one end division; two "
+    "vocabulary-sized shuffles, never pairwise",
+    tags=("text", "dedup", "mining"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("g")
+    )
+    firsts = toks.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = toks.join(firsts, "g")
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: vocabulary drift between corpus halves — split
+# the corpus at the doc_id midpoint (stand-in for a time cutover) and
+# report the tokens whose document frequency moved most: the
+# token-resolution drift detector next to the distribution-level KS
+# (drift_ks_value_shift) and category-level chi-squared
+# (drift_chi2_event_mix) gates. New jargon, dying topics and crawler
+# regressions all surface here first.
+# Exactness: document frequencies and corpus sizes are BIGINT; the
+# mover ranking uses the integer cross-difference |df1*n2 - df2*n1|
+# (no float ordering anywhere); the reported rates are one division
+# each, rounded 6dp.
+# Scale: one distinct (doc, token) explode, one token-keyed conditional
+# count — vocabulary-sized shuffle, then a top-20 rank.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_drift",
+    oracle="""
+WITH half AS (
+  SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) // 2 AS cut
+), tagged AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token,
+         doc_id < (SELECT cut FROM half) AS early
+  FROM documents
+), n AS (
+  SELECT CAST(count(DISTINCT CASE WHEN early THEN doc_id END) AS BIGINT)
+           AS n1,
+         CAST(count(DISTINCT CASE WHEN NOT early THEN doc_id END) AS BIGINT)
+           AS n2
+  FROM tagged
+), df AS (
+  SELECT token,
+         CAST(count(CASE WHEN early THEN 1 END) AS BIGINT) AS df1,
+         CAST(count(CASE WHEN NOT early THEN 1 END) AS BIGINT) AS df2
+  FROM tagged GROUP BY token
+)
+SELECT token, df1, df2,
+       round(CAST(df1 AS DOUBLE) / CAST(n.n1 AS DOUBLE), 6) AS rate_early,
+       round(CAST(df2 AS DOUBLE) / CAST(n.n2 AS DOUBLE), 6) AS rate_late,
+       CAST(abs(df1 * n.n2 - df2 * n.n1) AS BIGINT) AS cross_diff
+FROM df CROSS JOIN n
+ORDER BY cross_diff DESC, token LIMIT 20
+""",
+    doc="vocabulary drift across the doc_id midpoint: per-token "
+    "document frequency in each half, movers ranked by the integer "
+    "cross-difference |df1*n2 - df2*n1| (no float ordering), rates one "
+    "division each — the token-level drift detector beside the KS and "
+    "chi-squared gates; one vocabulary-sized shuffle",
+    tags=("text", "drift", "mining"),
+)
+def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cut = d.count() // 2
+    tagged = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("token"),
+            (F.col("doc_id") < cut).alias("early"),
+        )
+        .distinct()
+    )
+    n = tagged.agg(
+        F.countDistinct(F.when(F.col("early"), F.col("doc_id"))).alias("n1"),
+        F.countDistinct(
+            F.when(~F.col("early"), F.col("doc_id"))
+        ).alias("n2"),
+    )
+    df = tagged.groupBy("token").agg(
+        F.count(F.when(F.col("early"), 1)).alias("df1"),
+        F.count(F.when(~F.col("early"), 1)).alias("df2"),
+    )
+    return (
+        df.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df1",
+            "df2",
+            F.round(
+                F.col("df1").cast("double") / F.col("n1").cast("double"), 6
+            ).alias("rate_early"),
+            F.round(
+                F.col("df2").cast("double") / F.col("n2").cast("double"), 6
+            ).alias("rate_late"),
+            F.abs(
+                F.col("df1") * F.col("n2") - F.col("df2") * F.col("n1")
+            ).alias("cross_diff"),
+        )
+        .orderBy(F.desc("cross_diff"), "token")
+        .limit(20)
+    )

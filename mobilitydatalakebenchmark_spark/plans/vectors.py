@@ -1422,3 +1422,122 @@ def vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "vec_id", "hamming")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: Matryoshka truncation evaluation — MRL
+# (Kusupati 2022) trains embeddings whose PREFIX dims carry most of
+# the signal, so a store can scan 16 of 64 dims (4x less IO) and
+# re-rank the shortlist at full width. Before deploying that, you
+# measure what prefix scan costs in recall: top-10 by 16-dim cosine vs
+# top-10 by full cosine, overlap per probe.
+# Exactness: both rankings use the house dot-product fold (sequential
+# aggregate == DuckDB list_dot_product ordering), similarities rounded
+# 4dp BEFORE ranking (the established pre-rank rounding discipline),
+# vec_id tie-breaks; the recall is one small-integer division.
+# Scale: two brute passes over the corpus per probe set here; at 100 TB
+# the 16-dim pass IS the cheap filter (4x less data scanned) and the
+# full pass runs only on the shortlist — this gate pins the quality
+# side of that trade.
+# ---------------------------------------------------------------------------
+
+_MAT_DIMS = 16
+
+
+@register(
+    "vec_matryoshka_recall",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         embedding[1:{_MAT_DIMS}] AS head
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS p_full, head AS p_head
+  FROM e WHERE vec_id < 5
+), sims AS (
+  SELECT p.probe_id, e.vec_id,
+         round(list_dot_product(p.p_full, e.embedding)
+               / (sqrt(list_dot_product(p.p_full, p.p_full))
+                  * sqrt(list_dot_product(e.embedding, e.embedding))), 4)
+           AS cos_full,
+         round(list_dot_product(p.p_head, e.head)
+               / (sqrt(list_dot_product(p.p_head, p.p_head))
+                  * sqrt(list_dot_product(e.head, e.head))), 4) AS cos_head
+  FROM probes p CROSS JOIN e
+  WHERE e.vec_id <> p.probe_id
+), rk AS (
+  SELECT probe_id, vec_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_full DESC, vec_id) AS r_full,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY cos_head DESC, vec_id) AS r_head
+  FROM sims
+)
+SELECT probe_id,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall_at_10
+FROM rk WHERE r_full <= 10 AND r_head <= 10
+GROUP BY probe_id ORDER BY probe_id
+""",
+    doc="Matryoshka truncation eval: recall@10 of 16-dim-prefix cosine "
+    "ranking vs full 64-dim ranking for 5 probes — the quality cost of "
+    "scanning 1/4 of the vector bytes; house dot-product fold, 4dp "
+    "pre-rank rounding, vec_id tie-breaks, recall one small division",
+    tags=("vector", "ann", "eval"),
+)
+def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, _MAT_DIMS).alias("head"),
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_full"),
+        F.col("head").alias("p_head"),
+        norm(F.col("embedding")).alias("_pfn"),
+        norm(F.col("head")).alias("_phn"),
+    )
+    sims = (
+        e.withColumn("_fn", norm(F.col("embedding")))
+        .withColumn("_hn", norm(F.col("head")))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(
+                dot(F.col("p_full"), F.col("embedding"))
+                / (F.col("_pfn") * F.col("_fn")),
+                4,
+            ).alias("cos_full"),
+            F.round(
+                dot(F.col("p_head"), F.col("head"))
+                / (F.col("_phn") * F.col("_hn")),
+                4,
+            ).alias("cos_head"),
+        )
+    )
+    w_full = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_full"), F.asc("vec_id")
+    )
+    w_head = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_head"), F.asc("vec_id")
+    )
+    rk = sims.select(
+        "probe_id",
+        "vec_id",
+        F.row_number().over(w_full).alias("r_full"),
+        F.row_number().over(w_head).alias("r_head"),
+    )
+    overlap = rk.filter((F.col("r_full") <= 10) & (F.col("r_head") <= 10))
+    return (
+        overlap.groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(F.count(F.lit(1)).cast("double") / F.lit(10.0), 6).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("probe_id")
+    )

@@ -309,6 +309,15 @@ BOUNDS = {
     "feature_hash_collisions": 8.0,
     "funnel_time_to_convert": 8.0,
     "experiment_diff_in_diff": 8.0,
+    # Matryoshka eval: two brute passes over 5 fixed probes x k-grown
+    # corpus (linear scans + per-probe rank windows); novelty/drift are
+    # vocabulary-sized shuffles (explode -> keyed agg -> join back);
+    # Bloom FPR explodes k=3 bits per key into a distinct + semi-join,
+    # filter table bounded by m
+    "vec_matryoshka_recall": 8.0,
+    "text_ngram_novelty": 8.0,
+    "text_vocab_drift": 8.0,
+    "bloom_filter_fpr": 8.0,
 }
 
 
