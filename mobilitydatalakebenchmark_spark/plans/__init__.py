@@ -257,6 +257,11 @@ def load_registry() -> dict[str, Q]:
         # half-corpus vocabulary drift, measured Bloom FPR
         "vec_matryoshka_recall", "text_ngram_novelty",
         "text_vocab_drift", "bloom_filter_fpr",
+        # eval-loop / diagnostics depth (same three-SF oracle
+        # discipline): Markov train/test accuracy, kNN-graph
+        # reciprocity, Flesch readability, source overlap matrix
+        "markov_accuracy", "knn_graph_reciprocity",
+        "text_readability_flesch", "source_overlap_matrix",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

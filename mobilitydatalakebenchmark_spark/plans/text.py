@@ -2705,3 +2705,170 @@ def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_diff"), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: Flesch reading-ease — the 1948 readability
+# formula (206.835 - 1.015 words/sentence - 84.6 syllables/word) that
+# still anchors text-quality stacks; here syllables are approximated
+# by vowel groups, the standard cheap proxy. Complements the Gopher
+# rules (text_gopher_quality) and the composite quality score with the
+# classic readability axis.
+# Exactness: word / sentence-mark / vowel-group counts are integer
+# regex counts (identical semantics for these character-class patterns
+# on both engines); the score is a FIXED expression tree over two
+# divisions of exact integers, rounded 4dp.
+# Scale: pure per-row string expressions — map-side only, zero
+# shuffles before the output sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_flesch",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+              AS BIGINT) AS n_syll
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syll,
+       round(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE)
+                        / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syll AS DOUBLE)
+                       / CAST(n_words AS DOUBLE)), 4) AS flesch
+FROM m ORDER BY doc_id
+""",
+    doc="Flesch reading-ease per document with vowel-group syllable "
+    "proxy: integer regex counts (words, sentence marks, vowel "
+    "groups), score = fixed expression tree over two exact-integer "
+    "divisions rounded 4dp — the classic readability axis beside the "
+    "Gopher rules; map-side only, zero shuffles",
+    tags=("text", "quality"),
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiou]+"))
+        .cast("long")
+        .alias("n_syll"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syll",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syll").cast("double") / F.col("n_words").cast("double")),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: cross-source overlap matrix — which sources
+# copy from each other? For every source pair, the number of distinct
+# word trigrams they share and the Jaccard overlap: the corpus-mixing
+# audit a training-data pipeline runs before weighting sources
+# (boilerplate-heavy source pairs get down-weighted; a near-1 overlap
+# means one source mirrors another). Shingle-resolution sibling of
+# contamination_check (which tests train-vs-eval directionally).
+# Exactness: all counts are distinct-shingle BIGINTs; Jaccard is one
+# division of exact integers rounded 6dp.
+# Scale: one distinct (shingle, source) shuffle, then a within-shingle
+# source self-join whose fanout is bounded by |sources|^2 (= 25 here)
+# per shingle — vocabulary-sized work, never document-pairwise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH words AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest(list_transform(
+      generate_series(1, greatest(len(w) - 2, 1)),
+      i -> array_to_string(w[i:i+2], ' '))) AS g
+  FROM words
+), per_src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON b.g = a.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.n_shared,
+       pa.n_sh AS n_a, pb.n_sh AS n_b,
+       round(CAST(s.n_shared AS DOUBLE)
+             / CAST(pa.n_sh + pb.n_sh - s.n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM shared s
+JOIN per_src pa ON pa.source = s.src_a
+JOIN per_src pb ON pb.source = s.src_b
+ORDER BY s.src_a, s.src_b
+""",
+    doc="cross-source trigram overlap matrix: distinct shingles per "
+    "source, shared shingles per source pair via a within-shingle "
+    "self-join (fanout bounded by |sources|^2 per shingle), Jaccard "
+    "one exact division — the corpus-mixing audit before weighting "
+    "sources; vocabulary-sized shuffles, never document-pairwise",
+    tags=("text", "dedup", "mining"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("g")
+    ).distinct()
+    per_src = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

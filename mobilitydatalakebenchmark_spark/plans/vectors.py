@@ -1541,3 +1541,132 @@ def vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: kNN-graph reciprocity — the structural health
+# check on a nearest-neighbor graph: hubness shows up as lopsided
+# in-degree, and low reciprocity (a is b's neighbor but not vice
+# versa) flags asymmetric density — both standard diagnostics before
+# trusting an ANN index or a kNN-based dedup. Built on the sign-bit
+# Hamming codes (vec_hamming_topk's algebra) over a deterministic node
+# sample so the graph is all-integer.
+# Exactness: codes, xor+popcount distances, k=3 ranks with vec_id
+# tie-breaks, degree counts and the mutual-edge join are all integer;
+# reciprocity is one division rounded 6dp.
+# Scale: the sample (vec_id % 20 == 0) bounds the pair table to
+# (n/20)^2 popcounts — cheap integer ops; at 100 TB you subsample per
+# IVF list instead, same read-out.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_graph_reciprocity",
+    oracle=f"""
+WITH codes AS (
+  SELECT vec_id,
+         {_BQ_WORD_DUCK.format(lo=0, hi=31)} AS w0,
+         {_BQ_WORD_DUCK.format(lo=32, hi=63)} AS w1
+  FROM embeddings WHERE vec_id % 20 = 0
+), scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+              AS BIGINT) AS hamming
+  FROM codes a JOIN codes b ON b.vec_id <> a.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY hamming, dst) AS rk
+    FROM scored
+  ) WHERE rk <= 3
+), mutual AS (
+  SELECT e.src FROM edges e JOIN edges r
+    ON r.src = e.dst AND r.dst = e.src
+), indeg AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY dst
+)
+SELECT CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM mutual) AS BIGINT) AS n_mutual,
+       round(CAST((SELECT count(*) FROM mutual) AS DOUBLE)
+             / CAST((SELECT count(*) FROM edges) AS DOUBLE), 6)
+         AS reciprocity,
+       CAST((SELECT max(d) FROM indeg) AS BIGINT) AS max_in_degree
+""",
+    doc="kNN-graph reciprocity and hubness diagnostics on sign-bit "
+    "Hamming codes over a deterministic 1-in-20 node sample: k=3 "
+    "integer-ranked edges, mutual-edge self-join, in-degree max — "
+    "all-integer graph, reciprocity one end division; pair table "
+    "bounded by the sample, popcount-cheap",
+    tags=("vector", "ann", "graph", "eval"),
+)
+def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    codes = emb.select(
+        "vec_id",
+        F.expr(_BQ_WORD_SPARK.format(lo=0, hi=31)).alias("w0"),
+        F.expr(_BQ_WORD_SPARK.format(lo=32, hi=63)).alias("w1"),
+    )
+    a = codes.select(
+        F.col("vec_id").alias("src"),
+        F.col("w0").alias("a0"),
+        F.col("w1").alias("a1"),
+    )
+    b = codes.select(
+        F.col("vec_id").alias("dst"),
+        F.col("w0").alias("b0"),
+        F.col("w1").alias("b1"),
+    )
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("dst") != F.col("src"))
+        .select(
+            "src",
+            "dst",
+            (
+                F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+                + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w_rk = Window.partitionBy("src").orderBy("hamming", "dst")
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    # scalar-broadcast assembly: four 1-row aggregates cross-joined so
+    # the division and 6dp round stay IN-PLAN (engine rounding, not
+    # Python's half-even round)
+    nodes_c = codes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges_c = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    mutual_c = edges.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_mutual")
+    )
+    indeg_m = (
+        edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("max_in_degree"))
+    )
+    return (
+        nodes_c.crossJoin(F.broadcast(edges_c))
+        .crossJoin(F.broadcast(mutual_c))
+        .crossJoin(F.broadcast(indeg_m))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_mutual",
+            F.round(
+                F.col("n_mutual").cast("double")
+                / F.col("n_edges").cast("double"),
+                6,
+            ).alias("reciprocity"),
+            "max_in_degree",
+        )
+    )

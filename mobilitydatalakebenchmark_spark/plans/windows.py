@@ -1792,3 +1792,98 @@ def experiment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_cents"),
         "n_purchases",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: Markov next-event prediction accuracy — the
+# first sequence model anyone ships: learn argmax P(next | prev) from
+# transitions before a temporal cutover, score it on transitions
+# after. The gate exercises the full eval loop (temporal train/test
+# split -> model fit -> held-out accuracy) in pure relational algebra:
+# the "model" is a 5x5 count table, the prediction an argmax row, the
+# score an exact ratio.
+# Exactness: transition counts are BIGINT, argmax ties break
+# lexicographically on the next type, accuracy is one division rounded
+# 6dp.
+# Scale: one user_id window for the lead pairs, one (prev, next)
+# rollup (vocabulary-sized), one broadcast of the 5-row model back
+# onto the test pairs.
+# ---------------------------------------------------------------------------
+
+_MARKOV_CUTOVER = "TIMESTAMP '2024-01-16 00:00:00'"
+
+
+@register(
+    "markov_accuracy",
+    oracle=f"""
+WITH pairs AS (
+  SELECT user_id, event_type AS prev,
+         lead(event_type) OVER w AS next,
+         lead(ts) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), valid AS (
+  SELECT prev, next, next_ts FROM pairs WHERE next IS NOT NULL
+), train AS (
+  SELECT prev, next, CAST(count(*) AS BIGINT) AS n
+  FROM valid WHERE next_ts < {_MARKOV_CUTOVER} GROUP BY prev, next
+), model AS (
+  SELECT prev, next AS pred FROM (
+    SELECT prev, next,
+           row_number() OVER (PARTITION BY prev
+                              ORDER BY n DESC, next) AS rk
+    FROM train
+  ) WHERE rk = 1
+), test AS (
+  SELECT prev, next FROM valid WHERE next_ts >= {_MARKOV_CUTOVER}
+)
+SELECT t.prev, m.pred,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(count(CASE WHEN t.next = m.pred THEN 1 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(count(CASE WHEN t.next = m.pred THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS accuracy
+FROM test t JOIN model m ON m.prev = t.prev
+GROUP BY t.prev, m.pred ORDER BY t.prev
+""",
+    doc="Markov next-event accuracy under a temporal split: argmax "
+    "P(next|prev) learned from pre-cutover transitions (BIGINT counts, "
+    "lexicographic tie-break), held-out accuracy per prev state — the "
+    "whole fit/eval loop in relational algebra; one user window + one "
+    "vocabulary rollup + a broadcast 5-row model",
+    tags=("mining", "ml", "window"),
+)
+def markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("next"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next").isNotNull())
+    cutover = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    train = (
+        pairs.filter(F.col("next_ts") < cutover)
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rk = Window.partitionBy("prev").orderBy(F.desc("n"), "next")
+    model = (
+        train.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("next").alias("pred"))
+    )
+    test = pairs.filter(F.col("next_ts") >= cutover).select("prev", "next")
+    correct = F.count(F.when(F.col("next") == F.col("pred"), 1))
+    return (
+        test.join(F.broadcast(model), "prev")
+        .groupBy("prev", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            correct.alias("n_correct"),
+            F.round(
+                correct.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("prev")
+    )

@@ -318,6 +318,16 @@ BOUNDS = {
     "text_ngram_novelty": 8.0,
     "text_vocab_drift": 8.0,
     "bloom_filter_fpr": 8.0,
+    # Markov eval: one user window + vocabulary rollup + broadcast
+    # model join; Flesch is map-side string algebra; source overlap is
+    # a within-shingle self-join whose pair fanout is |sources|^2 per
+    # shingle (source count fixed under replication -> ~k); the kNN
+    # graph's pair table is (n/20)^2 — rides the sample's own k^2
+    # growth, so bound it loosely like the other match-growing joins
+    "markov_accuracy": 8.0,
+    "text_readability_flesch": 8.0,
+    "source_overlap_matrix": 8.0,
+    "knn_graph_reciprocity": 40.0,
 }
 
 
