@@ -262,6 +262,11 @@ def load_registry() -> dict[str, Q]:
         # reciprocity, Flesch readability, source overlap matrix
         "markov_accuracy", "knn_graph_reciprocity",
         "text_readability_flesch", "source_overlap_matrix",
+        # storage/costing/source depth (same three-SF oracle
+        # discipline): delta bit-width audit, FIFO lot costing, cohort
+        # LTV curve, CSV source fidelity
+        "delta_bitwidth_histogram", "fifo_lot_allocation",
+        "cohort_ltv_curve", "csv_roundtrip_scan",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3520,3 +3520,201 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("observed_fpr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: delta-encoding bit-width audit — before
+# choosing a columnar encoding you measure how many bits the deltas of
+# a sorted column actually need (Parquet DELTA_BINARY_PACKED, Gorilla
+# and every TSDB codec live on exactly this histogram). Per user, the
+# successive timestamp deltas in microseconds; per delta, the minimal
+# bit width via the binary-string length of the exact integer — no
+# log2 float anywhere.
+# Exactness: deltas are BIGINT differences under a unique (ts,
+# event_id) ordering; bits = length(bin(delta)) with delta=0 pinned to
+# 0 bits — pure integer/string algebra on both engines.
+# Scale: one user_id window shuffle, then a <=64-key rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_bitwidth_histogram",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+  FROM events
+), bits AS (
+  SELECT CASE WHEN delta = 0 THEN 0
+              ELSE CAST(length(bin(delta)) AS BIGINT) END AS n_bits
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT n_bits,
+       CAST(count(*) AS BIGINT) AS n_deltas,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM bits GROUP BY n_bits ORDER BY n_bits
+""",
+    doc="delta-encoding bit-width histogram over per-user timestamp "
+    "deltas (the DELTA_BINARY_PACKED / Gorilla sizing audit): minimal "
+    "bits per delta via length(bin(x)) on exact BIGINT differences — "
+    "no float log2; one user window + a <=64-key rollup; share is one "
+    "end division",
+    tags=("window", "time", "storage"),
+)
+def delta_bitwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        (epoch_us("ts") - F.lag(epoch_us("ts")).over(w)).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    bits = d.select(
+        F.when(F.col("delta") == 0, F.lit(0).cast("long"))
+        .otherwise(F.length(F.bin("delta")).cast("long"))
+        .alias("n_bits")
+    )
+    w_all = Window.partitionBy()
+    counted = bits.groupBy("n_bits").agg(
+        F.count(F.lit(1)).alias("n_deltas")
+    )
+    return counted.select(
+        "n_bits",
+        "n_deltas",
+        F.round(
+            F.col("n_deltas").cast("double")
+            / F.sum("n_deltas").over(w_all).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("n_bits")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: FIFO lot allocation — inventory costing's core
+# operator: match each issue (outflow) to receipt lots (inflows) in
+# first-in-first-out order and cost the matched portions. The classic
+# imperative loop becomes pure relational algebra via the
+# cumulative-quantity interval trick: receipts and issues each get
+# [cum_prev, cum) intervals on the shared per-key quantity axis, and a
+# FIFO match is exactly a non-empty interval intersection — the same
+# epoch-bucketable range-join shape as interval_overlap_join, so it
+# scales the same way.
+# Exactness: quantities are integral (cast to BIGINT), overlaps are
+# least/greatest of exact integers, unit cost = cents div qty (exact
+# floor), allocation cost = overlap x unit cents — all BIGINT.
+# Scale: one partkey window per side, one per-key range join whose
+# matches are ~diagonal (each issue touches few lots); at 100 TB
+# bucket the cum axis exactly like range_join_bucketized.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fifo_lot_allocation",
+    oracle="""
+WITH receipts AS (
+  SELECT l_partkey AS pk,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           // CAST(l_quantity AS BIGINT) AS unit_cents,
+         sum(CAST(l_quantity AS BIGINT)) OVER w
+           - CAST(l_quantity AS BIGINT) AS lo,
+         sum(CAST(l_quantity AS BIGINT)) OVER w AS hi
+  FROM lineitem WHERE l_returnflag = 'N'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), issues AS (
+  SELECT l_partkey AS pk,
+         sum(CAST(l_quantity AS BIGINT)) OVER w
+           - CAST(l_quantity AS BIGINT) AS lo,
+         sum(CAST(l_quantity AS BIGINT)) OVER w AS hi
+  FROM lineitem WHERE l_returnflag = 'R'
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), allocs AS (
+  SELECT r.pk,
+         least(r.hi, i.hi) - greatest(r.lo, i.lo) AS alloc_qty,
+         (least(r.hi, i.hi) - greatest(r.lo, i.lo)) * r.unit_cents
+           AS alloc_cents
+  FROM receipts r JOIN issues i
+    ON i.pk = r.pk AND r.hi > i.lo AND r.lo < i.hi
+)
+SELECT pk AS partkey,
+       CAST(count(*) AS BIGINT) AS n_allocs,
+       CAST(sum(alloc_qty) AS BIGINT) AS qty_allocated,
+       CAST(sum(alloc_cents) AS BIGINT) AS cost_cents
+FROM allocs GROUP BY pk ORDER BY partkey LIMIT 200
+""",
+    doc="FIFO lot allocation via the cumulative-quantity interval "
+    "trick: receipts and issues get [cum_prev, cum) intervals per "
+    "part, a FIFO match is a non-empty interval intersection, cost = "
+    "overlap x exact floor unit cents — the imperative costing loop as "
+    "one window per side + one ~diagonal per-key range join (bucket "
+    "the cum axis at scale, as in range_join_bucketized)",
+    tags=("join", "window", "mining"),
+)
+def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("pk")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def lots(flag, with_cost):
+        base = li.filter(F.col("l_returnflag") == flag).select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " div CAST(l_quantity AS BIGINT)"
+            ).alias("unit_cents"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        cum = base.select(
+            "pk",
+            "unit_cents",
+            (F.sum("qty").over(w) - F.col("qty")).alias("lo"),
+            F.sum("qty").over(w).alias("hi"),
+        )
+        return cum if with_cost else cum.drop("unit_cents")
+
+    receipts = lots("N", True).alias("r")
+    issues = lots("R", False).alias("i")
+    allocs = receipts.join(
+        issues,
+        (F.col("i.pk") == F.col("r.pk"))
+        & (F.col("r.hi") > F.col("i.lo"))
+        & (F.col("r.lo") < F.col("i.hi")),
+    ).select(
+        F.col("r.pk").alias("pk"),
+        (
+            F.least(F.col("r.hi"), F.col("i.hi"))
+            - F.greatest(F.col("r.lo"), F.col("i.lo"))
+        ).alias("alloc_qty"),
+        (
+            (
+                F.least(F.col("r.hi"), F.col("i.hi"))
+                - F.greatest(F.col("r.lo"), F.col("i.lo"))
+            )
+            * F.col("r.unit_cents")
+        ).alias("alloc_cents"),
+    )
+    return (
+        allocs.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("n_allocs"),
+            F.sum("alloc_qty").alias("qty_allocated"),
+            F.sum("alloc_cents").alias("cost_cents"),
+        )
+        .select(
+            F.col("pk").alias("partkey"),
+            "n_allocs",
+            "qty_allocated",
+            "cost_cents",
+        )
+        .orderBy("partkey")
+        .limit(200)
+    )

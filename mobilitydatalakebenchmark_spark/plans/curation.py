@@ -4041,3 +4041,76 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: CSV source fidelity — the one mainstream
+# format the gate registry did not yet exercise end-to-end. The gate
+# WRITES the events slice to CSV (explicit schema, microsecond
+# timestamp format, no inference anywhere) and re-reads it through the
+# engine's CSV source; the oracle computes the same rollup from the
+# original parquet, so any loss in the text round-trip — truncated
+# microseconds, double mangling, quoting/escape damage on the free-text
+# props column — flips a cell. This is the reference's ingestion
+# contract (SURVEY §2.1 scans) applied to CSV.
+# Exactness: the compared rollup is BIGINT counts + exact cents + µs
+# min/max; doubles cross text via shortest-round-trip repr (lossless
+# by construction).
+# Scale: a CSV scan is splittable line-wise; the explicit schema keeps
+# inference (a full extra pass) out of the plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "csv_roundtrip_scan",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="CSV source fidelity: write events to CSV (explicit schema, "
+    "microsecond timestampFormat, header, no inference), re-read "
+    "through the CSV source, and the rollup must equal the parquet "
+    "oracle cell-for-cell — truncated µs, double mangling or "
+    "quote/escape damage flips a cell; line-splittable scan, "
+    "schema-on-read without the inference pass",
+    tags=("scan", "write", "quality"),
+)
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src_dir, out, _ = _gate_dirs(sf_dir, "csv_roundtrip")
+    ev = t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampFormat", fmt)
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        .option("header", "true")
+        .option("timestampFormat", fmt)
+        .csv(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min(epoch_us("ts")).alias("min_us"),
+            F.max(epoch_us("ts")).alias("max_us"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

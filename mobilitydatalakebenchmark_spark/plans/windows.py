@@ -1887,3 +1887,117 @@ def markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: cohort LTV curve — cohort_retention counts WHO
+# comes back; this gate sums WHAT they spend: signup-week cohorts,
+# cumulative revenue by week age, per-user LTV. The unit-economics
+# readout every growth dashboard plots.
+# Exactness: cohort/age weeks are exact integer epoch-day floors,
+# revenue is BIGINT cents, the running sum is integer, and per-user
+# LTV is one division rounded 6dp.
+# Scale: one user collapse for cohorts, one broadcast join onto
+# purchases, one (cohort, age) rollup and a cohort-partitioned running
+# sum over a calendar-bounded table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id,
+         min(epoch_us(ts)) // (CAST(604800 AS BIGINT) * 1000000)
+           AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+  FROM cohorts GROUP BY cohort_week
+), rev AS (
+  SELECT c.cohort_week,
+         epoch_us(e.ts) // (CAST(604800 AS BIGINT) * 1000000)
+           - c.cohort_week AS age_weeks,
+         CAST(round(e.value * 100) AS BIGINT) AS cents
+  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) // (CAST(604800 AS BIGINT) * 1000000)
+        >= c.cohort_week
+), agg AS (
+  SELECT cohort_week, age_weeks,
+         CAST(sum(cents) AS BIGINT) AS week_cents
+  FROM rev GROUP BY cohort_week, age_weeks
+)
+SELECT a.cohort_week, a.age_weeks, a.week_cents,
+       CAST(sum(a.week_cents) OVER (PARTITION BY a.cohort_week
+                                    ORDER BY a.age_weeks
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+         AS cum_cents,
+       s.n_users,
+       round(CAST(sum(a.week_cents) OVER (PARTITION BY a.cohort_week
+                                          ORDER BY a.age_weeks
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE)
+             / CAST(s.n_users AS DOUBLE), 6) AS ltv_per_user
+FROM agg a JOIN sizes s ON s.cohort_week = a.cohort_week
+ORDER BY a.cohort_week, a.age_weeks
+""",
+    doc="cohort LTV curve: signup-week cohorts, purchase revenue "
+    "bucketed by week age, cumulative cents per cohort and per-user "
+    "LTV — integer week floors, BIGINT running sums, one end division; "
+    "user collapse + broadcast cohort join + calendar-bounded rollup",
+    tags=("window", "time", "mining"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    week = lambda c: F.expr(  # noqa: E731
+        f"unix_micros({c}) div 604800000000"
+    )
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(epoch_us("ts")).alias("first_us"))
+        .select(
+            "user_id",
+            F.expr("first_us div 604800000000").alias("cohort_week"),
+        )
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohorts), "user_id")
+        .select(
+            "cohort_week",
+            (week("ts") - F.col("cohort_week")).alias("age_weeks"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .filter(F.col("age_weeks") >= 0)
+    )
+    agg = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").alias("week_cents")
+    )
+    w_cum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        agg.withColumn("cum_cents", F.sum("week_cents").over(w_cum))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "week_cents",
+            "cum_cents",
+            "n_users",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

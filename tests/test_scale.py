@@ -328,6 +328,15 @@ BOUNDS = {
     "text_readability_flesch": 8.0,
     "source_overlap_matrix": 8.0,
     "knn_graph_reciprocity": 40.0,
+    # delta audit: one user window + <=64-key rollup; FIFO: one window
+    # per side + a ~diagonal per-key range join (k-consistent
+    # replication adds parts, lots per part fixed); LTV: user collapse
+    # + broadcast cohort join + calendar-bounded rollup; CSV: write +
+    # line-splittable scan, both linear
+    "delta_bitwidth_histogram": 8.0,
+    "fifo_lot_allocation": 8.0,
+    "cohort_ltv_curve": 8.0,
+    "csv_roundtrip_scan": 8.0,
 }
 
 
