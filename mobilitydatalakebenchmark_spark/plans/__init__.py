@@ -267,6 +267,11 @@ def load_registry() -> dict[str, Q]:
         # LTV curve, CSV source fidelity
         "delta_bitwidth_histogram", "fifo_lot_allocation",
         "cohort_ltv_curve", "csv_roundtrip_scan",
+        # source-format / layout / semantics depth (same three-SF
+        # oracle discipline): JSONL + ORC fidelity, hive-partitioned
+        # pruned read, NULL-semantics matrix
+        "jsonl_roundtrip_scan", "orc_roundtrip_scan",
+        "partitioned_write_prune", "null_semantics_matrix",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3718,3 +3718,83 @@ def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("partkey")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: NULL-semantics matrix — the cross-engine
+# contract every migration trips over at least once: COUNT(*) vs
+# COUNT(col), aggregates skipping NULLs, DISTINCT excluding NULLs but
+# GROUP BY keeping them as ONE group, and null-safe equality. The gate
+# derives a deterministic nullable column (cents divisible by 7 ->
+# NULL) and pins every one of those behaviors in a single row of exact
+# integers — if either engine's NULL handling drifts, a cell flips.
+# Scale: one conditional scan + one distinct aggregate; nothing here
+# grows beyond the scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_semantics_matrix",
+    oracle="""
+WITH src AS (
+  SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS c
+  FROM events
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(c) AS BIGINT) AS n_nonnull,
+       CAST(count(*) - count(c) AS BIGINT) AS n_nulls,
+       CAST(sum(c) AS BIGINT) AS sum_nonnull,
+       CAST(min(c) AS BIGINT) AS min_nonnull,
+       CAST(max(c) AS BIGINT) AS max_nonnull,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_distinct_nonnull,
+       CAST((SELECT count(*) FROM (SELECT c FROM src GROUP BY c))
+            AS BIGINT) AS n_groups_with_null,
+       CAST(count(CASE WHEN c IS NOT DISTINCT FROM NULL THEN 1 END)
+            AS BIGINT) AS n_nullsafe_eq_null
+FROM src
+""",
+    doc="NULL-semantics matrix in one row of exact integers: COUNT(*) "
+    "vs COUNT(col), SUM/MIN/MAX skipping NULLs, DISTINCT excluding "
+    "NULL while GROUP BY keeps it as one group, and null-safe equality "
+    "(<=> / IS NOT DISTINCT FROM) — the cross-engine contract every "
+    "migration trips over; one conditional scan + one distinct",
+    tags=("scan", "quality"),
+)
+def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    src = ev.select(
+        F.when(cents % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(cents)
+        .alias("c")
+    )
+    groups = src.groupBy("c").count().agg(
+        F.count(F.lit(1)).alias("n_groups_with_null")
+    )
+    return (
+        src.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("c").alias("n_nonnull"),
+            (F.count(F.lit(1)) - F.count("c")).alias("n_nulls"),
+            F.sum("c").alias("sum_nonnull"),
+            F.min("c").alias("min_nonnull"),
+            F.max("c").alias("max_nonnull"),
+            F.countDistinct("c").alias("n_distinct_nonnull"),
+            F.count(
+                F.when(F.col("c").eqNullSafe(F.lit(None).cast("long")), 1)
+            ).alias("n_nullsafe_eq_null"),
+        )
+        .crossJoin(F.broadcast(groups))
+        .select(
+            "n_rows",
+            "n_nonnull",
+            "n_nulls",
+            "sum_nonnull",
+            "min_nonnull",
+            "max_nonnull",
+            "n_distinct_nonnull",
+            "n_groups_with_null",
+            "n_nullsafe_eq_null",
+        )
+    )

@@ -4114,3 +4114,194 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: JSONL source fidelity — newline-delimited JSON
+# is the lingua franca of training-data interchange; the gate writes
+# the events slice as JSONL (explicit schema on re-read, microsecond
+# timestamp format, no inference) and the per-day rollup of the
+# re-read must equal the parquet oracle. Complements csv_roundtrip_scan
+# and the reference's GeoJSON snapshot scan (SURVEY §2.1 S1) with the
+# flat-JSONL case.
+# Exactness: compared cells are BIGINT counts, exact cents and µs
+# extrema; doubles cross the text boundary via shortest-round-trip
+# repr.
+# Scale: JSONL splits line-wise like CSV; explicit schema keeps the
+# inference pass out of the plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonl_roundtrip_scan",
+    oracle="""
+SELECT epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+FROM events GROUP BY day ORDER BY day
+""",
+    doc="JSONL source fidelity: write events as newline-delimited JSON "
+    "(microsecond timestampFormat), re-read with an explicit schema "
+    "(no inference pass), per-day rollup must equal the parquet oracle "
+    "cell-for-cell — the flat-JSONL sibling of the GeoJSON snapshot "
+    "scan and csv_roundtrip_scan; line-splittable",
+    tags=("scan", "write", "quality"),
+)
+def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out, _ = _gate_dirs(sf_dir, "jsonl_roundtrip")
+    ev = t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("timestampFormat", fmt)
+        .json(out)
+    )
+    back = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double"
+        )
+        .option("timestampFormat", fmt)
+        .json(out)
+    )
+    return (
+        back.groupBy(
+            F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.max(epoch_us("ts")).alias("max_us"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: ORC source fidelity — the second columnar
+# format Spark ships natively. Same contract as the CSV/JSONL gates:
+# write, re-read, and the rollup must equal the parquet oracle — a
+# column-type mangling (timestamp precision, double payload) flips a
+# cell. Keyed by user bucket so the rollup exercises a different
+# grouping than the other round-trip gates.
+# Scale: ORC is a splittable columnar format with predicate pushdown,
+# interchangeable with parquet in every store of this engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orc_roundtrip_scan",
+    oracle="""
+SELECT user_id % 10 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_us
+FROM events GROUP BY bucket ORDER BY bucket
+""",
+    doc="ORC source fidelity: write events to ORC, re-read, per-user-"
+    "bucket rollup must equal the parquet oracle cell-for-cell "
+    "(timestamp precision and double payloads survive the columnar "
+    "round-trip); splittable columnar scan with pushdown, "
+    "interchangeable with parquet across the engine's stores",
+    tags=("scan", "write", "quality"),
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out, _ = _gate_dirs(sf_dir, "orc_roundtrip")
+    ev = t(spark, sf_dir, "events")
+    (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(4)
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return (
+        back.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min(epoch_us("ts")).alias("min_us"),
+            F.max(epoch_us("ts")).alias("max_us"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: hive-partitioned write + pruned read — the
+# layout decision every lake makes first: write facts partitioned by
+# day (directory-per-value), then a day-ranged query must read ONLY
+# the matching directories. The gate writes events partitioned by the
+# derived day column, re-reads with a day filter, and the rollup must
+# equal the parquet oracle computed WITH the same filter; the pytest
+# twin (tests/test_analytics_gates7.py) additionally pins
+# PartitionFilters in the physical plan so the pruning itself — not
+# just the answer — is verified.
+# Scale: partition pruning is THE 100-TB lever — a day-ranged query
+# over years of data touches only the asked-for directories; the
+# partition column must be low-cardinality (days, not user ids) to
+# avoid small-file explosion, which is exactly the layout here.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "partitioned_write_prune",
+    oracle="""
+WITH d AS (
+  SELECT epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS day,
+         event_type, value
+  FROM events
+)
+SELECT day, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM d WHERE day >= 19725 AND day <= 19727
+GROUP BY day, event_type ORDER BY day, event_type
+""",
+    doc="hive-partitioned write + pruned read: events written "
+    "partitionBy(day), re-read with a 3-day filter (directory pruning, "
+    "pinned in-plan by the pytest twin), rollup equals the filtered "
+    "parquet oracle — the first layout lever of a 100-TB lake; "
+    "low-cardinality partition column by construction",
+    tags=("scan", "write", "layout"),
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, out, _ = _gate_dirs(sf_dir, "part_prune")
+    ev = t(spark, sf_dir, "events")
+    (
+        ev.select(
+            "event_type",
+            "value",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    back = (
+        spark.read.parquet(out)
+        .filter((F.col("day") >= 19725) & (F.col("day") <= 19727))
+        # partition-column discovery types small ints as INT — pin the
+        # written BIGINT so the schema matches the oracle
+        .withColumn("day", F.col("day").cast("long"))
+    )
+    return (
+        back.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+        .orderBy("day", "event_type")
+    )

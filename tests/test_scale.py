@@ -337,6 +337,14 @@ BOUNDS = {
     "fifo_lot_allocation": 8.0,
     "cohort_ltv_curve": 8.0,
     "csv_roundtrip_scan": 8.0,
+    # format/layout gates: write + splittable re-scan each (linear);
+    # the partitioned gate's read side must stay ~flat (3 pruned days
+    # either way — only the write grows); NULL matrix is one scan +
+    # one distinct
+    "jsonl_roundtrip_scan": 8.0,
+    "orc_roundtrip_scan": 8.0,
+    "partitioned_write_prune": 8.0,
+    "null_semantics_matrix": 8.0,
 }
 
 
