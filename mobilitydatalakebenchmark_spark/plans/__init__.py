@@ -272,6 +272,11 @@ def load_registry() -> dict[str, Q]:
         # pruned read, NULL-semantics matrix
         "jsonl_roundtrip_scan", "orc_roundtrip_scan",
         "partitioned_write_prune", "null_semantics_matrix",
+        # fit-quality / capacity / semantics depth (same three-SF
+        # oracle discipline): per-entity R², truncation-loss report,
+        # dow x hour heatmap, join-type matrix
+        "linreg_r2_per_entity", "truncation_loss_report",
+        "dow_hour_heatmap", "join_type_matrix",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3798,3 +3798,168 @@ def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nullsafe_eq_null",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: per-entity R² — the goodness-of-fit companion
+# to linreg_trend_per_entity: same exact integer moments (x = seconds
+# from the entity's first event, y = cents), extended with syy, and
+# r² = (n·sxy − sx·sy)² / ((n·sxx − sx²)·(n·syy − sy²)) evaluated as a
+# FIXED tree over doubles that are themselves casts of exact BIGINTs —
+# one square, one product, one division, rounded 6dp. Screens which
+# entities' drifts are REAL before anyone trusts the slope.
+# Scale: one user_id window (for the x offset) + one moment rollup —
+# identical shape to the slope gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linreg_r2_per_entity",
+    oracle="""
+WITH pts AS (
+  SELECT user_id,
+         (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+             // 1000000 AS x,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round((CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+ORDER BY user_id
+""",
+    doc="per-entity R² from exact integer moments (the goodness-of-fit "
+    "companion to the least-squares slope gate): one square, one "
+    "product, one division over casts of exact BIGINTs, rounded 6dp — "
+    "screens which drifts are real; one user window + one moment "
+    "rollup",
+    tags=("agg", "regression", "stats"),
+)
+def linreg_r2_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) "
+            "- min(unix_micros(cast(ts as timestamp))) "
+            "OVER (PARTITION BY user_id)) div 1000000"
+        ).alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    m = pts.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        m.filter((F.col("n") >= 2) & (dx != 0) & (dy != 0))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (num.cast("double") * num.cast("double"))
+                / (dx.cast("double") * dy.cast("double")),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: join-type semantics matrix — the companion to
+# null_semantics_matrix on the JOIN side: the same keyed pair (with
+# deterministically NULLed keys on both sides) through inner / left /
+# right / full / semi / anti, all row counts pinned in one row. The
+# load-bearing rule it pins: NULL keys never match ANY join form —
+# they survive only as outer-padded rows — plus the exact outer-
+# padding arithmetic (full = inner + left-only + right-only).
+# Scale: six joins of two dim-sized projections of one scan; each is
+# a single hash join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_type_matrix",
+    oracle="""
+WITH l AS (
+  SELECT CASE WHEN user_id % 11 = 0 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_type IN ('view', 'click')
+), r AS (
+  SELECT DISTINCT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  CAST((SELECT count(*) FROM l) AS BIGINT) AS n_left_rows,
+  CAST((SELECT count(*) FROM r) AS BIGINT) AS n_right_rows,
+  CAST((SELECT count(*) FROM l JOIN r ON r.k = l.k) AS BIGINT) AS n_inner,
+  CAST((SELECT count(*) FROM l LEFT JOIN r ON r.k = l.k) AS BIGINT)
+    AS n_left,
+  CAST((SELECT count(*) FROM l RIGHT JOIN r ON r.k = l.k) AS BIGINT)
+    AS n_right,
+  CAST((SELECT count(*) FROM l FULL JOIN r ON r.k = l.k) AS BIGINT)
+    AS n_full,
+  CAST((SELECT count(*) FROM l SEMI JOIN r ON r.k = l.k) AS BIGINT)
+    AS n_semi,
+  CAST((SELECT count(*) FROM l ANTI JOIN r ON r.k = l.k) AS BIGINT)
+    AS n_anti
+""",
+    doc="join-type semantics matrix: one keyed pair with deterministic "
+    "NULL keys on both sides through inner/left/right/full/semi/anti, "
+    "all counts in one row — pins that NULL keys never match any join "
+    "form and the outer-padding arithmetic (full = inner + left-only + "
+    "right-only); six single hash joins of dim-sized projections",
+    tags=("join", "quality"),
+)
+def join_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.when(F.col("user_id") % 11 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k")
+    )
+    r = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("user_id"))
+            .alias("k")
+        )
+        .distinct()
+    )
+    rk = r.withColumnRenamed("k", "rk")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    parts = [
+        cnt(l, "n_left_rows"),
+        cnt(r, "n_right_rows"),
+        cnt(l.join(rk, F.col("rk") == F.col("k")), "n_inner"),
+        cnt(l.join(rk, F.col("rk") == F.col("k"), "left"), "n_left"),
+        cnt(l.join(rk, F.col("rk") == F.col("k"), "right"), "n_right"),
+        cnt(l.join(rk, F.col("rk") == F.col("k"), "full"), "n_full"),
+        cnt(l.join(rk, F.col("rk") == F.col("k"), "left_semi"), "n_semi"),
+        cnt(l.join(rk, F.col("rk") == F.col("k"), "left_anti"), "n_anti"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(F.broadcast(p))
+    return out

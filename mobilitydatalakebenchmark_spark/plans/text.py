@@ -2872,3 +2872,75 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: truncation-loss report — every sequence model
+# trains at a fixed context length, and the curation question is what
+# a given max_len throws away: per source, the tokens beyond the first
+# 128 per document, the share of documents affected, and the share of
+# total token mass lost. The capacity-planning twin of
+# length_bucketed_batches / pack_sequences_contiguous.
+# Exactness: whitespace token counts and losses are BIGINT; the two
+# shares are one division each, rounded 6dp.
+# Scale: map-side token counting into one source-keyed rollup.
+# ---------------------------------------------------------------------------
+
+_TRUNC_MAX_LEN = 128
+
+
+@register(
+    "truncation_loss_report",
+    oracle=f"""
+WITH m AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(count(CASE WHEN n_tok > {_TRUNC_MAX_LEN} THEN 1 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(greatest(n_tok - {_TRUNC_MAX_LEN}, 0)) AS BIGINT)
+         AS tokens_lost,
+       round(CAST(count(CASE WHEN n_tok > {_TRUNC_MAX_LEN} THEN 1 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS doc_share_truncated,
+       round(CAST(sum(greatest(n_tok - {_TRUNC_MAX_LEN}, 0)) AS DOUBLE)
+             / CAST(sum(n_tok) AS DOUBLE), 6) AS token_share_lost
+FROM m GROUP BY source ORDER BY source
+""",
+    doc=f"truncation-loss report at max_len={_TRUNC_MAX_LEN}: per "
+    "source, documents over the context length, whitespace tokens "
+    "beyond it, and the doc/token shares lost — the capacity-planning "
+    "twin of the packing gates; BIGINT counts, two end divisions; "
+    "map-side counting into one source rollup",
+    tags=("text", "ml", "quality"),
+)
+def truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    m = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    over = F.count(F.when(F.col("n_tok") > _TRUNC_MAX_LEN, 1))
+    lost = F.sum(
+        F.greatest(F.col("n_tok") - _TRUNC_MAX_LEN, F.lit(0).cast("long"))
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            over.alias("n_truncated"),
+            lost.alias("tokens_lost"),
+            F.round(
+                over.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("doc_share_truncated"),
+            F.round(
+                lost.cast("double") / F.sum("n_tok").cast("double"), 6
+            ).alias("token_share_lost"),
+        )
+        .orderBy("source")
+    )

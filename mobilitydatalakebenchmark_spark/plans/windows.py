@@ -2001,3 +2001,66 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: day-of-week x hour activity heatmap — the
+# operational calendar every monitoring dashboard opens with, and the
+# input to capacity planning (when do the batch windows fit?). Day of
+# week is pure epoch-day arithmetic ((day + 4) % 7 pins 1970-01-01 to
+# Thursday) so no engine calendar/locale dependence can flip a cell.
+# Exactness: all cells are BIGINT counts + exact cents; the share is
+# one division rounded 6dp.
+# Scale: one 168-key rollup over one scan, map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dow_hour_heatmap",
+    oracle="""
+WITH g AS (
+  SELECT (epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) + 4) % 7 AS dow,
+         (epoch_us(ts) // (CAST(3600 AS BIGINT) * 1000000)) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT dow, hour,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+FROM g GROUP BY dow, hour ORDER BY dow, hour
+""",
+    doc="day-of-week x hour activity heatmap via pure epoch arithmetic "
+    "((epoch_day + 4) % 7 — no engine calendar/locale dependence), "
+    "BIGINT counts and cents, share one end division; a 168-key "
+    "map-side-combinable rollup over one scan",
+    tags=("window", "time"),
+)
+def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    g = ev.select(
+        F.expr(
+            "(unix_micros(ts) div 86400000000 + 4) % 7"
+        ).alias("dow"),
+        F.expr(
+            "(unix_micros(ts) div 3600000000) % 24"
+        ).alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_all = Window.partitionBy()
+    counted = g.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return counted.select(
+        "dow",
+        "hour",
+        "n",
+        "sum_cents",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(w_all).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("dow", "hour")

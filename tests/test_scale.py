@@ -345,6 +345,14 @@ BOUNDS = {
     "orc_roundtrip_scan": 8.0,
     "partitioned_write_prune": 8.0,
     "null_semantics_matrix": 8.0,
+    # R²: one user window + one moment rollup (the slope gate's shape);
+    # truncation/heatmap: map-side expressions into bounded rollups;
+    # join matrix: six hash joins whose match counts grow ~k under
+    # key-consistent replication
+    "linreg_r2_per_entity": 8.0,
+    "truncation_loss_report": 8.0,
+    "dow_hour_heatmap": 8.0,
+    "join_type_matrix": 8.0,
 }
 
 
