@@ -277,6 +277,11 @@ def load_registry() -> dict[str, Q]:
         # dow x hour heatmap, join-type matrix
         "linreg_r2_per_entity", "truncation_loss_report",
         "dow_hour_heatmap", "join_type_matrix",
+        # ranking-contract / funnel / dedup-policy depth (same three-SF
+        # oracle discipline): window-function matrix, shipment SLA,
+        # any-order funnel, canonical keep-best selection
+        "window_function_matrix", "sla_shipment_report",
+        "multi_event_completion", "dedup_canonical_selection",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

@@ -3963,3 +3963,174 @@ def join_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.crossJoin(F.broadcast(p))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: window-function semantics matrix — the ranking
+# family's cross-engine contract in one table: row_number on a UNIQUE
+# ordering, rank/dense_rank on a TIED ordering (gap vs no-gap), ntile
+# remainder distribution, lag/lead defaults, first/last/nth in a
+# running frame, and the exact rationals percent_rank ((rank-1)/(n-1))
+# and cume_dist (n_leq/n). Every migration meets these; one drifted
+# default (lead's NULL, nth_value's frame) flips a cell.
+# Exactness: everything is integer except the two rationals, each ONE
+# division of exact integers.
+# Scale: one user-partitioned sort feeds every function — a single
+# window exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_function_matrix",
+    oracle="""
+WITH src AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) % 100 AS v
+  FROM events WHERE user_id < 5
+)
+SELECT user_id, event_id, v,
+       CAST(row_number() OVER u AS BIGINT) AS rn,
+       CAST(rank() OVER t AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER t AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER u AS BIGINT) AS tile4,
+       CAST(lag(v) OVER u AS BIGINT) AS lag_v,
+       CAST(lead(v, 1, -1) OVER u AS BIGINT) AS lead_v,
+       CAST(first_value(v) OVER run AS BIGINT) AS first_v,
+       CAST(last_value(v) OVER run AS BIGINT) AS last_v,
+       CAST(nth_value(v, 2) OVER run AS BIGINT) AS nth2_v,
+       round(CAST(rank() OVER t - 1 AS DOUBLE)
+             / CAST(count(*) OVER (PARTITION BY user_id) - 1 AS DOUBLE), 6)
+         AS prank,
+       round(CAST(count(*) OVER (PARTITION BY user_id ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / CAST(count(*) OVER (PARTITION BY user_id) AS DOUBLE), 6)
+         AS cdist
+FROM src
+WINDOW u AS (PARTITION BY user_id ORDER BY v, event_id),
+       t AS (PARTITION BY user_id ORDER BY v),
+       run AS (PARTITION BY user_id ORDER BY v, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    doc="window-function semantics matrix over one partitioned sort: "
+    "row_number (unique order), rank/dense_rank (tied order, gap vs "
+    "no-gap), ntile remainders, lag/lead with an explicit default, "
+    "first/last/nth in a running frame, percent_rank and cume_dist as "
+    "single exact-integer divisions — the ranking family's "
+    "cross-engine contract in one table",
+    tags=("window", "quality"),
+)
+def window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    src = ev.select(
+        "user_id",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") % 100).alias("v"),
+    )
+    u = Window.partitionBy("user_id").orderBy("v", "event_id")
+    tied = Window.partitionBy("user_id").orderBy("v")
+    run = u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cume = (
+        Window.partitionBy("user_id")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    part = Window.partitionBy("user_id")
+    return src.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.row_number().over(u).cast("long").alias("rn"),
+        F.rank().over(tied).cast("long").alias("rnk"),
+        F.dense_rank().over(tied).cast("long").alias("drnk"),
+        F.ntile(4).over(u).cast("long").alias("tile4"),
+        F.lag("v").over(u).cast("long").alias("lag_v"),
+        F.lead("v", 1, -1).over(u).cast("long").alias("lead_v"),
+        F.first("v").over(run).cast("long").alias("first_v"),
+        F.last("v").over(run).cast("long").alias("last_v"),
+        F.nth_value("v", 2).over(run).cast("long").alias("nth2_v"),
+        F.round(
+            (F.rank().over(tied) - 1).cast("double")
+            / (F.count(F.lit(1)).over(part) - 1).cast("double"),
+            6,
+        ).alias("prank"),
+        F.round(
+            F.count(F.lit(1)).over(cume).cast("double")
+            / F.count(F.lit(1)).over(part).cast("double"),
+            6,
+        ).alias("cdist"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: shipment-SLA report — per order priority, the
+# share of lineitems shipped within 7 / 30 days of the order date: the
+# operational service-level readout every fulfillment dashboard leads
+# with (and TPC-H Q4/Q12's managerial question asked directly).
+# Exactness: day lags are exact integer epoch-day differences; counts
+# BIGINT; the two shares are one division each rounded 6dp.
+# Scale: one broadcast-sized orders projection? No — orders is the
+# fact's parent: one equi-join on orderkey (co-partitioned shuffle),
+# one 5-key rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sla_shipment_report",
+    oracle="""
+WITH lagd AS (
+  SELECT o.o_orderpriority AS priority,
+         epoch_us(l.l_shipdate) // (CAST(86400 AS BIGINT) * 1000000)
+           - epoch_us(o.o_orderdate) // (CAST(86400 AS BIGINT) * 1000000)
+           AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(CASE WHEN lag_days <= 7 THEN 1 END) AS BIGINT)
+         AS n_within_7d,
+       CAST(count(CASE WHEN lag_days <= 30 THEN 1 END) AS BIGINT)
+         AS n_within_30d,
+       round(CAST(count(CASE WHEN lag_days <= 7 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS sla_7d,
+       round(CAST(count(CASE WHEN lag_days <= 30 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS sla_30d
+FROM lagd GROUP BY priority ORDER BY priority
+""",
+    doc="shipment-SLA report per order priority: share of lineitems "
+    "shipped within 7/30 days of the order date — exact epoch-day "
+    "lags, BIGINT counts, two end divisions; one orderkey equi-join + "
+    "a 5-key rollup",
+    tags=("join", "time", "mining"),
+)
+def sla_shipment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    lagd = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.expr("unix_micros(l_shipdate) div 86400000000")
+            - F.expr("unix_micros(o_orderdate) div 86400000000")
+        ).alias("lag_days"),
+    )
+    w7 = F.count(F.when(F.col("lag_days") <= 7, 1))
+    w30 = F.count(F.when(F.col("lag_days") <= 30, 1))
+    return (
+        lagd.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            w7.alias("n_within_7d"),
+            w30.alias("n_within_30d"),
+            F.round(
+                w7.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("sla_7d"),
+            F.round(
+                w30.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("sla_30d"),
+        )
+        .orderBy("priority")
+    )

@@ -2944,3 +2944,64 @@ def truncation_loss_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: quality-aware canonical selection — dedup's
+# final act: inside each exact-duplicate group (md5 of the normalized
+# text), KEEP the best copy (longest, then lowest doc_id) and report
+# per source what survived and what was removed. The "which copy do we
+# keep" policy is where real pipelines differ from textbook dedup —
+# this gate pins an explicit, total-ordered policy.
+# Exactness: group keys are md5 strings (engine-exact), the keeper is
+# an integer-ordered argmin via row_number, counts BIGINT.
+# Scale: one hash-group shuffle + one rank window per group — the
+# exact-dedup plan with a keep-policy window on top.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         md5(lower(trim(text))) AS h
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, h,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN rk = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(count(CASE WHEN rk > 1 THEN 1 END) AS BIGINT) AS n_removed
+FROM ranked GROUP BY source ORDER BY source
+""",
+    doc="quality-aware canonical selection: exact-duplicate groups by "
+    "md5(normalized text), keep the longest copy (doc_id tie-break) "
+    "via one rank window, report kept/removed per source — pins the "
+    "keep policy real dedup pipelines differ on; one hash-group "
+    "shuffle + one window",
+    tags=("text", "dedup"),
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = keyed.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("rk") == 1, 1)).alias("n_kept"),
+            F.count(F.when(F.col("rk") > 1, 1)).alias("n_removed"),
+        )
+        .orderBy("source")
+    )

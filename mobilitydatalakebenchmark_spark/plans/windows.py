@@ -2064,3 +2064,99 @@ def dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     ).orderBy("dow", "hour")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: multi-event completion — users who performed
+# ALL of view, click and purchase inside one 7-day window: the
+# any-order funnel (funnel_conversion is the ordered one;
+# event_sequence_regex the regex one). Set-completion over a sliding
+# window via per-type as-of state, expressed as conditional max-over-
+# window — zero self-joins.
+# Exactness: completion tests are integer µs comparisons; the summary
+# is BIGINT counts + one division.
+# Scale: one user_id window shuffle carrying three running maxes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multi_event_completion",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS e,
+         max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER w AS last_view,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER w AS last_click,
+         max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER w AS last_purchase
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), complete AS (
+  SELECT DISTINCT user_id
+  FROM marked
+  WHERE last_view IS NOT NULL AND last_click IS NOT NULL
+    AND last_purchase IS NOT NULL
+    AND e - least(last_view, last_click, last_purchase)
+        <= CAST(7 * 24 * 3600 AS BIGINT) * 1000000
+)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+         AS n_users,
+       CAST((SELECT count(*) FROM complete) AS BIGINT) AS n_complete,
+       round(CAST((SELECT count(*) FROM complete) AS DOUBLE)
+             / CAST((SELECT count(DISTINCT user_id) FROM events)
+                    AS DOUBLE), 6) AS completion_rate
+""",
+    doc="any-order funnel: users completing ALL of view/click/purchase "
+    "within one 7-day window, via three per-type running maxes on one "
+    "user window (zero self-joins) — the set-completion sibling of the "
+    "ordered funnel and the sequence-regex gates; integer µs tests, "
+    "one end division",
+    tags=("window", "time", "funnel"),
+)
+def multi_event_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def last_of(et):
+        return F.max(
+            F.when(F.col("event_type") == et, epoch_us("ts"))
+        ).over(w)
+
+    marked = ev.select(
+        "user_id",
+        epoch_us("ts").alias("e"),
+        last_of("view").alias("last_view"),
+        last_of("click").alias("last_click"),
+        last_of("purchase").alias("last_purchase"),
+    )
+    complete = (
+        marked.filter(
+            F.col("last_view").isNotNull()
+            & F.col("last_click").isNotNull()
+            & F.col("last_purchase").isNotNull()
+            & (
+                F.col("e")
+                - F.least("last_view", "last_click", "last_purchase")
+                <= F.lit(7 * 24 * 3600 * 1000000)
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_complete"))
+    )
+    totals = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return totals.crossJoin(F.broadcast(complete)).select(
+        "n_users",
+        "n_complete",
+        F.round(
+            F.col("n_complete").cast("double")
+            / F.col("n_users").cast("double"),
+            6,
+        ).alias("completion_rate"),
+    )

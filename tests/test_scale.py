@@ -353,6 +353,15 @@ BOUNDS = {
     "truncation_loss_report": 8.0,
     "dow_hour_heatmap": 8.0,
     "join_type_matrix": 8.0,
+    # window matrix: one partitioned sort feeding every function (the
+    # user_id<5 slice is fixed — near-flat); SLA: one orderkey
+    # co-partitioned join + 5-key rollup; completion: one user window
+    # with three running maxes; canonical selection: one hash-group
+    # shuffle + one window
+    "window_function_matrix": 8.0,
+    "sla_shipment_report": 8.0,
+    "multi_event_completion": 8.0,
+    "dedup_canonical_selection": 8.0,
 }
 
 
