@@ -2736,11 +2736,10 @@ WITH m AS (
   FROM documents
 )
 SELECT doc_id, n_words, n_sentences, n_syll,
-       round(206.835
-             - 1.015 * (CAST(n_words AS DOUBLE)
-                        / CAST(n_sentences AS DOUBLE))
-             - 84.6 * (CAST(n_syll AS DOUBLE)
-                       / CAST(n_words AS DOUBLE)), 4) AS flesch
+       round(CAST(206835 * n_sentences * n_words
+                  - 1015 * n_words * n_words
+                  - 84600 * n_syll * n_sentences AS DOUBLE)
+             / CAST(1000 * n_sentences * n_words AS DOUBLE), 4) AS flesch
 FROM m ORDER BY doc_id
 """,
     doc="Flesch reading-ease per document with vowel-group syllable "
@@ -2764,19 +2763,22 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_syll"),
     )
+    # one division of exact BIGINTs: flesch = (206835·s·w − 1015·w² −
+    # 84600·syl·s) / (1000·s·w) — order-invariant by construction, so a
+    # value landing exactly on a 4dp half-boundary still rounds
+    # identically on both engines (margin-audit INVARIANT_SAFE)
+    num = (
+        F.lit(206835) * F.col("n_sentences") * F.col("n_words")
+        - F.lit(1015) * F.col("n_words") * F.col("n_words")
+        - F.lit(84600) * F.col("n_syll") * F.col("n_sentences")
+    )
+    den = F.lit(1000) * F.col("n_sentences") * F.col("n_words")
     return m.select(
         "doc_id",
         "n_words",
         "n_sentences",
         "n_syll",
-        F.round(
-            F.lit(206.835)
-            - F.lit(1.015)
-            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
-            - F.lit(84.6)
-            * (F.col("n_syll").cast("double") / F.col("n_words").cast("double")),
-            4,
-        ).alias("flesch"),
+        F.round(num.cast("double") / den.cast("double"), 4).alias("flesch"),
     ).orderBy("doc_id")
 
 

@@ -82,6 +82,13 @@ INVARIANT_SAFE = {
         "distance summed as integer centimeters, elapsed as integer "
         "seconds; the rounded quotient is derived from exact sums"
     ),
+    "text_readability_flesch": (
+        "score = ONE correctly-rounded IEEE division of two exact "
+        "BIGINTs ((206835·s·w − 1015·w² − 84600·syl·s) / (1000·s·w)) — "
+        "both engines produce the bit-identical double, so the small "
+        "integer ratios that land exactly on 4dp half-boundaries round "
+        "identically (Java HALF_UP == DuckDB half-away-from-zero)"
+    ),
 }
 
 
