@@ -82,6 +82,11 @@ INVARIANT_SAFE = {
         "distance summed as integer centimeters, elapsed as integer "
         "seconds; the rounded quotient is derived from exact sums"
     ),
+    "source_overlap_matrix": (
+        "jaccard is a single division of two exact integers "
+        "(n_shared / (n_a + n_b - n_shared)) — order-invariant; an "
+        "exact-half double rounds identically in both engines"
+    ),
     "text_readability_flesch": (
         "score = ONE correctly-rounded IEEE division of two exact "
         "BIGINTs ((206835·s·w − 1015·w² − 84600·syl·s) / (1000·s·w)) — "
