@@ -282,6 +282,11 @@ def load_registry() -> dict[str, Q]:
         # any-order funnel, canonical keep-best selection
         "window_function_matrix", "sla_shipment_report",
         "multi_event_completion", "dedup_canonical_selection",
+        # partition-quality / sketch-eval / nonparametric depth (same
+        # three-SF oracle discipline): brand modularity, MinHash error
+        # audit, Spearman rho, Fano burstiness
+        "graph_brand_modularity", "minhash_error_audit",
+        "spearman_revenue_quantity", "event_burstiness_fano",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

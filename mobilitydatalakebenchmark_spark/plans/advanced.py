@@ -4134,3 +4134,121 @@ def sla_shipment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: attribute modularity (homophily audit) — do
+# co-purchase edges concentrate inside brands? Newman modularity of
+# the brand partition over the part-part co-purchase graph,
+# Q = Σ_c (in_c/m − (deg_c/2m)²), evaluated in the exact integer
+# cross-form Q·4m² = Σ_c (4m·in_c − deg_c²) so the partition quality
+# is a pure BIGINT sum with ONE division at the end. The evaluation
+# half of the graph family (label propagation finds communities; this
+# scores a partition).
+# Scale: the edge set is the bounded within-basket pair join (≤7-item
+# baskets); degrees and in-community counts are two keyed rollups.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_brand_modularity",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.item AS pa, b.item AS pb
+  FROM baskets a JOIN baskets b ON a.oid = b.oid AND a.item < b.item
+), lbl AS (
+  SELECT p_partkey AS item, p_brand AS brand FROM part
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges FROM edges
+), deg AS (
+  SELECT l.brand, CAST(count(*) AS BIGINT) AS deg_c
+  FROM (SELECT pa AS item FROM edges UNION ALL SELECT pb FROM edges) e
+  JOIN lbl l ON l.item = e.item
+  GROUP BY l.brand
+), inc AS (
+  SELECT la.brand, CAST(count(*) AS BIGINT) AS in_c
+  FROM edges e
+  JOIN lbl la ON la.item = e.pa
+  JOIN lbl lb ON lb.item = e.pb
+  WHERE la.brand = lb.brand
+  GROUP BY la.brand
+), per AS (
+  SELECT d.brand,
+         coalesce(i.in_c, 0) AS in_c,
+         d.deg_c,
+         4 * (SELECT m_edges FROM m) * coalesce(i.in_c, 0)
+           - d.deg_c * d.deg_c AS q_scaled
+  FROM deg d LEFT JOIN inc i ON i.brand = d.brand
+)
+SELECT brand, in_c, deg_c, CAST(q_scaled AS BIGINT) AS q_scaled,
+       round(CAST(q_scaled AS DOUBLE)
+             / CAST(4 * (SELECT m_edges FROM m)
+                    * (SELECT m_edges FROM m) AS DOUBLE), 6)
+         AS q_contrib
+FROM per ORDER BY brand
+""",
+    doc="Newman modularity of the brand partition over the part-part "
+    "co-purchase graph in the exact integer cross-form "
+    "Q·4m² = Σ_c (4m·in_c − deg_c²) — partition quality as a pure "
+    "BIGINT sum, one division per reported contribution; bounded "
+    "within-basket edge join + two keyed rollups",
+    tags=("graph", "eval", "mining"),
+)
+def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    baskets = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(F.col("a.item").alias("pa"), F.col("b.item").alias("pb"))
+        .distinct()
+    )
+    lbl = part.select(F.col("p_partkey").alias("item"), F.col("p_brand").alias("brand"))
+    m_edges = edges.count()
+    ends = edges.select(F.col("pa").alias("item")).unionAll(
+        edges.select(F.col("pb").alias("item"))
+    )
+    deg = (
+        ends.join(F.broadcast(lbl), "item")
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("deg_c"))
+    )
+    la = lbl.select(F.col("item").alias("pa"), F.col("brand").alias("brand_a"))
+    lb = lbl.select(F.col("item").alias("pb"), F.col("brand").alias("brand_b"))
+    inc = (
+        edges.join(F.broadcast(la), "pa")
+        .join(F.broadcast(lb), "pb")
+        .filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("in_c"))
+    )
+    per = deg.join(inc, "brand", "left").select(
+        "brand",
+        F.coalesce(F.col("in_c"), F.lit(0)).alias("in_c"),
+        "deg_c",
+        (
+            F.lit(4 * m_edges) * F.coalesce(F.col("in_c"), F.lit(0))
+            - F.col("deg_c") * F.col("deg_c")
+        ).alias("q_scaled"),
+    )
+    return per.select(
+        "brand",
+        "in_c",
+        "deg_c",
+        "q_scaled",
+        F.round(
+            F.col("q_scaled").cast("double")
+            / F.lit(float(4 * m_edges * m_edges)),
+            6,
+        ).alias("q_contrib"),
+    ).orderBy("brand")

@@ -3007,3 +3007,121 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: MinHash estimator error audit — the sketch
+# family's missing eval: for adjacent doc pairs, the 16-hash MinHash
+# Jaccard ESTIMATE (matching min-slots / 16) next to the EXACT token
+# Jaccard, with the absolute error per pair. Before trusting LSH band
+# thresholds you look at exactly this table (the estimator's stderr is
+# sqrt(J(1-J)/k) — the audit shows where 16 hashes is enough).
+# Exactness: min-slot digests are md5 strings (engine-exact, min =
+# string order both sides), match counts and set sizes are integers;
+# estimate and exact are one division each and the error is a fixed
+# two-term tree rounded 6dp.
+# Scale: 16 md5 columns per (doc, token) into one doc-keyed min
+# rollup — the minhash signature build's exact shape, then an adjacent
+# -pair self-join.
+# ---------------------------------------------------------------------------
+
+_MHE_K = 16
+
+
+@register(
+    "minhash_error_audit",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('s{i}:' || tok)) AS h{i}" for i in range(_MHE_K))}
+  FROM toks GROUP BY doc_id
+), sets AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST({" + ".join(f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(_MHE_K))}
+              AS BIGINT) AS n_match,
+         CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT) AS n_common,
+         CAST(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))
+              AS BIGINT) AS n_union
+  FROM sets a
+  JOIN sets b ON b.doc_id = a.doc_id + 1
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+)
+SELECT doc_a, doc_b, n_match, n_common, n_union,
+       round(CAST(n_match AS DOUBLE) / {_MHE_K}.0, 6) AS est_jaccard,
+       round(CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE), 6)
+         AS exact_jaccard,
+       round(abs(CAST(n_match AS DOUBLE) / {_MHE_K}.0
+                 - CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE)), 6)
+         AS abs_err
+FROM pairs ORDER BY doc_a
+""",
+    doc="MinHash estimator error audit on adjacent doc pairs: 16-hash "
+    "estimate (matching min md5 slots / 16) vs exact token Jaccard "
+    "with per-pair absolute error — the table you read before trusting "
+    "LSH band thresholds; signature build + one adjacent-pair join, "
+    "md5 min-slots engine-exact",
+    tags=("text", "dedup", "sketch", "eval"),
+)
+def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    sig = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{i}:"), F.col("tok")))).alias(
+                f"h{i}"
+            )
+            for i in range(_MHE_K)
+        ]
+    )
+    sets = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok")
+    )
+    a = sets.alias("a")
+    b = sets.alias("b")
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    n_match = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(_MHE_K)
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok"))).cast(
+        "long"
+    )
+    union = (
+        F.size(F.col("a.tok")) + F.size(F.col("b.tok"))
+    ).cast("long") - inter
+    est = F.col("n_match").cast("double") / F.lit(float(_MHE_K))
+    exact = F.col("n_common").cast("double") / F.col("n_union").cast("double")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .join(sa, F.col("sa.doc_id") == F.col("a.doc_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_match.alias("n_match"),
+            inter.alias("n_common"),
+            union.alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            "n_common",
+            "n_union",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a")
+    )

@@ -2160,3 +2160,153 @@ def multi_event_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("completion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: Spearman rank correlation — do revenue and
+# volume rank parts the same way? ρ = 1 − 6·Σd²/(n(n²−1)) over the two
+# rank vectors: both metrics are exact BIGINTs (scaled revenue, total
+# quantity), ranks come from unique (metric, partkey) orderings, Σd²
+# is a BIGINT sum, and ρ is one division at the end — the classic
+# nonparametric correlation with zero float aggregation (the
+# rank-space sibling of Mann-Whitney/AUC).
+# Scale: one fact collapse + two dim-sized rank windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_revenue_quantity",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT pk,
+         row_number() OVER (ORDER BY rev, pk) AS r_rev,
+         row_number() OVER (ORDER BY qty, pk) AS r_qty
+  FROM per_part
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((r_rev - r_qty) * (r_rev - r_qty)) AS BIGINT) AS sd2
+  FROM ranked
+)
+SELECT n, sd2,
+       round(1.0 - CAST(6 * sd2 AS DOUBLE)
+                   / CAST(n * (n * n - 1) AS DOUBLE), 6) AS spearman_rho
+FROM s
+""",
+    doc="Spearman rank correlation between part revenue and part "
+    "volume: ρ = 1 − 6Σd²/(n(n²−1)) over unique-ordered integer ranks "
+    "— BIGINT rank differences, one end division, zero float "
+    "aggregation; one fact collapse + two dim rank windows",
+    tags=("stats", "mining", "window"),
+)
+def spearman_revenue_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    ranked = per_part.select(
+        F.row_number()
+        .over(Window.orderBy("rev", "pk"))
+        .cast("long")
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy("qty", "pk"))
+        .cast("long")
+        .alias("r_qty"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("r_rev") - F.col("r_qty"))
+            * (F.col("r_rev") - F.col("r_qty"))
+        ).alias("sd2"),
+    )
+    return s.select(
+        "n",
+        "sd2",
+        F.round(
+            F.lit(1.0)
+            - (F.lit(6) * F.col("sd2")).cast("double")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double"),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: burstiness (Fano factor) — is a user's event
+# arrival Poisson-like (F≈1), regular (F<1) or bursty (F>1)? The
+# index of dispersion of the per-hour event counts, computed entirely
+# from exact integer moments: F = population-var/mean =
+# (n·Σc² − (Σc)²) / (n·Σc) over the user's OBSERVED span of hours
+# (empty hours included via span arithmetic, no grid explode needed:
+# n = span_hours, Σc and Σc² over non-empty hours are unchanged by
+# zero terms). One division at the end — the traffic-shape screen
+# next to the gap audit.
+# Scale: one (user, hour) rollup + one user rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_burstiness_fano",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id,
+         epoch_us(ts) // (CAST(3600 AS BIGINT) * 1000000) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, h
+), per_user AS (
+  SELECT user_id,
+         max(h) - min(h) + 1 AS n_hours,
+         CAST(sum(c) AS BIGINT) AS sc,
+         CAST(sum(c * c) AS BIGINT) AS sc2
+  FROM hourly GROUP BY user_id
+)
+SELECT user_id, CAST(n_hours AS BIGINT) AS n_hours, sc AS n_events,
+       CAST(n_hours * sc2 - sc * sc AS BIGINT) AS var_scaled,
+       round(CAST(n_hours * sc2 - sc * sc AS DOUBLE)
+             / CAST(n_hours * sc AS DOUBLE), 6) AS fano
+FROM per_user ORDER BY user_id
+""",
+    doc="burstiness / Fano factor per user: index of dispersion of "
+    "per-hour event counts over the observed span, from exact integer "
+    "moments (n·Σc² − (Σc)²)/(n·Σc) — empty hours enter via span "
+    "arithmetic (zero terms change nothing), one end division; one "
+    "(user, hour) rollup + one user rollup",
+    tags=("stats", "time", "window"),
+)
+def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_user = hourly.groupBy("user_id").agg(
+        (F.max("h") - F.min("h") + 1).alias("n_hours"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    var_scaled = (
+        F.col("n_hours") * F.col("sc2") - F.col("sc") * F.col("sc")
+    )
+    return per_user.select(
+        "user_id",
+        F.col("n_hours").cast("long").alias("n_hours"),
+        F.col("sc").alias("n_events"),
+        var_scaled.alias("var_scaled"),
+        F.round(
+            var_scaled.cast("double")
+            / (F.col("n_hours") * F.col("sc")).cast("double"),
+            6,
+        ).alias("fano"),
+    ).orderBy("user_id")

@@ -362,6 +362,15 @@ BOUNDS = {
     "sla_shipment_report": 8.0,
     "multi_event_completion": 8.0,
     "dedup_canonical_selection": 8.0,
+    # modularity: bounded within-basket edge join (pairs grow ~k^2
+    # inside the ≤7-item bound like assoc_rules — ride loosely) + two
+    # keyed rollups; MinHash audit: signature build + adjacent-pair
+    # join; Spearman: fact collapse + dim rank windows; Fano: two
+    # keyed rollups
+    "graph_brand_modularity": 40.0,
+    "minhash_error_audit": 8.0,
+    "spearman_revenue_quantity": 8.0,
+    "event_burstiness_fano": 8.0,
 }
 
 
