@@ -287,6 +287,11 @@ def load_registry() -> dict[str, Q]:
         # audit, Spearman rho, Fano burstiness
         "graph_brand_modularity", "minhash_error_audit",
         "spearman_revenue_quantity", "event_burstiness_fano",
+        # forecasting-eval / SQL-trap / signal depth (same three-SF
+        # oracle discipline): seasonal-naive skill, NOT IN null trap,
+        # langid confusion matrix, integer SMA crossovers
+        "forecast_mase_seasonal_naive", "not_in_null_trap",
+        "langid_confusion_matrix", "sma_crossover_signals",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates:

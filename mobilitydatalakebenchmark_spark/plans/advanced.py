@@ -4252,3 +4252,151 @@ def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("q_contrib"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: forecast skill vs the seasonal naive — MASE's
+# core comparison: how much better is "same hour yesterday" (lag-24h
+# seasonal naive) than "same as last event" (lag-1 naive) on the
+# hourly cents series? Both MAEs are EXACT integer sums of absolute
+# BIGINT differences over the same evaluation rows; the skill ratio is
+# one division at the end. The eval every forecasting deployment runs
+# before buying a model (a ratio < 1 means seasonality is real).
+# Scale: one (user, hour) rollup + one user-keyed window with two lags.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_mase_seasonal_naive",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id,
+         epoch_us(ts) // (CAST(3600 AS BIGINT) * 1000000) AS h,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY user_id, h
+), lagged AS (
+  SELECT user_id, h, c,
+         lag(c, 1) OVER w AS prev1,
+         lag(c, 24) OVER w AS prev24
+  FROM hourly WINDOW w AS (PARTITION BY user_id ORDER BY h)
+), eval_rows AS (
+  SELECT abs(c - prev1) AS e1, abs(c - prev24) AS e24
+  FROM lagged WHERE prev1 IS NOT NULL AND prev24 IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       CAST(sum(e1) AS BIGINT) AS sae_naive1,
+       CAST(sum(e24) AS BIGINT) AS sae_seasonal,
+       round(CAST(sum(e24) AS DOUBLE) / CAST(sum(e1) AS DOUBLE), 6)
+         AS seasonal_skill_ratio
+FROM eval_rows
+""",
+    doc="forecast skill vs the seasonal naive (MASE's comparison): "
+    "lag-1 vs lag-24-hour absolute errors on the hourly cents series "
+    "— both MAE numerators exact BIGINT sums over the SAME eval rows "
+    "(lag-row alignment, not calendar lookup, pinned by both engines), "
+    "skill = one end division; one rollup + one two-lag window",
+    tags=("stats", "time", "eval"),
+)
+def forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.expr("unix_micros(ts) div 3600000000").alias("h")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    w = Window.partitionBy("user_id").orderBy("h")
+    lagged = hourly.select(
+        "c",
+        F.lag("c", 1).over(w).alias("prev1"),
+        F.lag("c", 24).over(w).alias("prev24"),
+    ).filter(F.col("prev1").isNotNull() & F.col("prev24").isNotNull())
+    e1 = F.abs(F.col("c") - F.col("prev1"))
+    e24 = F.abs(F.col("c") - F.col("prev24"))
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(e1).alias("sae_naive1"),
+        F.sum(e24).alias("sae_seasonal"),
+        F.round(
+            F.sum(e24).cast("double") / F.sum(e1).cast("double"), 6
+        ).alias("seasonal_skill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: the NOT IN null trap — SQL's most infamous
+# semantic cliff: `x NOT IN (subquery)` returns ZERO rows the moment
+# the subquery contains a single NULL (three-valued logic turns every
+# comparison UNKNOWN), while NOT EXISTS and the anti-join keep the
+# intuitive complement. The gate builds a right side that provably
+# contains a NULL and pins all three counts side by side — the
+# cross-engine contract every migration and every generated-SQL layer
+# must honor.
+# Scale: three hash joins / subquery scans of dim-sized projections.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "not_in_null_trap",
+    oracle="""
+WITH l AS (
+  SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'view'
+), r AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN NULL ELSE user_id END AS k
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT
+  CAST((SELECT count(*) FROM l) AS BIGINT) AS n_left,
+  CAST((SELECT count(*) FROM r WHERE k IS NULL) AS BIGINT) AS n_null_rhs,
+  CAST((SELECT count(*) FROM l WHERE k NOT IN (SELECT k FROM r))
+       AS BIGINT) AS n_not_in,
+  CAST((SELECT count(*) FROM l
+        WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k))
+       AS BIGINT) AS n_not_exists,
+  CAST((SELECT count(*) FROM l ANTI JOIN r ON r.k = l.k) AS BIGINT)
+    AS n_anti_join
+""",
+    doc="the NOT IN null trap pinned: with a NULL in the subquery, "
+    "NOT IN returns ZERO rows (three-valued logic) while NOT EXISTS "
+    "and the anti-join return the true complement — the semantic cliff "
+    "every migration and SQL generator must honor, in one row of "
+    "counts; dim-sized scans",
+    tags=("join", "quality"),
+)
+def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    l = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("k"))
+        .distinct()
+    )
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.when(F.col("user_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("rk")
+    )
+    l.createOrReplaceTempView("_nint_l")
+    r.createOrReplaceTempView("_nint_r")
+    not_in = spark.sql(
+        "SELECT count(*) AS n_not_in FROM _nint_l"
+        " WHERE k NOT IN (SELECT rk FROM _nint_r)"
+    )
+    # NOT EXISTS as written (correlated subquery), the anti-join as the
+    # DataFrame form — Spark compiles both to LeftAnti, the gate pins
+    # that they AGREE and differ from NOT IN under a NULL
+    not_exists = spark.sql(
+        "SELECT count(*) AS n_not_exists FROM _nint_l l"
+        " WHERE NOT EXISTS (SELECT 1 FROM _nint_r r WHERE r.rk = l.k)"
+    )
+    counts = [
+        l.agg(F.count(F.lit(1)).alias("n_left")),
+        r.filter(F.col("rk").isNull()).agg(
+            F.count(F.lit(1)).alias("n_null_rhs")
+        ),
+        not_in,
+        not_exists,
+        l.join(r, F.col("rk") == F.col("k"), "left_anti").agg(
+            F.count(F.lit(1)).alias("n_anti_join")
+        ),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out

@@ -3125,3 +3125,93 @@ def minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: language-ID confusion matrix — the eval table
+# for the heuristic detector: declared lang (the `lang` column) vs
+# detected lang (operators/text_analysis.detect_language, the gate-
+# verified argmax over marker-word hits), counts per (declared,
+# detected) cell plus per-declared-language accuracy. What a curation
+# deployment reads before trusting lang filters at corpus scale.
+# Exactness: cells are BIGINT counts; each accuracy is one division.
+# Scale: one scan with the marker-word intersections + one ≤36-cell
+# rollup.
+# ---------------------------------------------------------------------------
+
+_LANGID_DETECT_SQL = """
+  SELECT doc_id, lang AS declared,
+         CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+              WHEN s_zh >= greatest(s_en, s_fr, s_de, s_es) THEN 'zh'
+              WHEN s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+              WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+              WHEN s_en >= s_de THEN 'en'
+              ELSE 'de' END AS detected
+  FROM (
+    SELECT doc_id, lang,
+           len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+               ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+           len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+               ['le','la','les','de','des','et','un','une','est','que'])) AS s_fr,
+           len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+               ['der','die','das','und','ist','ein','eine','nicht','mit','zu'])) AS s_de,
+           len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+               ['el','la','los','las','de','y','un','una','es','que'])) AS s_es,
+           len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+               ['de5','shi4','le5','zai4','you3','wo3','ta1','zhe4','bu4','ren2'])) AS s_zh
+    FROM documents
+  )
+"""
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+WITH pred AS ({_LANGID_DETECT_SQL}),
+decl_tot AS (
+  SELECT declared, CAST(count(*) AS BIGINT) AS n_declared
+  FROM pred GROUP BY declared
+)
+SELECT p.declared, p.detected,
+       CAST(count(*) AS BIGINT) AS n,
+       d.n_declared,
+       round(CAST(count(*) AS DOUBLE) / CAST(d.n_declared AS DOUBLE), 6)
+         AS cell_share
+FROM pred p JOIN decl_tot d ON d.declared = p.declared
+GROUP BY p.declared, p.detected, d.n_declared
+ORDER BY p.declared, p.detected
+""",
+    doc="language-ID confusion matrix: declared lang column vs the "
+    "heuristic detector's argmax, BIGINT counts per cell and the "
+    "per-declared share (one division) — the eval a curation "
+    "deployment reads before trusting lang filters; one scan + a "
+    "bounded-cell rollup",
+    tags=("text", "langid", "eval"),
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import detect_language
+
+    d = t(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("declared"),
+        detect_language(F.col("text")).alias("detected"),
+    )
+    decl_tot = pred.groupBy("declared").agg(
+        F.count(F.lit(1)).alias("n_declared")
+    )
+    return (
+        pred.groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(decl_tot), "declared")
+        .select(
+            "declared",
+            "detected",
+            "n",
+            "n_declared",
+            F.round(
+                F.col("n").cast("double") / F.col("n_declared").cast("double"),
+                6,
+            ).alias("cell_share"),
+        )
+        .orderBy("declared", "detected")
+    )

@@ -2310,3 +2310,100 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fano"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-9 continuation: SMA crossover signals — the momentum-signal
+# primitive (fast moving average crossing the slow one) in fully
+# integer form: fast = 3-row sum, slow = 12-row sum over the user's
+# ordered cents series, comparison = sign of the cross-multiplied
+# BIGINT (sum3·12 − sum12·3) — crossing detection can never ride a
+# float boundary. A signal is any sign change between consecutive
+# full-frame rows (rows before the 12th are warm-up and excluded on
+# both engines).
+# Scale: one user window carries both running sums; the lag of the
+# sign runs over the same user ordering; one user rollup reports
+# counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sma_crossover_signals",
+    oracle="""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum3,
+         sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS sum12
+  FROM events
+), signed AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN sum3 * 12 > sum12 * 3 THEN 1
+              WHEN sum3 * 12 < sum12 * 3 THEN -1 ELSE 0 END AS sgn
+  FROM pts WHERE rn >= 12
+), flips AS (
+  SELECT user_id, sgn,
+         lag(sgn) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_sgn
+  FROM signed
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(count(CASE WHEN prev_sgn IS NOT NULL AND sgn <> prev_sgn
+                       THEN 1 END) AS BIGINT) AS n_crossovers,
+       CAST(min(sgn) AS BIGINT) AS min_sgn,
+       CAST(max(sgn) AS BIGINT) AS max_sgn
+FROM flips GROUP BY user_id ORDER BY user_id
+""",
+    doc="SMA crossover signals in fully integer form: fast 3-row vs "
+    "slow 12-row sums compared via the cross-multiplied BIGINT sign "
+    "(sum3*12 - sum12*3), a signal = any sign change between "
+    "consecutive full-frame rows (12-row warm-up excluded both "
+    "engines); one user window + one rollup",
+    tags=("window", "time", "stats"),
+)
+def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum(cents).over(w.rowsBetween(-2, 0)).alias("sum3"),
+        F.sum(cents).over(w.rowsBetween(-11, 0)).alias("sum12"),
+    )
+    diff = F.col("sum3") * 12 - F.col("sum12") * 3
+    signed = pts.filter(F.col("rn") >= 12).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(diff > 0, 1).when(diff < 0, -1).otherwise(0).alias("sgn"),
+    )
+    flips = signed.select(
+        "user_id",
+        "sgn",
+        F.lag("sgn").over(w).alias("prev_sgn"),
+    )
+    return (
+        flips.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.count(
+                F.when(
+                    F.col("prev_sgn").isNotNull()
+                    & (F.col("sgn") != F.col("prev_sgn")),
+                    1,
+                )
+            ).alias("n_crossovers"),
+            F.min("sgn").cast("long").alias("min_sgn"),
+            F.max("sgn").cast("long").alias("max_sgn"),
+        )
+        .orderBy("user_id")
+    )

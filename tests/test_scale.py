@@ -371,6 +371,13 @@ BOUNDS = {
     "minhash_error_audit": 8.0,
     "spearman_revenue_quantity": 8.0,
     "event_burstiness_fano": 8.0,
+    # MASE: one rollup + a two-lag user window; null trap: dim-sized
+    # subquery scans; langid confusion: one marker-intersection scan +
+    # bounded rollup; SMA: one user window with two running sums
+    "forecast_mase_seasonal_naive": 8.0,
+    "not_in_null_trap": 8.0,
+    "langid_confusion_matrix": 8.0,
+    "sma_crossover_signals": 8.0,
 }
 
 
