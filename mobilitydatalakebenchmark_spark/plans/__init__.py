@@ -45,32 +45,18 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # driver verdict. Gates re-verified in a later window GRADUATE out of
 # their old block, so each name appears exactly once, under its
 # freshest verdict.
-# The r9 window: flagship + new r9 gates (first verdicts: the two
-# streaming maintainer gates that were pytest-only in r8, plus the
-# depth trio — substring dedup, fasttext-style classifier inference,
-# filtered ANN) + any gate whose plan code r9 touches, then the R4
-# residue oldest-first fills the remaining slots (the r8 window
-# re-verified every r3-residue gate; R3's block is now empty and
-# retired).
+# The r10 window: flagship + the maintained deferral order — the four
+# never-driver-verified streaming WRITE paths first, then the ten gates
+# whose plan code r10 touched (ADVICE fixes: zero-denominator guards,
+# in-plan scalar counts, parameterized SQL, the knn_graph_reciprocity
+# panel re-block — all first-verdict gates whose verdict must be on
+# current semantics), then the rest of the first-verdict backlog
+# oldest-first, capped at an estimated ~85 s sf0.01 wall (< 90 s; the
+# expensive stragglers graph_connected_components 5.2 s and the four
+# remaining streaming write gates rotate into r11).
 # r4 verdicts (CORRECTNESS_r04.json) still freshest:
 DRIVER_VERIFIED_R4 = (
-    "approx_distinct_users", "knn_pq_adc_seeded",
-    "text_chunk_overlap", "text_zipf_slope",
-    "text_perplexity_buckets", "interval_overlap_join",
-    "dedup_minhash_verified", "text_fingerprint", "text_token_topk",
-    "text_langid", "dedup_simhash", "text_quality_score", "dedup_simhash_md5",
-    "dedup_drop_near_duplicates", "dedup_edit_distance",
-    "text_repetition_dup_ngrams", "text_df_idf", "text_tfidf_keywords",
-    "sample_hash_split", "sample_deterministic_strata",
-    "pack_sequences_contiguous", "contamination_check", "vec_norms",
-    "vec_label_centroids", "vec_lsh_buckets",
-    "vec_neardup_pairs_numpy",
-    "vec_neardup_pairs",
-    "vec_nearest_centroid_confusion_numpy", "cdc_upsert_latest_wins",
-    "hist_equiwidth_price", "linreg_trend_per_entity",
-    "vec_int8_quantization", "point_in_polygon_convex",
-    "pagerank_part_supplier", "time_weighted_avg", "hopping_window_2h_1h",
-    "unpivot_measures", "dq_check_suite", "path_trigrams_topk",
+    "path_trigrams_topk",
     "session_window_native", "graph_triangle_count", "s1_scan_order_limit",
 )
 # r5 verdicts (CORRECTNESS_r05.json) still freshest:
@@ -150,7 +136,7 @@ DRIVER_VERIFIED_R7 = (
 # new r8 gates, the code-touched pair, the full 17-gate r3 residue, and
 # sketch_percentiles; flagship graduated here from R7):
 DRIVER_VERIFIED_R8 = (
-    "flagship_pricing_summary", "trajectory_trip_segments",
+    "trajectory_trip_segments",
     "versioned_snapshot_asof", "ivm_materialized_join",
     "skew_salted_sum", "cusum_changepoints", "ewma_truncated_exact",
     "graph_kcore_peel", "gdpr_retract_rollup",
@@ -162,9 +148,8 @@ DRIVER_VERIFIED_R8 = (
     "text_collocation_lift", "robust_winsorized_stats",
     "streaming_islands_maintainer", "streaming_pareto_maintainer",
     "streaming_rollup_maintainer", "streaming_versioned_commits",
-    "knn_persisted_index_probe", "versioned_compact_rewrite",
-    "versioned_schema_evolution", "bucketed_join_colocated",
-    "countmin_frequency_estimates", "tpch_q9_style_nation_profit",
+    "knn_persisted_index_probe", "bucketed_join_colocated",
+    "tpch_q9_style_nation_profit",
     "anomaly_zscore_outliers", "ranking_suite", "resample_linear_grid",
     "rollup_hourly_to_daily", "running_totals", "sample_corpus_mixture",
     "scd2_state_intervals", "spatial_tile_pyramid",
@@ -173,6 +158,34 @@ DRIVER_VERIFIED_R8 = (
     "url_domain_topk", "velocity_dim_build", "w5_sessionize",
     "window_range_frames", "sketch_percentiles",
 )
+# r9 verdicts (CORRECTNESS_r09.json — 50/50 green: flagship, the five
+# streaming maintainer first-verdicts, the r9 depth trio, the three
+# code-touched r8 gates, and the 38-gate r4 residue; graduated here
+# from their old blocks):
+DRIVER_VERIFIED_R9 = (
+    "flagship_pricing_summary", "streaming_countmin_maintainer",
+    "streaming_cusum_maintainer", "streaming_ewma_maintainer",
+    "streaming_heavy_hitters_topk", "streaming_ares_reservoir",
+    "dedup_substring_spans", "fasttext_quality_inference",
+    "knn_ivf_filtered", "countmin_frequency_estimates",
+    "versioned_compact_rewrite", "versioned_schema_evolution",
+    "approx_distinct_users", "knn_pq_adc_seeded", "text_chunk_overlap",
+    "text_zipf_slope", "text_perplexity_buckets",
+    "interval_overlap_join", "dedup_minhash_verified",
+    "text_fingerprint", "text_token_topk", "text_langid",
+    "dedup_simhash", "text_quality_score", "dedup_simhash_md5",
+    "dedup_drop_near_duplicates", "dedup_edit_distance",
+    "text_repetition_dup_ngrams", "text_df_idf", "text_tfidf_keywords",
+    "sample_hash_split", "sample_deterministic_strata",
+    "pack_sequences_contiguous", "contamination_check", "vec_norms",
+    "vec_label_centroids", "vec_lsh_buckets", "vec_neardup_pairs_numpy",
+    "vec_neardup_pairs", "vec_nearest_centroid_confusion_numpy",
+    "cdc_upsert_latest_wins", "hist_equiwidth_price",
+    "linreg_trend_per_entity", "vec_int8_quantization",
+    "point_in_polygon_convex", "pagerank_part_supplier",
+    "time_weighted_avg", "hopping_window_2h_1h", "unpivot_measures",
+    "dq_check_suite",
+)
 DRIVER_VERIFIED = tuple(
     dict.fromkeys(
         DRIVER_VERIFIED_R4
@@ -180,6 +193,7 @@ DRIVER_VERIFIED = tuple(
         + DRIVER_VERIFIED_R6
         + DRIVER_VERIFIED_R7
         + DRIVER_VERIFIED_R8
+        + DRIVER_VERIFIED_R9
     )
 )
 
@@ -198,114 +212,68 @@ def load_registry() -> dict[str, Q]:
     from . import advanced  # noqa: F401
     from . import curation  # noqa: F401
 
-    # Round 9: new gates needing FIRST verdicts — the two streaming
-    # paths that were pytest-only in r8 (the Count-Min maintainer and
-    # an applyInPandasWithState stateful stream, both gated with the
-    # established 3-micro-batch file-source pattern) plus the depth
-    # trio (suffix-run substring dedup, fasttext-style linear
-    # classifier inference, metadata-filtered IVF ANN).
+    # Round 10: drain the first-verdict backlog (VERDICT r9 item 1).
+    # Window = flagship + the four never-driver-verified streaming
+    # WRITE paths + the ten gates whose plan code r10 touched (ADVICE
+    # fixes + the knn_graph_reciprocity panel re-block — their first
+    # verdict must be on current semantics) + the backlog in its
+    # maintained order, capped at ~85 s estimated sf0.01 wall.
     newest = (
-        "streaming_countmin_maintainer", "streaming_cusum_maintainer",
-        "streaming_ewma_maintainer", "streaming_heavy_hitters_topk",
-        "streaming_ares_reservoir",
-        "dedup_substring_spans", "fasttext_quality_inference",
-        "knn_ivf_filtered",
-    )
-    # First-verdict gates DEFERRED past the window to keep the r9 wall
-    # under the ~90s budget (VERDICT r8 item 6: write-path gates cost
-    # 5-20s each; the window already carries 8 first-verdict gates, 5 of
-    # them write-path). These two are oracle-checked locally at both SFs
-    # (ORACLE_r09 artifacts) and rotate into the r10 window first.
-    deferred = (
+        # streaming write paths (~43 s of the budget)
         "stream_stream_interval_join", "streaming_lsh_dedup_candidates",
         "streaming_native_window_counts", "streaming_dedup_exactly_once",
+        # r10 code-touched first-verdict gates (ADVICE fixes: in-plan
+        # scalar counts, zero-denominator guards, parameterized SQL,
+        # fixed-size probe panel)
+        "rfm_segmentation", "quantile_normalization",
+        "experiment_diff_in_diff", "bloom_filter_fpr",
+        "knn_graph_reciprocity", "csv_roundtrip_scan",
+        "window_function_matrix", "graph_brand_modularity",
+        "forecast_mase_seasonal_naive", "not_in_null_trap",
+        # backlog in maintained order (graph_connected_components at
+        # 5.2 s rotates to r11 to keep the wall under budget)
         "dedup_substring_removal", "versioned_partition_evolution",
-        "graph_bfs_hops", "streaming_session_native",
-        "ts_forward_fill", "event_sequence_regex",
+        "graph_bfs_hops", "ts_forward_fill", "event_sequence_regex",
         "assoc_rules_pairs", "event_rle_streaks",
         "er_sorted_neighborhood", "attribution_last_touch",
         "graph_bellman_ford", "classifier_calibration_bins",
-        "streaming_ivm_join_maintainer", "streaming_shard_export",
-        "streaming_ann_index_ingest",
-        # late-r9 depth additions (oracle-checked locally at all three
-        # SFs the session they landed): Hampel rolling-median outliers,
-        # STL-lite seasonal profile, deterministic multiplier bootstrap
-        # CI, nDCG@10 retrieval eval
         "hampel_outlier_filter", "seasonal_decompose_additive",
         "bootstrap_ci_mean", "retrieval_ndcg_eval",
         "drift_ks_value_shift", "rank_auc_mann_whitney",
-        "graph_connected_components", "attribution_time_decay",
-        "retention_kaplan_meier",
-        # business-analytics depth (oracle-checked at all three SFs the
-        # session they landed): RFM quintile grid, ABC/Pareto revenue
-        # classes, calendar-aligned MoM/YoY, hourly-grid gap audit
-        "rfm_segmentation", "abc_pareto_class",
-        "period_over_period_revenue", "ts_gap_detection",
-        # robust-stats / ANN / graph / feature-engineering depth (same
-        # local three-SF oracle discipline): Theil-Sen pairwise-median
-        # trend, sign-bit Hamming top-k, resource-allocation link
-        # prediction, leave-one-out target encoding
-        "theil_sen_slope", "vec_hamming_topk",
+        "attribution_time_decay", "retention_kaplan_meier",
+        "abc_pareto_class", "period_over_period_revenue",
+        "ts_gap_detection", "theil_sen_slope", "vec_hamming_topk",
         "graph_link_prediction_ra", "target_encoding_loo",
-        # rank-algebra / experimentation depth (same three-SF oracle
-        # discipline): quantile normalization across sources, hashing-
-        # trick collision audit, funnel latency quantiles, DiD readout
-        "quantile_normalization", "feature_hash_collisions",
-        "funnel_time_to_convert", "experiment_diff_in_diff",
-        # retrieval/corpus/sketch depth (same three-SF oracle
-        # discipline): Matryoshka prefix-recall, trigram novelty curve,
-        # half-corpus vocabulary drift, measured Bloom FPR
+        "feature_hash_collisions", "funnel_time_to_convert",
         "vec_matryoshka_recall", "text_ngram_novelty",
-        "text_vocab_drift", "bloom_filter_fpr",
-        # eval-loop / diagnostics depth (same three-SF oracle
-        # discipline): Markov train/test accuracy, kNN-graph
-        # reciprocity, Flesch readability, source overlap matrix
-        "markov_accuracy", "knn_graph_reciprocity",
+        "text_vocab_drift", "markov_accuracy",
         "text_readability_flesch", "source_overlap_matrix",
-        # storage/costing/source depth (same three-SF oracle
-        # discipline): delta bit-width audit, FIFO lot costing, cohort
-        # LTV curve, CSV source fidelity
-        "delta_bitwidth_histogram", "fifo_lot_allocation",
-        "cohort_ltv_curve", "csv_roundtrip_scan",
-        # source-format / layout / semantics depth (same three-SF
-        # oracle discipline): JSONL + ORC fidelity, hive-partitioned
-        # pruned read, NULL-semantics matrix
+        "delta_bitwidth_histogram",
+    )
+    # First-verdict gates DEFERRED past the r10 window to keep the wall
+    # under the ~90s budget (the four remaining streaming write gates
+    # cost 8-30 s each; graph_connected_components 5.2 s). All are
+    # oracle-checked locally at sf0.01 AND sf0.1 every freeze
+    # (ORACLE_r* artifacts) and rotate into the r11 window first, in
+    # this order.
+    deferred = (
+        "streaming_session_native", "streaming_ivm_join_maintainer",
+        "streaming_shard_export", "streaming_ann_index_ingest",
+        "graph_connected_components",
+        "fifo_lot_allocation", "cohort_ltv_curve",
         "jsonl_roundtrip_scan", "orc_roundtrip_scan",
         "partitioned_write_prune", "null_semantics_matrix",
-        # fit-quality / capacity / semantics depth (same three-SF
-        # oracle discipline): per-entity R², truncation-loss report,
-        # dow x hour heatmap, join-type matrix
         "linreg_r2_per_entity", "truncation_loss_report",
         "dow_hour_heatmap", "join_type_matrix",
-        # ranking-contract / funnel / dedup-policy depth (same three-SF
-        # oracle discipline): window-function matrix, shipment SLA,
-        # any-order funnel, canonical keep-best selection
-        "window_function_matrix", "sla_shipment_report",
-        "multi_event_completion", "dedup_canonical_selection",
-        # partition-quality / sketch-eval / nonparametric depth (same
-        # three-SF oracle discipline): brand modularity, MinHash error
-        # audit, Spearman rho, Fano burstiness
-        "graph_brand_modularity", "minhash_error_audit",
+        "sla_shipment_report", "multi_event_completion",
+        "dedup_canonical_selection", "minhash_error_audit",
         "spearman_revenue_quantity", "event_burstiness_fano",
-        # forecasting-eval / SQL-trap / signal depth (same three-SF
-        # oracle discipline): seasonal-naive skill, NOT IN null trap,
-        # langid confusion matrix, integer SMA crossovers
-        "forecast_mase_seasonal_naive", "not_in_null_trap",
         "langid_confusion_matrix", "sma_crossover_signals",
     )
     # Gates whose plan/operator code changed AFTER their last driver
-    # check — rechecked before merely-old gates:
-    # - countmin_frequency_estimates (r8 verdict): r9 changed
-    #   countmin_estimates to left-join + zero-fill so unseen keys
-    #   return est_n = 0 (ADVICE item), the gate's plan goes through
-    #   that operator;
-    # - versioned_compact_rewrite / versioned_schema_evolution (r8):
-    #   r9 makes compact() read the snapshot with merge_schema=True so
-    #   evolved columns survive compaction (ADVICE item).
-    code_touched = (
-        "countmin_frequency_estimates", "versioned_compact_rewrite",
-        "versioned_schema_evolution",
-    )
+    # check — rechecked before merely-old gates (none this round: every
+    # r10 code change touches first-verdict gates, already in `newest`).
+    code_touched = ()
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest + code_touched:
         if name in REGISTRY:
@@ -325,6 +293,8 @@ def load_registry() -> dict[str, Q]:
         DRIVER_VERIFIED_R5,
         DRIVER_VERIFIED_R6,
         DRIVER_VERIFIED_R7,
+        DRIVER_VERIFIED_R8,
+        DRIVER_VERIFIED_R9,
     ):
         for name in block:
             if name in REGISTRY and name not in ordered:

@@ -3096,10 +3096,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    n_cust = per_cust.count()
-    quintile = f"(5 - ((rn - 1) * 5) div {n_cust})"
+    # n_cust stays IN-PLAN as an unpartitioned window count over the
+    # same dim-sized single partition the rank windows already use (no
+    # eager driver .count() recomputing the per_cust lineage)
+    quintile = "(5 - ((rn - 1) * 5) div n_cust)"
     scored = (
         per_cust.withColumn(
+            "n_cust", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+        .withColumn(
             "rn", F.row_number().over(Window.orderBy("recency_days", "custkey"))
         )
         .withColumn("r_score", F.expr(quintile))
@@ -3115,7 +3120,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("m_score", F.expr(quintile))
-        .drop("rn")
+        .drop("rn", "n_cust")
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -3505,20 +3510,28 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    n_keys = keys.count()
-    n_bits = member_bits.count()
     all_probes = probes.join(
         hits, "probe", "left"
     ).select(F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"))
     fp = F.count(F.when(F.col("n_hit") == _BF_K, 1))
-    return all_probes.agg(
-        F.lit(n_keys).cast("long").alias("n_keys"),
-        F.lit(n_bits).cast("long").alias("n_bits_set"),
+    # scalar-broadcast assembly: n_keys / n_bits_set stay IN-PLAN as
+    # cross-joined 1-row aggregates (no eager driver .count() actions,
+    # no recomputed lineage outside the returned plan)
+    n_keys_df = keys.agg(F.count(F.lit(1)).alias("n_keys"))
+    n_bits_df = member_bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    probe_agg = all_probes.agg(
         F.count(F.lit(1)).alias("n_probes"),
         fp.alias("n_false_pos"),
         F.round(
             fp.cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("observed_fpr"),
+    )
+    return (
+        n_keys_df.crossJoin(F.broadcast(n_bits_df))
+        .crossJoin(F.broadcast(probe_agg))
+        .select(
+            "n_keys", "n_bits_set", "n_probes", "n_false_pos", "observed_fpr"
+        )
     )
 
 
@@ -3998,8 +4011,10 @@ SELECT user_id, event_id, v,
        CAST(first_value(v) OVER run AS BIGINT) AS first_v,
        CAST(last_value(v) OVER run AS BIGINT) AS last_v,
        CAST(nth_value(v, 2) OVER run AS BIGINT) AS nth2_v,
-       round(CAST(rank() OVER t - 1 AS DOUBLE)
-             / CAST(count(*) OVER (PARTITION BY user_id) - 1 AS DOUBLE), 6)
+       CASE WHEN count(*) OVER (PARTITION BY user_id) = 1 THEN NULL
+            ELSE round(CAST(rank() OVER t - 1 AS DOUBLE)
+                       / CAST(count(*) OVER (PARTITION BY user_id) - 1
+                              AS DOUBLE), 6) END
          AS prank,
        round(CAST(count(*) OVER (PARTITION BY user_id ORDER BY v
                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -4050,10 +4065,16 @@ def window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("v").over(run).cast("long").alias("first_v"),
         F.last("v").over(run).cast("long").alias("last_v"),
         F.nth_value("v", 2).over(run).cast("long").alias("nth2_v"),
-        F.round(
-            (F.rank().over(tied) - 1).cast("double")
-            / (F.count(F.lit(1)).over(part) - 1).cast("double"),
-            6,
+        # single-row partition guard: pin BOTH engines to NULL when the
+        # percent_rank denominator (n-1) is zero (Spark's Divide yields
+        # NULL, DuckDB's IEEE double op yields NaN — so guard explicitly)
+        F.when(
+            F.count(F.lit(1)).over(part) > 1,
+            F.round(
+                (F.rank().over(tied) - 1).cast("double")
+                / (F.count(F.lit(1)).over(part) - 1).cast("double"),
+                6,
+            ),
         ).alias("prank"),
         F.round(
             F.count(F.lit(1)).over(cume).cast("double")
@@ -4214,7 +4235,9 @@ def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     lbl = part.select(F.col("p_partkey").alias("item"), F.col("p_brand").alias("brand"))
-    m_edges = edges.count()
+    # m stays IN-PLAN: a 1-row edge-count aggregate broadcast onto the
+    # per-brand rows (no eager driver .count() recomputing the edge join)
+    m_df = edges.agg(F.count(F.lit(1)).alias("m_edges"))
     ends = edges.select(F.col("pa").alias("item")).unionAll(
         edges.select(F.col("pb").alias("item"))
     )
@@ -4232,14 +4255,20 @@ def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("brand_a").alias("brand"))
         .agg(F.count(F.lit(1)).alias("in_c"))
     )
-    per = deg.join(inc, "brand", "left").select(
-        "brand",
-        F.coalesce(F.col("in_c"), F.lit(0)).alias("in_c"),
-        "deg_c",
-        (
-            F.lit(4 * m_edges) * F.coalesce(F.col("in_c"), F.lit(0))
-            - F.col("deg_c") * F.col("deg_c")
-        ).alias("q_scaled"),
+    per = (
+        deg.join(inc, "brand", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "brand",
+            F.coalesce(F.col("in_c"), F.lit(0)).alias("in_c"),
+            "deg_c",
+            "m_edges",
+            (
+                F.lit(4) * F.col("m_edges")
+                * F.coalesce(F.col("in_c"), F.lit(0))
+                - F.col("deg_c") * F.col("deg_c")
+            ).alias("q_scaled"),
+        )
     )
     return per.select(
         "brand",
@@ -4248,7 +4277,7 @@ def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_scaled",
         F.round(
             F.col("q_scaled").cast("double")
-            / F.lit(float(4 * m_edges * m_edges)),
+            / (F.lit(4) * F.col("m_edges") * F.col("m_edges")).cast("double"),
             6,
         ).alias("q_contrib"),
     ).orderBy("brand")
@@ -4286,7 +4315,9 @@ WITH hourly AS (
 SELECT CAST(count(*) AS BIGINT) AS n_eval,
        CAST(sum(e1) AS BIGINT) AS sae_naive1,
        CAST(sum(e24) AS BIGINT) AS sae_seasonal,
-       round(CAST(sum(e24) AS DOUBLE) / CAST(sum(e1) AS DOUBLE), 6)
+       CASE WHEN sum(e1) = 0 THEN NULL
+            ELSE round(CAST(sum(e24) AS DOUBLE)
+                       / CAST(sum(e1) AS DOUBLE), 6) END
          AS seasonal_skill_ratio
 FROM eval_rows
 """,
@@ -4314,8 +4345,11 @@ def forecast_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_eval"),
         F.sum(e1).alias("sae_naive1"),
         F.sum(e24).alias("sae_seasonal"),
-        F.round(
-            F.sum(e24).cast("double") / F.sum(e1).cast("double"), 6
+        # degenerate-input guard: a constant series makes sae_naive1 = 0;
+        # pin BOTH engines to NULL instead of Spark-NULL-vs-DuckDB-inf
+        F.when(
+            F.sum(e1) != 0,
+            F.round(F.sum(e24).cast("double") / F.sum(e1).cast("double"), 6),
         ).alias("seasonal_skill_ratio"),
     )
 
@@ -4372,18 +4406,24 @@ def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("user_id"))
         .alias("rk")
     )
-    l.createOrReplaceTempView("_nint_l")
-    r.createOrReplaceTempView("_nint_r")
+    # DataFrame-parameterized SQL (Spark 3.4+/4 {df} template binding):
+    # no createOrReplaceTempView side effects on the shared session, so
+    # concurrent gate runs can't race on view names and nothing leaks
+    # into the catalog after the gate returns
     not_in = spark.sql(
-        "SELECT count(*) AS n_not_in FROM _nint_l"
-        " WHERE k NOT IN (SELECT rk FROM _nint_r)"
+        "SELECT count(*) AS n_not_in FROM {l}"
+        " WHERE k NOT IN (SELECT rk FROM {r})",
+        l=l,
+        r=r,
     )
     # NOT EXISTS as written (correlated subquery), the anti-join as the
     # DataFrame form — Spark compiles both to LeftAnti, the gate pins
     # that they AGREE and differ from NOT IN under a NULL
     not_exists = spark.sql(
-        "SELECT count(*) AS n_not_exists FROM _nint_l l"
-        " WHERE NOT EXISTS (SELECT 1 FROM _nint_r r WHERE r.rk = l.k)"
+        "SELECT count(*) AS n_not_exists FROM {l} l"
+        " WHERE NOT EXISTS (SELECT 1 FROM {r} r WHERE r.rk = l.k)",
+        l=l,
+        r=r,
     )
     counts = [
         l.agg(F.count(F.lit(1)).alias("n_left")),

@@ -4013,7 +4013,9 @@ FROM mapped GROUP BY source ORDER BY source
 )
 def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    n_all = d.count()
+    # N stays IN-PLAN: a 1-row count aggregate broadcast-cross-joined
+    # onto the per-source rank rows (no eager driver .count())
+    n_df = d.agg(F.count(F.lit(1)).alias("n_all"))
     g = d.select(
         F.col("n_chars").alias("g_val"),
         F.row_number()
@@ -4029,7 +4031,9 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("source"))
         .alias("n_s"),
-    ).withColumn("tgt_rank", F.expr(f"((s_rank - 1) * {n_all}) div n_s + 1"))
+    ).crossJoin(F.broadcast(n_df)).withColumn(
+        "tgt_rank", F.expr("((s_rank - 1) * n_all) div n_s + 1")
+    )
     mapped = s.join(g, F.col("tgt_rank") == F.col("g_rank")).withColumnRenamed("g_val", "norm_val")
     return (
         mapped.groupBy("source")
@@ -4081,7 +4085,7 @@ FROM events GROUP BY event_type ORDER BY event_type
     tags=("scan", "write", "quality"),
 )
 def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src_dir, out, _ = _gate_dirs(sf_dir, "csv_roundtrip")
+    _, out, _ = _gate_dirs(sf_dir, "csv_roundtrip")
     ev = t(spark, sf_dir, "events")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     (

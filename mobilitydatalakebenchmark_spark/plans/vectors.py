@@ -1568,6 +1568,7 @@ WITH codes AS (
          {_BQ_WORD_DUCK.format(lo=0, hi=31)} AS w0,
          {_BQ_WORD_DUCK.format(lo=32, hi=63)} AS w1
   FROM embeddings WHERE vec_id % 20 = 0
+  ORDER BY vec_id LIMIT 256
 ), scored AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
@@ -1595,14 +1596,21 @@ SELECT CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_nodes,
        CAST((SELECT max(d) FROM indeg) AS BIGINT) AS max_in_degree
 """,
     doc="kNN-graph reciprocity and hubness diagnostics on sign-bit "
-    "Hamming codes over a deterministic 1-in-20 node sample: k=3 "
-    "integer-ranked edges, mutual-edge self-join, in-degree max — "
-    "all-integer graph, reciprocity one end division; pair table "
-    "bounded by the sample, popcount-cheap",
+    "Hamming codes over a FIXED-SIZE probe panel (the 256 smallest "
+    "vec_ids of the deterministic 1-in-20 sample — a TakeOrdered, "
+    "never a fraction of the corpus): k=3 integer-ranked edges, "
+    "mutual-edge self-join, in-degree max — all-integer graph, "
+    "reciprocity one end division; the pair table is <= 256^2 rows "
+    "via a broadcast nested-loop, CONSTANT at any corpus size",
     tags=("vector", "ann", "graph", "eval"),
 )
 def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    emb = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 20 == 0)
+        .orderBy("vec_id")
+        .limit(256)
+    )
     codes = emb.select(
         "vec_id",
         F.expr(_BQ_WORD_SPARK.format(lo=0, hi=31)).alias("w0"),
@@ -1619,7 +1627,7 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w1").alias("b1"),
     )
     scored = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("dst") != F.col("src"))
         .select(
             "src",

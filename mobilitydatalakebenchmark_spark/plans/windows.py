@@ -1728,17 +1728,23 @@ WITH cells AS (
   FROM events WHERE event_type = 'purchase'
 ), agg AS (
   SELECT
-    CAST(sum(CASE WHEN treated AND NOT after THEN cents END) AS DOUBLE)
-      / CAST(count(CASE WHEN treated AND NOT after THEN 1 END) AS DOUBLE)
+    CASE WHEN count(CASE WHEN treated AND NOT after THEN 1 END) = 0 THEN NULL
+      ELSE CAST(sum(CASE WHEN treated AND NOT after THEN cents END) AS DOUBLE)
+      / CAST(count(CASE WHEN treated AND NOT after THEN 1 END) AS DOUBLE) END
       AS m_tb,
-    CAST(sum(CASE WHEN treated AND after THEN cents END) AS DOUBLE)
-      / CAST(count(CASE WHEN treated AND after THEN 1 END) AS DOUBLE)
+    CASE WHEN count(CASE WHEN treated AND after THEN 1 END) = 0 THEN NULL
+      ELSE CAST(sum(CASE WHEN treated AND after THEN cents END) AS DOUBLE)
+      / CAST(count(CASE WHEN treated AND after THEN 1 END) AS DOUBLE) END
       AS m_ta,
-    CAST(sum(CASE WHEN NOT treated AND NOT after THEN cents END) AS DOUBLE)
+    CASE WHEN count(CASE WHEN NOT treated AND NOT after THEN 1 END) = 0
+      THEN NULL
+      ELSE CAST(sum(CASE WHEN NOT treated AND NOT after THEN cents END)
+                AS DOUBLE)
       / CAST(count(CASE WHEN NOT treated AND NOT after THEN 1 END) AS DOUBLE)
-      AS m_cb,
-    CAST(sum(CASE WHEN NOT treated AND after THEN cents END) AS DOUBLE)
-      / CAST(count(CASE WHEN NOT treated AND after THEN 1 END) AS DOUBLE)
+      END AS m_cb,
+    CASE WHEN count(CASE WHEN NOT treated AND after THEN 1 END) = 0 THEN NULL
+      ELSE CAST(sum(CASE WHEN NOT treated AND after THEN cents END) AS DOUBLE)
+      / CAST(count(CASE WHEN NOT treated AND after THEN 1 END) AS DOUBLE) END
       AS m_ca,
     CAST(count(*) AS BIGINT) AS n_purchases
   FROM cells
@@ -1769,10 +1775,15 @@ def experiment_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mean_cell(tr, af):
+        # empty-cell guard: count = 0 is pinned to NULL on BOTH engines
+        # (instead of relying on NULL-sum propagation through x/0)
         cond = (F.col("treated") == tr) & (F.col("after") == af)
-        return F.sum(F.when(cond, F.col("cents"))).cast("double") / F.count(
-            F.when(cond, F.lit(1))
-        ).cast("double")
+        cnt = F.count(F.when(cond, F.lit(1)))
+        return F.when(
+            cnt > 0,
+            F.sum(F.when(cond, F.col("cents"))).cast("double")
+            / cnt.cast("double"),
+        )
 
     agg = cells.agg(
         mean_cell(True, False).alias("m_tb"),

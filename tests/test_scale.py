@@ -322,12 +322,13 @@ BOUNDS = {
     # model join; Flesch is map-side string algebra; source overlap is
     # a within-shingle self-join whose pair fanout is |sources|^2 per
     # shingle (source count fixed under replication -> ~k); the kNN
-    # graph's pair table is (n/20)^2 — rides the sample's own k^2
-    # growth, so bound it loosely like the other match-growing joins
+    # graph's pair table is capped by the fixed 256-node probe panel
+    # (TakeOrdered + broadcast nested-loop) — near-constant beyond the
+    # cap, so the ordinary linear bound applies
     "markov_accuracy": 8.0,
     "text_readability_flesch": 8.0,
     "source_overlap_matrix": 8.0,
-    "knn_graph_reciprocity": 40.0,
+    "knn_graph_reciprocity": 6.0,
     # delta audit: one user window + <=64-key rollup; FIFO: one window
     # per side + a ~diagonal per-key range join (k-consistent
     # replication adds parts, lots per part fixed); LTV: user collapse

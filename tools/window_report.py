@@ -62,6 +62,7 @@ def main() -> None:
             (6, plans.DRIVER_VERIFIED_R6),
             (7, plans.DRIVER_VERIFIED_R7),
             (8, plans.DRIVER_VERIFIED_R8),
+            (9, plans.DRIVER_VERIFIED_R9),
         )
         for name in block
     }
