@@ -24,6 +24,11 @@ under pyspark's bundled jars, no ``~/.ivy2`` cache, and ``pip download
 delta-spark`` cannot resolve any index (DNS failure: the image has no
 network). The 1 pytest skip stays environment-gated.
 
+Round-10 re-probe 2026-08-16: unchanged — ``import delta`` fails, no
+``~/.ivy2/jars``, and a filesystem-wide ``find`` for
+``delta-spark*.jar`` / ``delta-core*.jar`` returns nothing. Still
+environment-gated.
+
 Without Delta, the same upsert semantics run on plain parquet via the
 recompute path (see VelocityParquetStore.write(mode="append") and
 TemporalStore.append_batch) — those are the canonical engines; this module

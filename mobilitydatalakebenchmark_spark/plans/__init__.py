@@ -219,8 +219,10 @@ def load_registry() -> dict[str, Q]:
     # verdict must be on current semantics) + the backlog in its
     # maintained order, capped at ~85 s estimated sf0.01 wall.
     newest = (
-        # streaming write paths (~43 s of the budget)
-        "stream_stream_interval_join", "streaming_lsh_dedup_candidates",
+        # streaming write paths (~39 s of the budget; the 22 s
+        # stream_stream_interval_join trades places with the new
+        # late-data watermark gate and leads the r11 rotation instead)
+        "streaming_late_data_window", "streaming_lsh_dedup_candidates",
         "streaming_native_window_counts", "streaming_dedup_exactly_once",
         # r10 code-touched first-verdict gates (ADVICE fixes: in-plan
         # scalar counts, zero-denominator guards, parameterized SQL,
@@ -257,6 +259,7 @@ def load_registry() -> dict[str, Q]:
     # (ORACLE_r* artifacts) and rotate into the r11 window first, in
     # this order.
     deferred = (
+        "stream_stream_interval_join",
         "streaming_session_native", "streaming_ivm_join_maintainer",
         "streaming_shard_export", "streaming_ann_index_ingest",
         "graph_connected_components",

@@ -3364,6 +3364,142 @@ def streaming_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Watermark LATE-DATA semantics — the half of the watermark contract
+# streaming_native_window_counts does NOT exercise: rows that arrive
+# AFTER the watermark passed their window must be DROPPED (their state
+# was evicted at finalization; re-opening would double-emit). The gate
+# holds back a deterministic quarter of the events (event_id % 4 == 3),
+# streams the on-time rows, advances the watermark past every real
+# window with a far-future sentinel, then delivers the held-back rows —
+# every one of them now late beyond the 1h watermark, so the emitted
+# hourly rollup must equal the batch recompute over the ON-TIME rows
+# only. A late row that leaks into a count, or an on-time row dropped
+# with it, flips a cell. Oracle = the same lateness cut in SQL
+# (WHERE event_id % 4 <> 3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_late_data_window",
+    oracle=f"""
+SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+       event_type, count(*) AS n
+FROM events WHERE event_id % 4 <> 3
+GROUP BY 1, 2 ORDER BY window_start, event_type
+""",
+    doc="watermark late-data semantics under a driver verdict: a "
+    "deterministic quarter of the events (event_id % 4 == 3) is held "
+    "back until a sentinel batch has advanced the 1h watermark past "
+    "every real window, so Structured Streaming must DROP each of them "
+    "(state already evicted at finalization) — the emitted hourly "
+    "windows equal the batch rollup over on-time rows only, with the "
+    "same lateness cut on the oracle side; the drop-not-reopen half of "
+    "the watermark contract streaming_native_window_counts leaves "
+    "unexercised",
+    tags=("streaming", "window", "time", "write"),
+)
+def streaming_late_data_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from ..session import local_df
+
+    src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_late")
+    ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    hi = ev.agg(F.max("ts")).first()[0]
+
+    # The FileStreamSource batches by file MODIFICATION TIME; four fast
+    # consecutive writes can collide at mtime granularity and reorder
+    # (the late file arriving before the sentinel silently un-lates
+    # every held-back row). Stamp each batch's part files with strictly
+    # increasing mtimes so arrival order is pinned, not raced.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    _seen: set[str] = set()
+    _base = _time.time() - 3600.0
+
+    def _stamp(batch_idx: int) -> None:
+        for f in _glob.glob(_os.path.join(src_dir, "*.parquet")):
+            if f not in _seen:
+                _seen.add(f)
+                mt = _base + batch_idx * 60.0
+                _os.utime(f, (mt, mt))
+
+    # batch 1: every on-time row
+    ev.filter(F.col("event_id") % 4 != 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    _stamp(1)
+    # batches 2+3: TWO far-future sentinels before the late rows. The
+    # input-side late filter for micro-batch N uses the watermark
+    # derived from batches <= N-2 (one batch behind the emission
+    # watermark — measured on this Spark, see the gate's unit test), so
+    # a single sentinel would leave the late batch filtered by the
+    # ON-TIME watermark and let held-back rows in the freshest hour
+    # leak through as re-opened state.
+    for i, days in ((2, 30), (3, 30)):
+        local_df(
+            spark,
+            [
+                (
+                    -i,
+                    hi + datetime.timedelta(days=days, hours=2 * (i - 2)),
+                    "__sentinel__",
+                )
+            ],
+            "event_id long, ts timestamp, event_type string",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        _stamp(i)
+    # batch 4: the held-back rows — the filter watermark is now 30 days
+    # past every real window, every one must be dropped
+    ev.filter(F.col("event_id") % 4 == 3).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    _stamp(4)
+    # batch 5: trailing sentinel — if the drop were broken, the late
+    # rows' re-opened windows would flush into the sink here and flip
+    # the compare (without it a leak would sit in state, undetected)
+    local_df(
+        spark,
+        [(-9, hi + datetime.timedelta(days=60), "__sentinel__")],
+        "event_id long, ts timestamp, event_type string",
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    _stamp(5)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+    sq = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.date_format("ws", TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Native streaming SESSION windows — the third native stateful contract
 # (after streaming_native_window_counts and streaming_dedup_exactly_once):
 # session_window(ts, 30m) on a watermarked stream keeps one open session

@@ -205,6 +205,7 @@ BOUNDS = {
     # window over the spans table to the spans plan; partition
     # evolution is two commits + one unioned snapshot aggregate
     "streaming_native_window_counts": 8.0,
+    "streaming_late_data_window": 8.0,
     "streaming_dedup_exactly_once": 8.0,
     "dedup_substring_removal": 8.0,
     "versioned_partition_evolution": 8.0,
