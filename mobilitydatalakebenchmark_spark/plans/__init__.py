@@ -272,6 +272,17 @@ def load_registry() -> dict[str, Q]:
         "dedup_canonical_selection", "minhash_error_audit",
         "spearman_revenue_quantity", "event_burstiness_fano",
         "langid_confusion_matrix", "sma_crossover_signals",
+        # r10 depth additions (oracle-checked locally at all three SFs
+        # the session they landed): DAU/WAU stickiness, exact moment
+        # profile, business-day lag algebra, the trunc-vs-floor division
+        # trap, the NULL-ordering contract, exact median+MAD, column
+        # cardinality profile, hapax richness, per-label quantization
+        # error
+        "rolling_wau_7d", "moment_stats_per_type",
+        "business_days_to_ship", "integer_division_semantics",
+        "null_ordering_rank", "mad_robust_scale",
+        "column_cardinality_profile", "text_hapax_ratio",
+        "vec_quantization_error",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates (none this round: every

@@ -4440,3 +4440,527 @@ def not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(F.broadcast(c))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: rolling 7-day active users (WAU) per day — the
+# DAU/WAU engagement readout every product pipeline publishes. The
+# scale-safe plan is NOT a range join: each distinct (user, day) pair
+# explodes to its 7 contributing bucket days (a bounded fan-out) and
+# one hash aggregation counts distinct users per bucket — linear in
+# rows at any corpus size, no per-day rescan. The DuckDB twin uses the
+# equivalent bounded range join (dim-scale there).
+# Exactness: integer epoch days, BIGINT counts, stickiness = DAU/WAU
+# as one division rounded 6dp.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_wau_7d",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000) AS day
+  FROM events
+), days AS (
+  SELECT DISTINCT day FROM pairs
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day
+), wau AS (
+  SELECT d.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS wau_7d
+  FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+)
+SELECT w.day, dau.dau, w.wau_7d,
+       round(CAST(dau.dau AS DOUBLE) / CAST(w.wau_7d AS DOUBLE), 6)
+         AS stickiness
+FROM wau w JOIN dau ON dau.day = w.day
+ORDER BY w.day
+""",
+    doc="rolling 7-day active users per day (DAU/WAU + stickiness): "
+    "each distinct (user, day) explodes to its 7 bucket days and one "
+    "hash agg counts distinct users per bucket — bounded fan-out, "
+    "linear at any scale, never a per-day rescan; integer epoch days, "
+    "BIGINT counts, stickiness one division 6dp",
+    tags=("window", "time", "mining"),
+)
+def rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pairs = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = pairs.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("bday"),
+    )
+    wau = (
+        contrib.join(days, contrib["bday"] == days["day"], "left_semi")
+        .groupBy("bday")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+        .withColumnRenamed("bday", "day")
+    )
+    return (
+        wau.join(dau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau_7d",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau_7d").cast("double"),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: distribution moments per event type — mean, variance,
+# skewness and excess kurtosis from EXACT integer power sums (the
+# one-pass profile a feature store publishes per column). The summand
+# is the cents-mod-100 digit (0..99), so s4 <= 99^4 * n stays far from
+# BIGINT overflow at any realistic row count; each raw moment m_k is
+# ONE exact-integer division, and the skew/kurtosis formulas combine
+# those deterministic doubles in a FIXED expression tree (identical
+# IEEE on both engines) before the 6dp round. Zero-variance groups pin
+# to NULL on both sides via an exact integer test (n*s2 == s1*s1).
+# Scale: one map-side-combinable aggregation over one scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moment_stats_per_type",
+    oracle="""
+WITH src AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) % 100 AS v
+  FROM events
+), sums AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v) AS BIGINT) AS s1,
+         CAST(sum(v * v) AS BIGINT) AS s2,
+         CAST(sum(v * v * v) AS BIGINT) AS s3,
+         CAST(sum(v * v * v * v) AS BIGINT) AS s4
+  FROM src GROUP BY event_type
+), m AS (
+  SELECT event_type, n, s1, s2, s3, s4,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
+  FROM sums
+)
+SELECT event_type, n,
+       round(m1, 6) AS mean_v,
+       CASE WHEN n * s2 = s1 * s1 THEN NULL
+            ELSE round(m2 - m1 * m1, 6) END AS var_v,
+       CASE WHEN n * s2 = s1 * s1 THEN NULL
+            ELSE round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                       / ((m2 - m1 * m1) * sqrt(m2 - m1 * m1)), 6)
+       END AS skewness,
+       CASE WHEN n * s2 = s1 * s1 THEN NULL
+            ELSE round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                        - 3 * m1 * m1 * m1 * m1)
+                       / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3, 6)
+       END AS kurtosis_excess
+FROM m ORDER BY event_type
+""",
+    doc="distribution moments per event type from exact integer power "
+    "sums (one-pass profile): mean/variance/skewness/excess-kurtosis "
+    "— each raw moment one exact division, higher moments a fixed "
+    "IEEE expression tree rounded 6dp, zero variance pinned to NULL "
+    "via the integer test n*s2 == s1^2; one combinable aggregation",
+    tags=("stats", "quality"),
+)
+def moment_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = (F.round(F.col("value") * 100).cast("long") % 100).alias("v")
+    src = ev.select("event_type", v)
+    sums = src.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(F.col("v") * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = sums.select(
+        "event_type",
+        "n",
+        "s1",
+        "s2",
+        (s1.cast("double") / n.cast("double")).alias("m1"),
+        (s2.cast("double") / n.cast("double")).alias("m2"),
+        (s3.cast("double") / n.cast("double")).alias("m3"),
+        (s4.cast("double") / n.cast("double")).alias("m4"),
+    )
+    m1, m2, m3, m4 = (F.col(c) for c in ("m1", "m2", "m3", "m4"))
+    var_is_zero = (F.col("n") * F.col("s2")) == (F.col("s1") * F.col("s1"))
+    var = m2 - m1 * m1
+    return m.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean_v"),
+        F.when(~var_is_zero, F.round(var, 6)).alias("var_v"),
+        F.when(
+            ~var_is_zero,
+            F.round(
+                (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var)),
+                6,
+            ),
+        ).alias("skewness"),
+        F.when(
+            ~var_is_zero,
+            F.round(
+                (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+                / (var * var)
+                - 3,
+                6,
+            ),
+        ).alias("kurtosis_excess"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: business-day shipping lag — calendar arithmetic with
+# weekend exclusion as PURE integer algebra (no per-day explode, no
+# calendar table): B(d) counts the weekdays strictly before epoch day
+# d via the shifted-Monday anchor d' = d + 3 (epoch day 0 = Thursday
+# 1970-01-01, so d' = 0 is Monday 1969-12-29): B = (d' div 7) * 5 +
+# least(d' % 7, 5). Business days in [order, ship) = B(ship) -
+# B(order). All operands positive, so div/% agree across engines.
+# Scale: one orderkey equi-join + a 5-key rollup (sla_shipment shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "business_days_to_ship",
+    oracle="""
+WITH lagd AS (
+  SELECT o.o_orderpriority AS priority,
+         ((epoch_us(l.l_shipdate) // (CAST(86400 AS BIGINT) * 1000000) + 3)
+            // 7) * 5
+           + least((epoch_us(l.l_shipdate)
+                    // (CAST(86400 AS BIGINT) * 1000000) + 3) % 7, 5)
+         - (((epoch_us(o.o_orderdate) // (CAST(86400 AS BIGINT) * 1000000)
+              + 3) // 7) * 5
+            + least((epoch_us(o.o_orderdate)
+                     // (CAST(86400 AS BIGINT) * 1000000) + 3) % 7, 5))
+           AS bdays
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(bdays) AS BIGINT) AS sum_bdays,
+       CAST(max(bdays) AS BIGINT) AS max_bdays,
+       round(CAST(sum(bdays) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_bdays
+FROM lagd GROUP BY priority ORDER BY priority
+""",
+    doc="business-day (Mon-Fri) shipping lag per order priority as pure "
+    "integer algebra: weekdays-before-day-d B(d) = ((d+3) div 7)*5 + "
+    "least((d+3)%7, 5) on the shifted-Monday anchor, lag = B(ship) - "
+    "B(order) — no calendar table, no explode, all positive operands "
+    "so div/% agree cross-engine; one equi-join + a 5-key rollup",
+    tags=("time", "join", "mining"),
+)
+def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    lagd = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.expr(
+                "((unix_micros(l_shipdate) div 86400000000 + 3) div 7) * 5"
+                " + least((unix_micros(l_shipdate) div 86400000000 + 3) % 7,"
+                " 5)"
+            )
+            - F.expr(
+                "((unix_micros(o_orderdate) div 86400000000 + 3) div 7) * 5"
+                " + least((unix_micros(o_orderdate) div 86400000000 + 3) % 7,"
+                " 5)"
+            )
+        ).alias("bdays"),
+    )
+    return (
+        lagd.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("bdays").alias("sum_bdays"),
+            F.max("bdays").alias("max_bdays"),
+            F.round(
+                F.sum("bdays").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_bdays"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: integer division semantics on NEGATIVE operands — the
+# second great SQL trap after NOT IN: Spark's `div` TRUNCATES toward
+# zero while DuckDB's `//` FLOORS, so -7 div 3 = -2 on one engine and
+# -3 on the other; a naive port silently shifts every negative bucket.
+# The gate computes BOTH conventions with PORTABLE algebra on each
+# engine: `%` is truncation-mod (dividend sign) on both; floor_mod =
+# ((a % b) + b) % b; each div is then (a - matching_mod) / b — an
+# EXACTLY divisible numerator, on which truncation and floor agree, so
+# the expression is engine-independent by construction. The rollup by
+# sign(a) shows the two conventions agreeing on positives and
+# disagreeing on every non-divisible negative.
+# Scale: pure map expressions into a 3-key rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "integer_division_semantics",
+    oracle="""
+WITH src AS (
+  SELECT CAST(round(value * 100) AS BIGINT) % 100 - 50 AS a,
+         CAST(7 AS BIGINT) AS b
+  FROM events
+), d AS (
+  SELECT a, b,
+         a % b AS trunc_mod,
+         ((a % b) + b) % b AS floor_mod,
+         (a - (a % b)) // b AS trunc_div,
+         (a - (((a % b) + b) % b)) // b AS floor_div
+  FROM src
+)
+SELECT CASE WHEN a < 0 THEN -1 WHEN a > 0 THEN 1 ELSE 0 END AS sign_a,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(trunc_div) AS BIGINT) AS sum_trunc_div,
+       CAST(sum(floor_div) AS BIGINT) AS sum_floor_div,
+       CAST(sum(trunc_mod) AS BIGINT) AS sum_trunc_mod,
+       CAST(sum(floor_mod) AS BIGINT) AS sum_floor_mod,
+       CAST(count(CASE WHEN trunc_div <> floor_div THEN 1 END) AS BIGINT)
+         AS n_conventions_disagree
+FROM d GROUP BY 1 ORDER BY sign_a
+""",
+    doc="integer division on negative operands pinned: Spark div "
+    "truncates toward zero, DuckDB // floors — the gate derives BOTH "
+    "conventions portably (mod is dividend-sign on both engines; each "
+    "div uses an exactly-divisible numerator a - matching_mod, where "
+    "truncation and floor coincide) and the sign(a) rollup shows them "
+    "agreeing on positives and splitting on every non-divisible "
+    "negative; map expressions into a 3-key rollup",
+    tags=("quality", "stats"),
+)
+def integer_division_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        (F.round(F.col("value") * 100).cast("long") % 100 - 50).alias("a"),
+        F.lit(7).cast("long").alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    trunc_mod = a % b
+    floor_mod = ((a % b) + b) % b
+    d = src.select(
+        "a",
+        trunc_mod.alias("trunc_mod"),
+        floor_mod.alias("floor_mod"),
+        F.expr("(a - (a % b)) div b").alias("trunc_div"),
+        F.expr("(a - (((a % b) + b) % b)) div b").alias("floor_div"),
+    )
+    sign_a = (
+        F.when(a < 0, -1).when(a > 0, 1).otherwise(0).cast("long")
+    ).alias("sign_a")
+    return (
+        d.groupBy(sign_a)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("trunc_div").alias("sum_trunc_div"),
+            F.sum("floor_div").alias("sum_floor_div"),
+            F.sum("trunc_mod").alias("sum_trunc_mod"),
+            F.sum("floor_mod").alias("sum_floor_mod"),
+            F.count(
+                F.when(F.col("trunc_div") != F.col("floor_div"), 1)
+            ).alias("n_conventions_disagree"),
+        )
+        .orderBy("sign_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: NULL ordering contract — the DEFAULTS differ (Spark
+# ASC puts NULLs FIRST, DuckDB ASC puts NULLs LAST), so any ORDER BY /
+# window over a nullable key silently reorders across engines unless
+# the null placement is EXPLICIT. The gate ranks a nullable key under
+# both explicit placements and reports where the NULL block lands —
+# the contract every cross-engine ranking must write out.
+# Scale: dim-sized (distinct users); the two rank windows share one
+# single-partition sort each.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_ordering_rank",
+    oracle="""
+WITH src AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 100 END AS v
+  FROM events
+), ranked AS (
+  SELECT user_id, v,
+         row_number() OVER (ORDER BY v ASC NULLS FIRST, user_id)
+           AS nf_rank,
+         row_number() OVER (ORDER BY v ASC NULLS LAST, user_id) AS nl_rank
+  FROM src
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+       CAST(min(CASE WHEN v IS NULL THEN nf_rank END) AS BIGINT)
+         AS nf_first_null_rank,
+       CAST(max(CASE WHEN v IS NULL THEN nf_rank END) AS BIGINT)
+         AS nf_last_null_rank,
+       CAST(min(CASE WHEN v IS NULL THEN nl_rank END) AS BIGINT)
+         AS nl_first_null_rank,
+       CAST(max(CASE WHEN v IS NULL THEN nl_rank END) AS BIGINT)
+         AS nl_last_null_rank,
+       CAST(sum(nf_rank * user_id) AS BIGINT) AS nf_order_checksum,
+       CAST(sum(nl_rank * user_id) AS BIGINT) AS nl_order_checksum
+FROM ranked
+""",
+    doc="NULL ordering contract pinned: Spark ASC defaults NULLS FIRST "
+    "while DuckDB ASC defaults NULLS LAST, so the gate ranks a "
+    "nullable key under BOTH explicit placements (asc_nulls_first / "
+    "asc_nulls_last) and reports where the NULL block lands plus "
+    "rank-weighted checksums — implicit null placement is the bug, "
+    "explicit placement the contract; dim-sized single-partition sorts",
+    tags=("quality", "window"),
+)
+def null_ordering_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id") % 100)
+        .alias("v"),
+    ).distinct()
+    ranked = src.select(
+        "user_id",
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").asc_nulls_first(), F.col("user_id")))
+        .cast("long")
+        .alias("nf_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.col("v").asc_nulls_last(), F.col("user_id")))
+        .cast("long")
+        .alias("nl_rank"),
+    )
+    is_null = F.col("v").isNull()
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(is_null, 1)).alias("n_nulls"),
+        F.min(F.when(is_null, F.col("nf_rank"))).alias("nf_first_null_rank"),
+        F.max(F.when(is_null, F.col("nf_rank"))).alias("nf_last_null_rank"),
+        F.min(F.when(is_null, F.col("nl_rank"))).alias("nl_first_null_rank"),
+        F.max(F.when(is_null, F.col("nl_rank"))).alias("nl_last_null_rank"),
+        F.sum(F.col("nf_rank") * F.col("user_id")).alias("nf_order_checksum"),
+        F.sum(F.col("nl_rank") * F.col("user_id")).alias("nl_order_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: median + MAD (median absolute deviation) per event
+# type — the robust location/scale pair that outlier fences should use
+# instead of mean/stddev, computed EXACTLY: the lower median is the
+# value at row (n+1) div 2 of the sorted multiset (rank algebra, no
+# float interpolation — deliberately NOT quantile_cont), and the MAD
+# repeats the same rank pick on |cents - median|. All integers end to
+# end.
+# Scale: two keyed window sorts over the same partitioning + one
+# broadcast of the per-type medians (<= #types rows).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_robust_scale",
+    oracle="""
+WITH src AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM src
+), med AS (
+  SELECT event_type, n AS n_rows, cents AS median_cents
+  FROM ranked WHERE rn = (n + 1) // 2
+), dev AS (
+  SELECT s.event_type, abs(s.cents - m.median_cents) AS adev, s.event_id
+  FROM src s JOIN med m ON m.event_type = s.event_type
+), dev_ranked AS (
+  SELECT event_type, adev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY adev, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+)
+SELECT m.event_type, CAST(m.n_rows AS BIGINT) AS n,
+       m.median_cents, d.adev AS mad_cents
+FROM med m
+JOIN dev_ranked d ON d.event_type = m.event_type AND d.rn = (d.n + 1) // 2
+ORDER BY m.event_type
+""",
+    doc="exact median + MAD per event type via rank algebra (lower "
+    "median = value at row (n+1) div 2 of the sorted multiset — no "
+    "float interpolation), MAD = same pick on |cents - median|; the "
+    "robust location/scale pair for outlier fences, integers end to "
+    "end; two keyed window sorts + a broadcast of per-type medians",
+    tags=("stats", "quality", "window"),
+)
+def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = src.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n").alias("n_rows"),
+        F.col("cents").alias("median_cents"),
+    )
+    dev = src.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("adev"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dev_ranked = dev.select(
+        "event_type",
+        "adev",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).filter(F.col("rn") == F.expr("(n + 1) div 2"))
+    return (
+        med.join(
+            dev_ranked.select("event_type", F.col("adev").alias("mad_cents")),
+            "event_type",
+        )
+        .select("event_type", F.col("n_rows").alias("n"), "median_cents", "mad_cents")
+        .orderBy("event_type")
+    )

@@ -4445,3 +4445,130 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: column cardinality / null / width profile — the first
+# thing an ingestion pipeline computes for every new table (dictionary-
+# encodability, join-key viability, null health). One scan computes all
+# metrics as a single aggregation, then unpivots to one row per column;
+# the DuckDB twin is the per-column UNION ALL spelled out.
+# Exactness: BIGINT counts; doubles profile via exact cents; width =
+# sum(length) for strings, NULL for non-strings.
+# Scale: one map-side-combinable aggregation (count distinct per column
+# is the only shuffle; at extreme cardinality swap in approx_count_
+# distinct — the rollup_distinct_sketch gate is that path's twin).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "column_cardinality_profile",
+    oracle="""
+SELECT 'event_id' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN event_id IS NULL THEN 1 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(NULL AS BIGINT) AS total_chars
+FROM events
+UNION ALL
+SELECT 'event_type',
+       CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN event_type IS NULL THEN 1 END) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(sum(length(event_type)) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props',
+       CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN props IS NULL THEN 1 END) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT),
+       CAST(sum(length(props)) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'user_id',
+       CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value_cents',
+       CAST(count(*) AS BIGINT),
+       CAST(count(CASE WHEN value IS NULL THEN 1 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT)) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM events
+ORDER BY col_name
+""",
+    doc="per-column ingestion profile of the events table (rows, nulls, "
+    "exact NDV, total string width) in ONE scan: a single aggregation "
+    "computes every metric, then an inline unpivot emits one row per "
+    "column — dictionary-encodability and join-key viability at a "
+    "glance; BIGINT counts, cents for the double column, the sketch "
+    "twin for extreme-NDV corpora is rollup_distinct_sketch",
+    tags=("quality", "scan"),
+)
+def column_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("event_id").isNull(), 1)).alias("id_null"),
+        F.count_distinct(F.col("event_id")).alias("id_ndv"),
+        F.count(F.when(F.col("event_type").isNull(), 1)).alias("type_null"),
+        F.count_distinct(F.col("event_type")).alias("type_ndv"),
+        F.sum(F.length("event_type")).alias("type_chars"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("props_null"),
+        F.count_distinct(F.col("props")).alias("props_ndv"),
+        F.sum(F.length("props")).alias("props_chars"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("user_null"),
+        F.count_distinct(F.col("user_id")).alias("user_ndv"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("value_null"),
+        F.count_distinct(
+            F.round(F.col("value") * 100).cast("long")
+        ).alias("value_ndv"),
+    )
+    null_chars = F.lit(None).cast("long")
+    rows = F.array(
+        F.struct(
+            F.lit("event_id").alias("col_name"),
+            F.col("id_null").alias("n_null"),
+            F.col("id_ndv").alias("n_distinct"),
+            null_chars.alias("total_chars"),
+        ),
+        F.struct(
+            F.lit("event_type").alias("col_name"),
+            F.col("type_null").alias("n_null"),
+            F.col("type_ndv").alias("n_distinct"),
+            F.col("type_chars").alias("total_chars"),
+        ),
+        F.struct(
+            F.lit("props").alias("col_name"),
+            F.col("props_null").alias("n_null"),
+            F.col("props_ndv").alias("n_distinct"),
+            F.col("props_chars").alias("total_chars"),
+        ),
+        F.struct(
+            F.lit("user_id").alias("col_name"),
+            F.col("user_null").alias("n_null"),
+            F.col("user_ndv").alias("n_distinct"),
+            null_chars.alias("total_chars"),
+        ),
+        F.struct(
+            F.lit("value_cents").alias("col_name"),
+            F.col("value_null").alias("n_null"),
+            F.col("value_ndv").alias("n_distinct"),
+            null_chars.alias("total_chars"),
+        ),
+    )
+    return (
+        agg.select("n_rows", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.col_name").alias("col_name"),
+            "n_rows",
+            F.col("r.n_null").alias("n_null"),
+            F.col("r.n_distinct").alias("n_distinct"),
+            F.col("r.total_chars").alias("total_chars"),
+        )
+        .orderBy("col_name")
+    )

@@ -3215,3 +3215,59 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "detected")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: hapax legomena share per source — the
+# vocabulary-richness signal curation pipelines read next to Zipf slope
+# and vocab drift: a source whose token distribution is all hapaxes is
+# noise or boilerplate-free prose; one with almost none is templated.
+# Exactness: BIGINT vocabulary and hapax counts, ratio one division 6dp.
+# Scale: one (source, token) hash rollup then a source-keyed rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, token
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS hapax,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+FROM cnt GROUP BY source ORDER BY source
+""",
+    doc="hapax legomena share per source (vocabulary richness next to "
+    "Zipf slope / vocab drift): per-source type count, hapax count, "
+    "token total and hapax/vocab ratio — BIGINT counts, one division "
+    "6dp; one (source, token) rollup then a source rollup",
+    tags=("text", "quality"),
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("hapax"),
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.count(F.when(F.col("c") == 1, 1)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )

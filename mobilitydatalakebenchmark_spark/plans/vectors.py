@@ -1678,3 +1678,96 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_in_degree",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 depth: per-label quantization error (within-cluster scatter)
+# — the k-means/IVF design input: how tight is each label's cluster, in
+# EXACT integers? Components quantize to 1e-4 BIGINT ticks; the
+# per-(label, dim) centroid is the PORTABLE floor-mean (the numerator
+# s - floor_mod(s, n) is exactly divisible, where truncation and floor
+# agree — Spark div truncates, DuckDB // floors, so a bare s // n would
+# diverge on negative component sums); SSE is an exact BIGINT sum of
+# squared tick deviations, and RMSE one fixed sqrt/division tree 6dp.
+# Scale: posexplode is a bounded 64x fan-out into two hash rollups +
+# one broadcast of the 640-row centroid table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vec_quantization_error",
+    oracle="""
+WITH ex AS (
+  SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+           AS xq
+  FROM embeddings
+), c AS (
+  SELECT label, dim,
+         (sum(xq) - ((sum(xq) % count(*)) + count(*)) % count(*))
+           // count(*) AS cq
+  FROM ex GROUP BY label, dim
+), dev AS (
+  SELECT e.label, (e.xq - c.cq) * (e.xq - c.cq) AS sq
+  FROM ex e JOIN c ON c.label = e.label AND c.dim = e.dim
+), per AS (
+  SELECT label,
+         CAST(count(*) // 64 AS BIGINT) AS n_vectors,
+         CAST(sum(sq) AS BIGINT) AS sse_ticks
+  FROM dev GROUP BY label
+)
+SELECT label, n_vectors, sse_ticks,
+       round(sqrt(CAST(sse_ticks AS DOUBLE)
+                  / CAST(n_vectors * 64 AS DOUBLE)) / 10000.0, 6)
+         AS rmse
+FROM per ORDER BY label
+""",
+    doc="per-label quantization error in exact integer ticks: 1e-4 "
+    "quantized components, portable floor-mean centroids (numerator "
+    "made exactly divisible so Spark div and DuckDB // agree on "
+    "negative sums), BIGINT SSE, RMSE one fixed sqrt/division tree — "
+    "the within-cluster scatter audit behind IVF/k-means list design; "
+    "bounded 64x posexplode into hash rollups + a 640-row broadcast",
+    tags=("vector", "eval", "compression"),
+)
+def vec_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings", heavy=True)
+    ex = e.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "label",
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+    )
+    c = ex.groupBy("label", "dim").agg(
+        F.expr(
+            "(sum(xq) - ((sum(xq) % count(*)) + count(*)) % count(*))"
+            " div count(*)"
+        ).alias("cq")
+    )
+    dev = ex.join(F.broadcast(c), ["label", "dim"]).select(
+        "label",
+        ((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias(
+            "sq"
+        ),
+    )
+    per = dev.groupBy("label").agg(
+        F.expr("count(*) div 64").alias("n_vectors"),
+        F.sum("sq").alias("sse_ticks"),
+    )
+    return per.select(
+        "label",
+        "n_vectors",
+        "sse_ticks",
+        F.round(
+            F.sqrt(
+                F.col("sse_ticks").cast("double")
+                / (F.col("n_vectors") * 64).cast("double")
+            )
+            / 10000.0,
+            6,
+        ).alias("rmse"),
+    ).orderBy("label")

@@ -380,6 +380,20 @@ BOUNDS = {
     "not_in_null_trap": 8.0,
     "langid_confusion_matrix": 8.0,
     "sma_crossover_signals": 8.0,
+    # r10 depth: WAU is a bounded 7x explode into hash rollups; moments/
+    # division/profile are map-side aggregations; business days one
+    # equi-join; null ordering + MAD are dim-/type-keyed window sorts;
+    # hapax one (source, token) rollup; quantization error a bounded
+    # 64x posexplode + broadcast join — all linear
+    "rolling_wau_7d": 8.0,
+    "moment_stats_per_type": 8.0,
+    "business_days_to_ship": 8.0,
+    "integer_division_semantics": 8.0,
+    "null_ordering_rank": 8.0,
+    "mad_robust_scale": 8.0,
+    "column_cardinality_profile": 8.0,
+    "text_hapax_ratio": 8.0,
+    "vec_quantization_error": 8.0,
 }
 
 

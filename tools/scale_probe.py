@@ -48,18 +48,46 @@ SHIFT_KEYS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
 }
+# timestamp columns shifted per replica by (span + 1 day), for the same
+# reason the keys shift: replicas sharing one time range would make every
+# time-proximity operator (interval overlap, as-of, sessionization)
+# cross-match between replicas, inflating TRUE output k^2-fold — a
+# replication artifact, not an operator cost. Shifting keeps temporal
+# selectivity consistent: k x rows -> k x matches.
+SHIFT_TS = {"events": ["ts"]}
 COPY_TABLES = ["nation", "region"]
 
 
 def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    day_us = 86_400_000_000
     for table, keys in SHIFT_KEYS.items():
         df = read_table(spark, sf_dir, table)
         maxes = df.agg(*[F.max(c).alias(c) for c in keys]).first()
+        ts_cols = SHIFT_TS.get(table, [])
+        spans = {}
+        if ts_cols:
+            row = df.agg(
+                *[
+                    F.expr(
+                        f"unix_micros(max({c})) - unix_micros(min({c}))"
+                    ).alias(c)
+                    for c in ts_cols
+                ]
+            ).first()
+            spans = {c: row[c] + day_us for c in ts_cols}
         parts = []
         for i in range(k):
             rep = df
             for c in keys:
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * (maxes[c] + 1)))
+            for c in ts_cols:
+                rep = rep.withColumn(
+                    c,
+                    F.expr(
+                        f"timestamp_micros(unix_micros({c})"
+                        f" + {i * spans[c]})"
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
