@@ -90,6 +90,14 @@ HEADLINE = [
     "dedup_substring_spans",
     "fasttext_quality_inference",
     "knn_ivf_filtered",
+    # round-10 additions: the re-blocked reciprocity gate (was the
+    # registry's one sampled cartesian — watch the panel plan), the
+    # bounded-explode WAU rollup, and the two-pass exact MAD. The
+    # streaming_late_data_window write gate stays off the watch
+    # (~18s, wall recorded in ORACLE_r{N}.json secs).
+    "knn_graph_reciprocity",
+    "rolling_wau_7d",
+    "mad_robust_scale",
 ]
 
 
