@@ -2589,7 +2589,11 @@ def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.select(
         F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
     ).distinct()
-    n_orders = baskets.select("oid").distinct().count()
+    # n_orders stays IN-PLAN as a broadcast 1-row aggregate (no eager
+    # driver .count() recomputing the basket distinct)
+    n_orders_df = (
+        baskets.select("oid").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    )
     item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     a = baskets.alias("a")
     b = baskets.alias("b")
@@ -2622,6 +2626,7 @@ def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "item_b",
         )
+        .crossJoin(F.broadcast(n_orders_df))
         .select(
             "item_a",
             "item_b",
@@ -2629,9 +2634,10 @@ def assoc_rules_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             (F.col("n_ab") / F.col("n_a")).alias("confidence"),
-            (F.col("n_ab") * F.lit(n_orders) / (F.col("n_a") * F.col("n_b"))).alias(
-                "lift"
-            ),
+            (
+                F.col("n_ab") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
         )
         .orderBy(F.desc("n_ab"), "item_a", "item_b")
         .limit(50)

@@ -2667,12 +2667,15 @@ ORDER BY cross_diff DESC, token LIMIT 20
 )
 def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    cut = d.count() // 2
+    # the midpoint cut stays IN-PLAN as a broadcast 1-row aggregate (no
+    # eager driver .count() embedded as a literal)
+    cut_df = d.agg(F.expr("count(*) div 2").alias("cut"))
     tagged = (
-        d.select(
+        d.crossJoin(F.broadcast(cut_df))
+        .select(
             "doc_id",
             F.explode(F.split("text", " ")).alias("token"),
-            (F.col("doc_id") < cut).alias("early"),
+            (F.col("doc_id") < F.col("cut")).alias("early"),
         )
         .distinct()
     )
