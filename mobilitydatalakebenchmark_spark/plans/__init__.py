@@ -283,6 +283,13 @@ def load_registry() -> dict[str, Q]:
         "null_ordering_rank", "mad_robust_scale",
         "column_cardinality_profile", "text_hapax_ratio",
         "vec_quantization_error",
+        # r10 continuation batch (same three-SF oracle discipline):
+        # session bounce rate, hourly OHLC candles, degree
+        # assortativity, ratio-to-parent shares, cumulative reach,
+        # MRR@10 with lcm-scaled exact reciprocals
+        "session_bounce_rate", "ts_resample_ohlc",
+        "graph_degree_assortativity", "ratio_to_parent_share",
+        "cumulative_reach_daily", "retrieval_mrr_eval",
     )
     # Gates whose plan/operator code changed AFTER their last driver
     # check — rechecked before merely-old gates (none this round: every

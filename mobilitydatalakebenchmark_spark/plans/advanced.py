@@ -4970,3 +4970,232 @@ def mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n_rows").alias("n"), "median_cents", "mad_cents")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: degree assortativity of the part co-purchase
+# graph — Newman's r: the Pearson correlation of endpoint degrees over
+# edges. Positive r = hubs link to hubs (assortative mixing), negative
+# = hub-and-spoke; the partition-quality complement to the modularity
+# gate. Over the SYMMETRIC arc list (both orientations of each edge)
+# the x- and y-moments coincide, so r collapses to
+# (n·Sxy − Sx²) / (n·Sxx − Sx²): integer numerator and denominator,
+# ONE division, no square roots at all.
+# Scale: the bounded within-basket edge join (modularity's shape) + a
+# degree rollup + one broadcast of the degree table onto the arcs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.item AS pa, b.item AS pb
+  FROM baskets a JOIN baskets b ON a.oid = b.oid AND a.item < b.item
+), arcs AS (
+  SELECT pa AS src, pb AS dst FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+), deg AS (
+  SELECT src AS item, CAST(count(*) AS BIGINT) AS d FROM arcs GROUP BY src
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(ds.d) AS BIGINT) AS sx,
+         CAST(sum(ds.d * dd.d) AS BIGINT) AS sxy,
+         CAST(sum(ds.d * ds.d) AS BIGINT) AS sxx
+  FROM arcs a
+  JOIN deg ds ON ds.item = a.src
+  JOIN deg dd ON dd.item = a.dst
+)
+SELECT n AS n_arcs, sx AS sum_deg, sxy AS sum_xy, sxx AS sum_xx,
+       CASE WHEN n * sxx = sx * sx THEN NULL
+            ELSE round(CAST(n * sxy - sx * sx AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6) END
+         AS assortativity
+FROM m
+""",
+    doc="degree assortativity (Newman's r) of the part co-purchase "
+    "graph: over the symmetric arc list the endpoint-degree moments "
+    "coincide, so the Pearson correlation collapses to one division of "
+    "exact BIGINT moments — no sqrt; degenerate (all-equal-degree) "
+    "graphs pin NULL by the integer test n*Sxx == Sx²; bounded "
+    "within-basket edge join + a degree broadcast",
+    tags=("graph", "eval", "stats"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(F.col("a.item").alias("pa"), F.col("b.item").alias("pb"))
+        .distinct()
+    )
+    arcs = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = arcs.groupBy(F.col("src").alias("item")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ds = deg.select(F.col("item").alias("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("item").alias("dst"), F.col("d").alias("dy"))
+    m = (
+        arcs.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dx").alias("sx"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        )
+    )
+    n, sx, sxy, sxx = (F.col(c) for c in ("n", "sx", "sxy", "sxx"))
+    return m.select(
+        n.alias("n_arcs"),
+        sx.alias("sum_deg"),
+        sxy.alias("sum_xy"),
+        sxx.alias("sum_xx"),
+        F.when(
+            n * sxx != sx * sx,
+            F.round(
+                (n * sxy - sx * sx).cast("double")
+                / (n * sxx - sx * sx).cast("double"),
+                6,
+            ),
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: ratio-to-parent revenue shares — the BI
+# contract behind every drill-down: each nation's share of ITS
+# region's revenue (window sum over the rollup, not a second scan).
+# Exactness: cents BIGINT; each share one division 6dp.
+# Scale: one fact shuffle to the (region, nation) rollup; the parent
+# total is a window over the ~25-row rollup, free.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ratio_to_parent_share",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS nation_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY region, nation
+)
+SELECT region, nation, nation_cents,
+       CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT)
+         AS region_cents,
+       round(CAST(nation_cents AS DOUBLE)
+             / CAST(sum(nation_cents) OVER (PARTITION BY region)
+                    AS DOUBLE), 6) AS share_of_region
+FROM rev ORDER BY region, nation
+""",
+    doc="ratio-to-parent drill-down: each nation's share of its "
+    "region's order revenue — parent total as a window over the "
+    "dim-sized rollup (never a second fact scan); exact cents, one "
+    "division per row 6dp; one fact shuffle + broadcast dims",
+    tags=("join", "window", "mining"),
+)
+def ratio_to_parent_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select("n_nationkey", "n_name", "n_regionkey")
+            ),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("nation_cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_cents",
+        F.sum("nation_cents").over(wr).alias("region_cents"),
+        F.round(
+            F.col("nation_cents").cast("double")
+            / F.sum("nation_cents").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+    ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: cumulative user reach — users-to-date per day
+# (the growth curve next to rolling_wau_7d's engagement window). The
+# scale-safe plan for cumulative distinct: collapse each user to their
+# FIRST day (one hash agg), count new users per day, then a running
+# sum over the tiny day table — never a per-day distinct rescan.
+# Rows = days on which at least one user was seen first (documented
+# contract; days with zero new users have no row).
+# Exactness: integer epoch days, BIGINT counts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_reach_daily",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id,
+         min(epoch_us(ts) // (CAST(86400 AS BIGINT) * 1000000)) AS day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM first_day GROUP BY day
+)
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS users_to_date
+FROM per_day ORDER BY day
+""",
+    doc="cumulative user reach (users-to-date per day): each user "
+    "collapses to their first epoch day, new-user counts roll up per "
+    "day, and the running total runs over the tiny day table — the "
+    "scale-safe cumulative-distinct plan (never a per-day rescan); "
+    "rows exist only for days with a first-seen user; all integers",
+    tags=("window", "time", "mining"),
+)
+def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("day")
+    )
+    per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day", "n_new", F.sum("n_new").over(w).alias("users_to_date")
+    ).orderBy("day")

@@ -3274,3 +3274,94 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: MRR@10 — the second standard retrieval metric
+# next to nDCG (retrieval_ndcg_eval): reciprocal rank of the FIRST
+# relevant hit per query, averaged. Exactness trick: ranks are <= 10
+# and every 1..10 divides 2520 = lcm(1..10), so rr_scaled =
+# 2520 div rank is an EXACT integer — the mean is one division of
+# exact integers at the very end, no float reciprocals summed.
+# Scale: rides the BM25 run (postings equi-joins); the eval itself is
+# a per-query min + a 3-row window.
+# ---------------------------------------------------------------------------
+
+
+def _mrr_oracle() -> str:
+    return f"""
+WITH base AS ({_bm25_oracle()}),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+lab AS (
+  SELECT b.query_id, b.rank,
+         CASE WHEN d.dl > 30 THEN 1 ELSE 0 END AS rel
+  FROM base b JOIN dl d USING (doc_id)
+), firstrel AS (
+  SELECT query_id,
+         min(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank
+  FROM lab GROUP BY query_id
+), rr AS (
+  SELECT query_id,
+         CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+         CAST(coalesce(2520 // first_rel_rank, 0) AS BIGINT) AS rr_scaled
+  FROM firstrel
+)
+SELECT query_id, first_rel_rank, rr_scaled,
+       round(CAST(sum(rr_scaled) OVER () AS DOUBLE)
+             / CAST(count(*) OVER () * 2520 AS DOUBLE), 6) AS mrr
+FROM rr ORDER BY query_id
+"""
+
+
+@register(
+    "retrieval_mrr_eval",
+    oracle=_mrr_oracle(),
+    doc="MRR@10 of the BM25 run: reciprocal rank of the first relevant "
+    "hit (relevance = doc length > 30 tokens), scaled by "
+    "lcm(1..10) = 2520 so every reciprocal is an EXACT integer "
+    "(2520 div rank) and the mean is one end division — the second "
+    "standard retrieval eval next to nDCG, riding the same "
+    "margin-audited run",
+    tags=("text", "retrieval", "eval"),
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk, build_postings, literal_queries
+
+    docs = t(spark, sf_dir, "documents")
+    postings, doc_stats = build_postings(docs)
+    queries = literal_queries(spark, _BM25_QUERIES)
+    ranked = bm25_topk(
+        postings, doc_stats, queries,
+        k1=_BM25_K1, b=_BM25_B, topk=_BM25_TOPK,
+    ).select("query_id", "rank", "doc_id")
+    dl = F.size(F.split("text", " "))
+    rel = docs.select("doc_id", F.when(dl > 30, 1).otherwise(0).alias("rel"))
+    # broadcast the 30-row run onto the doc-dim relevance table (never
+    # the reverse — rel is corpus-sized at scale)
+    firstrel = (
+        rel.join(F.broadcast(ranked), "doc_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias(
+                "first_rel_rank"
+            )
+        )
+    )
+    rr = firstrel.select(
+        "query_id",
+        F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+        F.coalesce(
+            F.expr("2520 div first_rel_rank"), F.lit(0)
+        ).cast("long").alias("rr_scaled"),
+    )
+    w_all = Window.partitionBy()
+    return rr.select(
+        "query_id",
+        "first_rel_rank",
+        "rr_scaled",
+        F.round(
+            F.sum("rr_scaled").over(w_all).cast("double")
+            / (F.count(F.lit(1)).over(w_all) * 2520).cast("double"),
+            6,
+        ).alias("mrr"),
+    ).orderBy("query_id")

@@ -2418,3 +2418,164 @@ def sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: session bounce-rate report — the product-
+# analytics readout on top of gap-island sessionization (w5's shape):
+# per user cohort, how many sessions, how many BOUNCED (single-event
+# sessions), events per session. A bounce-rate shift is the first
+# signal of tracking breakage or UX regressions.
+# Exactness: sessions are integer gap islands on a unique (ts,
+# event_id) order; counts BIGINT; the two ratios one division each 6dp.
+# Scale: one user-keyed window sort shared by flag + island id, then
+# two hash rollups (session-sized, cohort-sized).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), sess AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, session_id
+)
+SELECT user_id % 5 AS cohort,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounce,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       round(CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+       round(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS events_per_session
+FROM sess GROUP BY cohort ORDER BY cohort
+""",
+    doc="session bounce-rate per user cohort on 30-min gap islands: "
+    "session count, single-event bounces, events-per-session — the "
+    "product-analytics readout over w5's sessionization; one user "
+    "window sort + two rollups, BIGINT counts, two end divisions",
+    tags=("window", "time", "mining"),
+)
+def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w_ord)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return (
+        sess.groupBy((F.col("user_id") % 5).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.alias("n_bounce"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(
+                bounce.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("bounce_rate"),
+            F.round(
+                F.sum("n_events").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("events_per_session"),
+        )
+        .orderBy("cohort")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 continuation: hourly OHLC resampling — the candlestick
+# reduction every TSDB ships (open/high/low/close + volume per bucket):
+# open/close are the FIRST/LAST values under the unique (ts, event_id)
+# order inside the bucket — rank algebra, not arg_min/arg_max, so tie
+# semantics are pinned identically on both engines; high/low/volume are
+# plain aggregates.
+# Exactness: cents BIGINT end to end.
+# Scale: one (type, hour) window sort reused by the rank picks, then
+# one rollup on the same keys — a single shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+WITH src AS (
+  SELECT event_type,
+         epoch_us(ts) // (CAST(3600 AS BIGINT) * 1000000) AS h,
+         ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, h, cents,
+         row_number() OVER (PARTITION BY event_type, h
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type, h) AS n
+  FROM src
+)
+SELECT event_type, h,
+       CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rn = n THEN cents END) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS volume
+FROM ranked GROUP BY event_type, h ORDER BY event_type, h
+""",
+    doc="hourly OHLC candles per event type: open/close as rank-algebra "
+    "first/last under the unique (ts, event_id) order (tie semantics "
+    "pinned, no arg_min/arg_max), high/low/volume plain aggregates — "
+    "the TSDB resampling primitive; one (type, hour) window sort "
+    "reused by the rollup, BIGINT cents",
+    tags=("window", "time"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type", "h")
+    ranked = src.select(
+        "event_type",
+        "h",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type", "h")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias(
+                "open_cents"
+            ),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("cents"))).alias(
+                "close_cents"
+            ),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "h")
+    )

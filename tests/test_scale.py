@@ -394,6 +394,17 @@ BOUNDS = {
     "column_cardinality_profile": 8.0,
     "text_hapax_ratio": 8.0,
     "vec_quantization_error": 8.0,
+    # r10 continuation: bounce rides one user window + two rollups;
+    # OHLC one (type, hour) window; assortativity the bounded basket
+    # edge join (modularity's shape, matches grow ~k); parent share one
+    # fact rollup; reach two hash aggs + a day-table window; MRR rides
+    # the postings equi-joins
+    "session_bounce_rate": 8.0,
+    "ts_resample_ohlc": 8.0,
+    "graph_degree_assortativity": 40.0,
+    "ratio_to_parent_share": 8.0,
+    "cumulative_reach_daily": 8.0,
+    "retrieval_mrr_eval": 8.0,
 }
 
 
