@@ -45,15 +45,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # driver verdict. Gates re-verified in a later window GRADUATE out of
 # their old block, so each name appears exactly once, under its
 # freshest verdict.
-# The r10 window: flagship + the maintained deferral order — the four
-# never-driver-verified streaming WRITE paths first, then the ten gates
-# whose plan code r10 touched (ADVICE fixes: zero-denominator guards,
-# in-plan scalar counts, parameterized SQL, the knn_graph_reciprocity
-# panel re-block — all first-verdict gates whose verdict must be on
-# current semantics), then the rest of the first-verdict backlog
-# oldest-first, capped at an estimated ~85 s sf0.01 wall (< 90 s; the
-# expensive stragglers graph_connected_components 5.2 s and the four
-# remaining streaming write gates rotate into r11).
+# The r11 window: flagship + the final 38-gate backlog drain (the four
+# remaining never-driver-verified streaming WRITE paths first, then
+# format/layout, then the depth remainder), then oldest-verified
+# re-checks fill to 50 — capped at an estimated ~85 s sf0.01 wall
+# (< 90 s; only streaming_ann_index_ingest, 26.8 s, defers to r12).
 # r4 verdicts (CORRECTNESS_r04.json) still freshest:
 DRIVER_VERIFIED_R4 = (
     "path_trigrams_topk",
@@ -163,7 +159,7 @@ DRIVER_VERIFIED_R8 = (
 # code-touched r8 gates, and the 38-gate r4 residue; graduated here
 # from their old blocks):
 DRIVER_VERIFIED_R9 = (
-    "flagship_pricing_summary", "streaming_countmin_maintainer",
+    "streaming_countmin_maintainer",
     "streaming_cusum_maintainer", "streaming_ewma_maintainer",
     "streaming_heavy_hitters_topk", "streaming_ares_reservoir",
     "dedup_substring_spans", "fasttext_quality_inference",
@@ -186,6 +182,35 @@ DRIVER_VERIFIED_R9 = (
     "time_weighted_avg", "hopping_window_2h_1h", "unpivot_measures",
     "dq_check_suite",
 )
+# r10 verdicts (CORRECTNESS_r10.json — 50/50 green: flagship, the four
+# streaming write-path first-verdicts (incl. the watermark late-data
+# gate), the ten r10 code-touched gates, and the 35-gate backlog slice;
+# flagship graduated here from R9):
+DRIVER_VERIFIED_R10 = (
+    "flagship_pricing_summary", "streaming_late_data_window",
+    "streaming_lsh_dedup_candidates", "streaming_native_window_counts",
+    "streaming_dedup_exactly_once", "rfm_segmentation",
+    "quantile_normalization", "experiment_diff_in_diff",
+    "bloom_filter_fpr", "knn_graph_reciprocity", "csv_roundtrip_scan",
+    "window_function_matrix", "graph_brand_modularity",
+    "forecast_mase_seasonal_naive", "not_in_null_trap",
+    "dedup_substring_removal", "versioned_partition_evolution",
+    "graph_bfs_hops", "ts_forward_fill", "event_sequence_regex",
+    "assoc_rules_pairs", "event_rle_streaks", "er_sorted_neighborhood",
+    "attribution_last_touch", "graph_bellman_ford",
+    "classifier_calibration_bins", "hampel_outlier_filter",
+    "seasonal_decompose_additive", "bootstrap_ci_mean",
+    "retrieval_ndcg_eval", "drift_ks_value_shift",
+    "rank_auc_mann_whitney", "attribution_time_decay",
+    "retention_kaplan_meier", "abc_pareto_class",
+    "period_over_period_revenue", "ts_gap_detection", "theil_sen_slope",
+    "vec_hamming_topk", "graph_link_prediction_ra",
+    "target_encoding_loo", "feature_hash_collisions",
+    "funnel_time_to_convert", "vec_matryoshka_recall",
+    "text_ngram_novelty", "text_vocab_drift", "markov_accuracy",
+    "text_readability_flesch", "source_overlap_matrix",
+    "delta_bitwidth_histogram",
+)
 DRIVER_VERIFIED = tuple(
     dict.fromkeys(
         DRIVER_VERIFIED_R4
@@ -194,7 +219,61 @@ DRIVER_VERIFIED = tuple(
         + DRIVER_VERIFIED_R7
         + DRIVER_VERIFIED_R8
         + DRIVER_VERIFIED_R9
+        + DRIVER_VERIFIED_R10
     )
+)
+
+# The declared r11 window prefix (after flagship): the maintained
+# deferral order for the final backlog drain. Module-level so
+# tests/test_entry_contract.py can pin the honesty invariant — the
+# first-50 registry window must equal flagship + this tuple + the
+# oldest-verified rotation, with every never-driver-verified gate
+# either in the window or explicitly listed in WINDOW_DEFERRED.
+WINDOW_NEWEST = (
+    # the four remaining never-driver-verified streaming WRITE
+    # paths (~47 s of the budget)
+    "stream_stream_interval_join",
+    "streaming_session_native", "streaming_ivm_join_maintainer",
+    "streaming_shard_export",
+    # format / layout gates
+    "jsonl_roundtrip_scan", "orc_roundtrip_scan",
+    "partitioned_write_prune",
+    # depth remainder in maintained order
+    "graph_connected_components",
+    "fifo_lot_allocation", "cohort_ltv_curve",
+    "null_semantics_matrix",
+    "linreg_r2_per_entity", "truncation_loss_report",
+    "dow_hour_heatmap", "join_type_matrix",
+    "sla_shipment_report", "multi_event_completion",
+    "dedup_canonical_selection", "minhash_error_audit",
+    "spearman_revenue_quantity", "event_burstiness_fano",
+    "langid_confusion_matrix", "sma_crossover_signals",
+    "rolling_wau_7d", "moment_stats_per_type",
+    "business_days_to_ship", "integer_division_semantics",
+    "null_ordering_rank", "mad_robust_scale",
+    "column_cardinality_profile", "text_hapax_ratio",
+    "vec_quantization_error",
+    "session_bounce_rate", "ts_resample_ohlc",
+    "graph_degree_assortativity", "ratio_to_parent_share",
+    "cumulative_reach_daily", "retrieval_mrr_eval",
+)
+# First-verdict gates DEFERRED past the r11 window purely on wall
+# budget. streaming_ann_index_ingest is oracle-checked locally at
+# sf0.01 AND sf0.1 every freeze (ORACLE_r* artifacts) and leads the
+# r12 window.
+WINDOW_DEFERRED = (
+    "streaming_ann_index_ingest",
+)
+# Gates whose plan/operator code changed AFTER their last driver
+# verdict — inserted into the window right after WINDOW_NEWEST, before
+# merely-old re-verifies. r11: w5_sessionize's gap compare moved from
+# floored seconds to microsecond-exact (ADVICE r10), and the three
+# {df}-parameterized SQL retrofits (VERDICT r10 item 3).
+WINDOW_CODE_TOUCHED = (
+    "w5_sessionize",
+    "scalar_subquery_above_avg",
+    "correlated_exists_sql",
+    "correlated_not_exists_sql",
 )
 
 
@@ -212,89 +291,21 @@ def load_registry() -> dict[str, Q]:
     from . import advanced  # noqa: F401
     from . import curation  # noqa: F401
 
-    # Round 10: drain the first-verdict backlog (VERDICT r9 item 1).
-    # Window = flagship + the four never-driver-verified streaming
-    # WRITE paths + the ten gates whose plan code r10 touched (ADVICE
-    # fixes + the knn_graph_reciprocity panel re-block — their first
-    # verdict must be on current semantics) + the backlog in its
-    # maintained order, capped at ~85 s estimated sf0.01 wall.
-    newest = (
-        # streaming write paths (~39 s of the budget; the 22 s
-        # stream_stream_interval_join trades places with the new
-        # late-data watermark gate and leads the r11 rotation instead)
-        "streaming_late_data_window", "streaming_lsh_dedup_candidates",
-        "streaming_native_window_counts", "streaming_dedup_exactly_once",
-        # r10 code-touched first-verdict gates (ADVICE fixes: in-plan
-        # scalar counts, zero-denominator guards, parameterized SQL,
-        # fixed-size probe panel)
-        "rfm_segmentation", "quantile_normalization",
-        "experiment_diff_in_diff", "bloom_filter_fpr",
-        "knn_graph_reciprocity", "csv_roundtrip_scan",
-        "window_function_matrix", "graph_brand_modularity",
-        "forecast_mase_seasonal_naive", "not_in_null_trap",
-        # backlog in maintained order (graph_connected_components at
-        # 5.2 s rotates to r11 to keep the wall under budget)
-        "dedup_substring_removal", "versioned_partition_evolution",
-        "graph_bfs_hops", "ts_forward_fill", "event_sequence_regex",
-        "assoc_rules_pairs", "event_rle_streaks",
-        "er_sorted_neighborhood", "attribution_last_touch",
-        "graph_bellman_ford", "classifier_calibration_bins",
-        "hampel_outlier_filter", "seasonal_decompose_additive",
-        "bootstrap_ci_mean", "retrieval_ndcg_eval",
-        "drift_ks_value_shift", "rank_auc_mann_whitney",
-        "attribution_time_decay", "retention_kaplan_meier",
-        "abc_pareto_class", "period_over_period_revenue",
-        "ts_gap_detection", "theil_sen_slope", "vec_hamming_topk",
-        "graph_link_prediction_ra", "target_encoding_loo",
-        "feature_hash_collisions", "funnel_time_to_convert",
-        "vec_matryoshka_recall", "text_ngram_novelty",
-        "text_vocab_drift", "markov_accuracy",
-        "text_readability_flesch", "source_overlap_matrix",
-        "delta_bitwidth_histogram",
-    )
-    # First-verdict gates DEFERRED past the r10 window to keep the wall
-    # under the ~90s budget (the four remaining streaming write gates
-    # cost 8-30 s each; graph_connected_components 5.2 s). All are
-    # oracle-checked locally at sf0.01 AND sf0.1 every freeze
-    # (ORACLE_r* artifacts) and rotate into the r11 window first, in
-    # this order.
-    deferred = (
-        "stream_stream_interval_join",
-        "streaming_session_native", "streaming_ivm_join_maintainer",
-        "streaming_shard_export", "streaming_ann_index_ingest",
-        "graph_connected_components",
-        "fifo_lot_allocation", "cohort_ltv_curve",
-        "jsonl_roundtrip_scan", "orc_roundtrip_scan",
-        "partitioned_write_prune", "null_semantics_matrix",
-        "linreg_r2_per_entity", "truncation_loss_report",
-        "dow_hour_heatmap", "join_type_matrix",
-        "sla_shipment_report", "multi_event_completion",
-        "dedup_canonical_selection", "minhash_error_audit",
-        "spearman_revenue_quantity", "event_burstiness_fano",
-        "langid_confusion_matrix", "sma_crossover_signals",
-        # r10 depth additions (oracle-checked locally at all three SFs
-        # the session they landed): DAU/WAU stickiness, exact moment
-        # profile, business-day lag algebra, the trunc-vs-floor division
-        # trap, the NULL-ordering contract, exact median+MAD, column
-        # cardinality profile, hapax richness, per-label quantization
-        # error
-        "rolling_wau_7d", "moment_stats_per_type",
-        "business_days_to_ship", "integer_division_semantics",
-        "null_ordering_rank", "mad_robust_scale",
-        "column_cardinality_profile", "text_hapax_ratio",
-        "vec_quantization_error",
-        # r10 continuation batch (same three-SF oracle discipline):
-        # session bounce rate, hourly OHLC candles, degree
-        # assortativity, ratio-to-parent shares, cumulative reach,
-        # MRR@10 with lcm-scaled exact reciprocals
-        "session_bounce_rate", "ts_resample_ohlc",
-        "graph_degree_assortativity", "ratio_to_parent_share",
-        "cumulative_reach_daily", "retrieval_mrr_eval",
-    )
+    # Round 11: finish draining the first-verdict backlog (VERDICT r10
+    # item 1 — "drain to ≤~5 never-verified, near-zero new gates").
+    # Window = flagship + 38 of the 39 backlog gates in the maintained
+    # order (streaming write paths first, then format/layout, then the
+    # depth remainder), then ~11 oldest-verified re-checks fill to 50.
+    # Estimated sf0.01 wall ≈ 85 s (< 90): the four streaming write
+    # gates cost 47 s; only streaming_ann_index_ingest (26.8 s — the
+    # single most expensive gate) defers to r12 to stay under budget.
+    newest = WINDOW_NEWEST
+    deferred = WINDOW_DEFERRED
     # Gates whose plan/operator code changed AFTER their last driver
-    # check — rechecked before merely-old gates (none this round: every
-    # r10 code change touches first-verdict gates, already in `newest`).
-    code_touched = ()
+    # check — rechecked before merely-old gates (session_bounce_rate got
+    # the same microsecond fix as w5 but is already first-verdict in
+    # `newest`).
+    code_touched = WINDOW_CODE_TOUCHED
     ordered = {"flagship_pricing_summary": REGISTRY["flagship_pricing_summary"]}
     for name in newest + code_touched:
         if name in REGISTRY:
@@ -316,6 +327,7 @@ def load_registry() -> dict[str, Q]:
         DRIVER_VERIFIED_R7,
         DRIVER_VERIFIED_R8,
         DRIVER_VERIFIED_R9,
+        DRIVER_VERIFIED_R10,
     ):
         for name in block:
             if name in REGISTRY and name not in ordered:

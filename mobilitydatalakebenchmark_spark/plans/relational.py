@@ -705,14 +705,19 @@ ORDER BY o_orderkey
 )
 def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("orders")
+    # DataFrame-parameterized SQL ({df} template binding): no
+    # createOrReplaceTempView side effects on the shared session, so
+    # concurrent gate runs can't race on view names and nothing leaks
+    # into the catalog after the gate returns (r10 not_in_null_trap
+    # treatment, retrofitted per VERDICT r10 item 3)
     return spark.sql(
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS price
-        FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        FROM {orders}
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM {orders})
         ORDER BY o_orderkey
-        """
+        """,
+        orders=orders,
     )
 
 
@@ -730,16 +735,18 @@ ORDER BY s.s_suppkey
     tags=("filter", "subquery", "sql"),
 )
 def correlated_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # {df}-parameterized SQL: view-name-race-free on the shared session
+    # (r10 not_in_null_trap treatment, retrofitted per VERDICT r10 item 3)
     return spark.sql(
         """
         SELECT s.s_suppkey, s.s_name
-        FROM supplier s
-        WHERE EXISTS (SELECT 1 FROM lineitem l
+        FROM {supplier} s
+        WHERE EXISTS (SELECT 1 FROM {lineitem} l
                       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
         ORDER BY s.s_suppkey
-        """
+        """,
+        supplier=t(spark, sf_dir, "supplier"),
+        lineitem=t(spark, sf_dir, "lineitem"),
     )
 
 

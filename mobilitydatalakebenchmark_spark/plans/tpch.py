@@ -371,18 +371,20 @@ ORDER BY c.c_custkey
     tags=("filter", "subquery", "sql", "tpch"),
 )
 def correlated_not_exists_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # {df}-parameterized SQL: view-name-race-free on the shared session
+    # (r10 not_in_null_trap treatment, retrofitted per VERDICT r10 item 3)
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name
-        FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o
+        FROM {customer} c
+        WHERE NOT EXISTS (SELECT 1 FROM {orders} o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
                             AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
         ORDER BY c.c_custkey
-        """
+        """,
+        customer=t(spark, sf_dir, "customer"),
+        orders=t(spark, sf_dir, "orders"),
     )
 
 

@@ -224,8 +224,15 @@ FROM s GROUP BY user_id ORDER BY user_id
 def w5_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w_ord)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # microsecond-exact gap, matching the oracle's `ts - lag(ts) >
+    # INTERVAL 30 MINUTE` by construction: flooring to whole seconds
+    # (epoch_s) agrees only while no true gap lands in (1800 s, 1801 s)
+    # with fractional misalignment (ADVICE r10)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w_ord)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         ev.withColumn("new_session", new_session)
@@ -2472,8 +2479,13 @@ FROM sess GROUP BY cohort ORDER BY cohort
 def session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch_s("ts") - F.lag(epoch_s("ts")).over(w_ord)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # microsecond-exact gap == the oracle's exact INTERVAL compare by
+    # construction, not by data luck (ADVICE r10; same fix as w5)
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w_ord)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = (
         ev.withColumn("new_session", new_session)

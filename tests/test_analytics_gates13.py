@@ -44,6 +44,36 @@ class TestSessionBounceRate:
         assert c0.n_events == 5 and c0.max_session_events == 3
         assert abs(float(c0.bounce_rate) - 2 / 3) < 1e-6
 
+    def test_fractional_second_boundary(self, spark, tmp_path):
+        """The ADVICE-r10 convention pin: the 30-min gap compare is
+        microsecond-exact on BOTH engines, so a 1800.5 s gap with
+        fractional misalignment splits the session (old floored-seconds
+        code read it as exactly 1800 and kept one session), while a gap
+        of exactly 1800.0 s does NOT split (strict >)."""
+        # base frac .200 + 1800.5 s -> second event frac .700, so the
+        # floored-seconds diff is exactly 1800 (no split) while the
+        # exact diff is 1800.5 s (split)
+        base = datetime.datetime(2024, 1, 1, 12, 0, 0, 200_000)
+        rows = [
+            # user 1: gap 1800.5 s crossing whole-second floors such
+            # that floor(b)-floor(a) == 1800 -> the floored compare
+            # says "not late" but the exact compare splits
+            (1, base, 1, "v", 1.0),
+            (2, base + datetime.timedelta(seconds=1800, milliseconds=500),
+             1, "v", 1.0),
+            # user 2: gap exactly 1800.0 s -> one session on both
+            (3, base, 2, "v", 1.0),
+            (4, base + datetime.timedelta(seconds=1800), 2, "v", 1.0),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        bounce = {r.cohort: r for r in
+                  _gate("session_bounce_rate")(spark, sf).collect()}
+        assert bounce[1].n_sessions == 2 and bounce[1].n_bounce == 2
+        assert bounce[2].n_sessions == 1 and bounce[2].n_bounce == 0
+        w5 = {r.user_id: r for r in
+              _gate("w5_sessionize")(spark, sf).collect()}
+        assert w5[1].n_sessions == 2 and w5[2].n_sessions == 1
+
 
 class TestOhlc:
     def test_candle_by_hand(self, spark, tmp_path):

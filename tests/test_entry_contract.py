@@ -75,12 +75,66 @@ def test_rotation_names_all_exist():
         plans.DRIVER_VERIFIED_R6,
         plans.DRIVER_VERIFIED_R7,
         plans.DRIVER_VERIFIED_R8,
+        plans.DRIVER_VERIFIED_R9,
+        plans.DRIVER_VERIFIED_R10,
+        plans.WINDOW_NEWEST,
+        plans.WINDOW_DEFERRED,
+        plans.WINDOW_CODE_TOUCHED,
     ):
         missing = set(block) - reg
         assert not missing, missing
     # the first 50 (the driver window) are exactly 50 distinct names
     first50 = list(load_registry())[:50]
     assert len(set(first50)) == 50
+    # a name must appear in exactly one verified block (graduation moves
+    # it; duplicates would mis-state verdict freshness)
+    all_names = (
+        plans.DRIVER_VERIFIED_R4 + plans.DRIVER_VERIFIED_R5
+        + plans.DRIVER_VERIFIED_R6 + plans.DRIVER_VERIFIED_R7
+        + plans.DRIVER_VERIFIED_R8 + plans.DRIVER_VERIFIED_R9
+        + plans.DRIVER_VERIFIED_R10
+    )
+    assert len(all_names) == len(set(all_names))
+
+
+def test_window_prefix_matches_declared_order():
+    """The honesty invariant the r10 judge checked by hand, pinned: the
+    driver window's prefix must equal flagship + WINDOW_NEWEST exactly
+    (no silent re-ordering), and every gate that has never had a driver
+    verdict must be either inside the first-50 window or explicitly
+    declared in WINDOW_DEFERRED — a never-verified gate can hide from
+    the driver only by being named in the deferral list."""
+    from mobilitydatalakebenchmark_spark import plans
+    from mobilitydatalakebenchmark_spark.plans import load_registry
+
+    reg = load_registry()
+    window = list(reg)[:50]
+    declared = [
+        "flagship_pricing_summary",
+        *plans.WINDOW_NEWEST,
+        *plans.WINDOW_CODE_TOUCHED,
+    ]
+    assert window[: len(declared)] == declared
+    never_verified = set(reg) - set(plans.DRIVER_VERIFIED)
+    hidden = never_verified - set(window) - set(plans.WINDOW_DEFERRED)
+    assert not hidden, sorted(hidden)
+    # the deferral list never names an already-verified gate
+    assert not set(plans.WINDOW_DEFERRED) & set(plans.DRIVER_VERIFIED)
+    # and the fill after the declared prefix is the staleness rotation:
+    # oldest verified blocks first, in block order
+    fill = window[len(declared):]
+    rotation = [
+        n
+        for block in (
+            plans.DRIVER_VERIFIED_R4, plans.DRIVER_VERIFIED_R5,
+            plans.DRIVER_VERIFIED_R6, plans.DRIVER_VERIFIED_R7,
+            plans.DRIVER_VERIFIED_R8, plans.DRIVER_VERIFIED_R9,
+            plans.DRIVER_VERIFIED_R10,
+        )
+        for n in block
+        if n in reg and n not in declared
+    ]
+    assert fill == rotation[: len(fill)]
 
 
 def test_all_oracles_plan_in_duckdb():

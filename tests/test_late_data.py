@@ -144,3 +144,30 @@ class TestLateFilterSemantics:
             ("2024-03-01 11:00:00", "view"): 1,
             ("2024-03-01 11:00:00", "click"): 2,
         }
+
+    def test_no_heldback_contribution_at_gate_scale(self, spark):
+        """ADVICE-r10 canary for the direction
+        test_filter_watermark_lags_one_batch does NOT cover: if a Spark
+        change made the input-side late filter lag MORE than one batch
+        behind, the gate's two pre-late sentinels would no longer cover
+        the lag and held-back (%4==3) rows would silently re-open
+        windows. Pin the contract loudly at real-gate scale: the
+        emitted rollup's total must equal the on-time row count EXACTLY
+        — any held-back leak inflates it."""
+        sf = "/root/testdata/sf0.001"
+        out = (
+            load_registry()["streaming_late_data_window"]
+            .spark(spark, sf)
+            .agg(F.sum("n").alias("total"))
+            .first()
+        )
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        n_on_time = ev.filter(F.col("event_id") % 4 != 3).count()
+        n_all = ev.count()
+        assert out.total == n_on_time, (
+            f"emitted {out.total} != on-time {n_on_time}: "
+            f"{out.total - n_on_time} held-back rows leaked — the "
+            "input-side late-filter lag likely changed; re-measure the "
+            "sentinel count in streaming_late_data_window"
+        )
+        assert n_on_time < n_all  # the holdback is non-empty by design

@@ -63,6 +63,14 @@ def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
     for table, keys in SHIFT_KEYS.items():
         df = read_table(spark, sf_dir, table)
         maxes = df.agg(*[F.max(c).alias(c) for c in keys]).first()
+        # an empty source table makes every max/min aggregate NULL and
+        # the span arithmetic below would raise a bare TypeError — fail
+        # with the actual cause instead (ADVICE r10)
+        if any(maxes[c] is None for c in keys):
+            raise ValueError(
+                f"replicate: table '{table}' in {sf_dir} is empty or has "
+                f"all-NULL shift keys {keys}; cannot derive key offsets"
+            )
         ts_cols = SHIFT_TS.get(table, [])
         spans = {}
         if ts_cols:
@@ -74,6 +82,11 @@ def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
                     for c in ts_cols
                 ]
             ).first()
+            if any(row[c] is None for c in ts_cols):
+                raise ValueError(
+                    f"replicate: table '{table}' in {sf_dir} has all-NULL "
+                    f"timestamp columns {ts_cols}; cannot derive spans"
+                )
             spans = {c: row[c] + day_us for c in ts_cols}
         parts = []
         for i in range(k):

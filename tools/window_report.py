@@ -63,6 +63,7 @@ def main() -> None:
             (7, plans.DRIVER_VERIFIED_R7),
             (8, plans.DRIVER_VERIFIED_R8),
             (9, plans.DRIVER_VERIFIED_R9),
+            (10, plans.DRIVER_VERIFIED_R10),
         )
         for name in block
     }
