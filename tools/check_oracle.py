@@ -62,6 +62,12 @@ def _canon_rows(cols, rows):
 
 def main():
     argv = list(sys.argv[1:])
+    # --degenerate: the input dir is INTENTIONALLY empty (degenerate
+    # sweep) — a rows-only gate returning 0 rows is then the correct
+    # outcome, not a red flag
+    degenerate = "--degenerate" in argv
+    if degenerate:
+        argv.remove("--degenerate")
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
@@ -104,7 +110,7 @@ def main():
                 "secs": round(time.time() - t0, 2),
             }
             print(f"· {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
-            if len(s_rows) == 0:
+            if len(s_rows) == 0 and not degenerate:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:

@@ -112,7 +112,7 @@ def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
         )
 
 
-def time_query(registry, name, spark, sf_dir) -> float:
+def time_query(registry, name, spark, sf_dir) -> tuple[float, int]:
     best = float("inf")
     for _ in range(2):  # min of 2: drop JIT/listing noise
         t0 = time.time()
@@ -120,7 +120,12 @@ def time_query(registry, name, spark, sf_dir) -> float:
             "noop"
         ).save()
         best = min(best, time.time() - t0)
-    return round(best, 3)
+    # output size, untimed: lets the probe separate COMPUTE blowup from
+    # RESULT growth — a 5.6x wall on 100x data is fine when the true
+    # output also grew ~100x (interval joins), alarming when it is a
+    # 1-row aggregate (VERDICT r10 item 5)
+    n_out = registry[name].spark(spark, sf_dir).count()
+    return round(best, 3), n_out
 
 
 def main() -> None:
@@ -134,8 +139,19 @@ def main() -> None:
     )
     replicate(spark, sf_dir, out_dir, k)
     for name in queries:
-        base = time_query(registry, name, spark, sf_dir)
-        scaled = time_query(registry, name, spark, out_dir)
+        base, base_rows = time_query(registry, name, spark, sf_dir)
+        scaled, scaled_rows = time_query(registry, name, spark, out_dir)
+        ratio = round(scaled / base, 2) if base else None
+        rows_ratio = (
+            round(scaled_rows / base_rows, 2) if base_rows else None
+        )
+        # wall ratio per unit of output growth: ~flat (<= a few x) means
+        # the extra wall is the result, not the algorithm
+        compute_ratio = (
+            round(ratio / max(rows_ratio, 1.0), 2)
+            if ratio is not None and rows_ratio is not None
+            else None
+        )
         print(
             json.dumps(
                 {
@@ -143,7 +159,11 @@ def main() -> None:
                     "k": k,
                     "base_s": base,
                     "scaled_s": scaled,
-                    "ratio": round(scaled / base, 2) if base else None,
+                    "ratio": ratio,
+                    "base_rows": base_rows,
+                    "scaled_rows": scaled_rows,
+                    "rows_ratio": rows_ratio,
+                    "compute_ratio": compute_ratio,
                 }
             ),
             flush=True,
