@@ -293,11 +293,13 @@ class IVFIndexStore:
         indexed, cent_pdf = ivf_index(
             corpus, self.n_centroids, lloyd_iters, id_col, vec_col
         )
-        (
+        lists_df = (
             indexed.withColumnRenamed(id_col, "vec_id")
             .withColumnRenamed(vec_col, "embedding")
             .select("centroid_id", "vec_id", "embedding", *meta_cols)
-            .write.mode("overwrite")
+        )
+        (
+            lists_df.write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(f"{self.path}/lists.parquet")
         )
@@ -311,12 +313,21 @@ class IVFIndexStore:
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             f"{self.path}/centroids.parquet"
         )
+        # the index is SELF-DESCRIBING: the lists schema rides in meta so
+        # every read-back declares it instead of inferring — an EMPTY
+        # build (partitionBy of zero rows writes no part files) stays
+        # readable, and partition-column typing never degrades to
+        # directory-name inference
+        lists_schema = lists_df.schema.json()
         n_vectors = (
-            spark.read.parquet(f"{self.path}/lists.parquet").count()
+            spark.read.schema(lists_df.schema)
+            .parquet(f"{self.path}/lists.parquet")
+            .count()
         )
         spark.createDataFrame(
-            [(self.n_centroids, lloyd_iters, n_vectors)],
-            "n_centroids int, lloyd_iters int, n_vectors long",
+            [(self.n_centroids, lloyd_iters, n_vectors, lists_schema)],
+            "n_centroids int, lloyd_iters int, n_vectors long,"
+            " lists_schema string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta.parquet")
 
     def append(
@@ -376,22 +387,44 @@ class IVFIndexStore:
         # recount the persisted lists rather than meta + batch count:
         # exact under within-batch duplicate collapse and self-correcting
         # after a crash between the lists write and the meta write
-        n_vectors = spark.read.parquet(f"{self.path}/lists.parquet").count()
+        n_vectors = self._lists(spark).count()
         spark.createDataFrame(
-            [(self.n_centroids, meta["lloyd_iters"], n_vectors)],
-            "n_centroids int, lloyd_iters int, n_vectors long",
+            [
+                (
+                    self.n_centroids,
+                    meta["lloyd_iters"],
+                    n_vectors,
+                    meta["lists_schema"] if "lists_schema" in meta.asDict()
+                    else None,
+                )
+            ],
+            "n_centroids int, lloyd_iters int, n_vectors long,"
+            " lists_schema string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{self.path}/meta.parquet")
+
+    def _lists(self, spark: SparkSession) -> DataFrame:
+        """The posting lists, read with the schema persisted at build time
+        (meta.lists_schema) so an index whose lists are EMPTY — a
+        partitionBy write of zero rows leaves no part files to infer
+        from — still reads back correctly. Falls back to inference for
+        pre-schema indexes."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        meta = spark.read.parquet(f"{self.path}/meta.parquet").first()
+        sj = meta["lists_schema"] if "lists_schema" in meta.asDict() else None
+        reader = spark.read
+        if sj:
+            reader = reader.schema(StructType.fromJson(_json.loads(sj)))
+        return reader.parquet(f"{self.path}/lists.parquet")
 
     def indexed_ids(self, spark: SparkSession) -> DataFrame:
         """Distinct ids the index currently holds (one column, ``vec_id``)
         — the membership side of the streaming append's idempotence
         anti-join. Lists hold one row per vector, so this is a plain
         id-column projection."""
-        return (
-            spark.read.parquet(f"{self.path}/lists.parquet")
-            .select("vec_id")
-            .distinct()
-        )
+        return self._lists(spark).select("vec_id").distinct()
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "IVFIndexStore":
@@ -433,7 +466,7 @@ class IVFIndexStore:
 
         spark = probes.sparkSession
         cents = spark.read.parquet(f"{self.path}/centroids.parquet")
-        lists = spark.read.parquet(f"{self.path}/lists.parquet")
+        lists = self._lists(spark)
         if where is not None:
             lists = lists.filter(where)
         w_route = Window.partitionBy(probe_id_col).orderBy(

@@ -78,7 +78,26 @@ class MaterializedJoin:
         )
 
     def _read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(f"{self.path}/{table}.parquet")
+        try:
+            return spark.read.parquet(f"{self.path}/{table}.parquet")
+        except Exception as exc:
+            # an EMPTY base/view write leaves no part files to infer a
+            # schema from (zero write tasks): fall back to the schemas
+            # persisted at build time — the store stays readable instead
+            # of crashing on degenerate input (degenerate sweep, r11)
+            if "UNABLE_TO_INFER_SCHEMA" not in str(exc) and (
+                "Unable to infer schema" not in str(exc)
+            ):
+                raise
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            row = spark.read.parquet(f"{self.path}/schemas.parquet").first()
+            schema = StructType.fromJson(_json.loads(row[f"{table}_schema"]))
+            return spark.read.schema(schema).parquet(
+                f"{self.path}/{table}.parquet"
+            )
 
     def _row_id(self, side: str) -> str | None:
         return self.left_row_id if side == "left" else self.right_row_id
@@ -129,9 +148,25 @@ class MaterializedJoin:
 
     def build(self, left: DataFrame, right: DataFrame) -> None:
         """Materialize L ⋈ R and snapshot both bases."""
+        spark = left.sparkSession
+        # self-describing store: base/view schemas persisted FIRST so
+        # every later read can declare them when inference is impossible
+        # (empty writes leave no part files) — see _read
+        view_schema = self._bucket(left.join(right, self.on)).schema
+        spark.createDataFrame(
+            [
+                (
+                    left.schema.json(),
+                    right.schema.json(),
+                    view_schema.json(),
+                )
+            ],
+            "left_schema string, right_schema string, view_schema string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self.path}/schemas.parquet"
+        )
         left.write.mode("overwrite").parquet(f"{self.path}/left.parquet")
         right.write.mode("overwrite").parquet(f"{self.path}/right.parquet")
-        spark = left.sparkSession
         view = self._read(spark, "left").join(self._read(spark, "right"), self.on)
         (
             self._bucket(view)

@@ -339,6 +339,18 @@ def ivf_index(
         .limit(n_centroids)
         .toPandas()
     )
+    if seeds_pdf.empty:
+        # empty corpus: nothing to seed from — the index is the (empty)
+        # corpus with an empty assignment and an empty centroid table,
+        # not an np.vstack crash (degenerate sweep, r11)
+        assigned = spark.createDataFrame([], f"{id_col} long, centroid_id int")
+        cent_pdf = pd.DataFrame(
+            {
+                "centroid_id": pd.Series([], dtype="int64"),
+                "centroid_vec": pd.Series([], dtype="object"),
+            }
+        )
+        return corpus.join(assigned, id_col), cent_pdf
     centroids = np.vstack(seeds_pdf[vec_col].to_numpy()).astype("float64")
 
     def assign_df(cents: "np.ndarray") -> DataFrame:
@@ -403,9 +415,6 @@ def assign_nearest_centroid_numpy(
     import numpy as np
 
     cent_pdf = centroids.orderBy("c_label").toPandas()
-    labels = cent_pdf["c_label"].to_numpy()
-    cents = np.vstack(cent_pdf["centroid"].to_numpy()).astype("float64")
-    c_norm = np.linalg.norm(cents, axis=1)
     label_type = dict(centroids.dtypes)["c_label"]
     keep_struct = ", ".join(
         f"{k} {dict(df.dtypes)[k]}" for k in keep_cols
@@ -415,6 +424,13 @@ def assign_nearest_centroid_numpy(
         + (keep_struct + ", " if keep_struct else "")
         + f"sim double, assigned_label {label_type}"
     )
+    if cent_pdf.empty:
+        # no centroids (empty corpus): no vector can be assigned — an
+        # empty result with the declared schema, not an np.vstack crash
+        return df.sparkSession.createDataFrame([], schema)
+    labels = cent_pdf["c_label"].to_numpy()
+    cents = np.vstack(cent_pdf["centroid"].to_numpy()).astype("float64")
+    c_norm = np.linalg.norm(cents, axis=1)
 
     def kernel(batches):
         for pdf in batches:

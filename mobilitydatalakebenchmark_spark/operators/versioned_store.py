@@ -53,7 +53,13 @@ class VersionedParquetStore:
         vs = self._versions()
         return vs[-1] if vs else None
 
-    def _read_manifest(self, spark: SparkSession, version: int) -> list[str]:
+    def _read_manifest_rows(
+        self, spark: SparkSession, version: int
+    ) -> list[tuple[str, str | None]]:
+        """Manifest rows as (absolute dir, schema json or None). The
+        schema column arrived in r11 (self-describing dirs — an EMPTY
+        commit writes no part files, so readers need a declared schema);
+        older manifests simply lack it and yield None."""
         rows = spark.read.parquet(
             os.path.join(self._manifest_dir(), f"{version}.parquet")
         ).collect()
@@ -61,12 +67,17 @@ class VersionedParquetStore:
         # is relocatable and vacuum's path compare cannot be fooled by
         # cwd/symlink variants); absolute dirs from older manifests pass
         # through unchanged
-        return [
-            d if os.path.isabs(d) else os.path.join(self.path, d)
-            for d in (
-                r["dir"] for r in sorted(rows, key=lambda r: r["version"])
+        out = []
+        for r in sorted(rows, key=lambda r: r["version"]):
+            d = r["dir"]
+            sj = r["schema"] if "schema" in r.asDict() else None
+            out.append(
+                (d if os.path.isabs(d) else os.path.join(self.path, d), sj)
             )
-        ]
+        return out
+
+    def _read_manifest(self, spark: SparkSession, version: int) -> list[str]:
+        return [d for d, _ in self._read_manifest_rows(spark, version)]
 
     # -- API -----------------------------------------------------------
 
@@ -159,20 +170,39 @@ class VersionedParquetStore:
                 return os.path.relpath(real_d, real_root)
             return d
 
-        dirs: list[tuple[int, str]] = []
+        # each dir carries the schema its writer declared (hive layout
+        # included, so the partition column keeps its written type):
+        # that makes an EMPTY commit — partitionBy of zero rows writes
+        # no part files — readable, and snapshot() never falls back to
+        # footer inference for dirs that have it. Prior dirs keep the
+        # schema recorded by THEIR commit.
+        written_schema = df.schema
+        if partition_by:
+            # partitionBy moves the partition columns last in the laid-
+            # out schema; declare the read schema in that order
+            from pyspark.sql.types import StructType
+
+            fields = [f for f in written_schema.fields
+                      if f.name not in partition_by]
+            fields += [written_schema[p] for p in partition_by]
+            written_schema = StructType(fields)
+        dirs: list[tuple[int, str, str | None]] = []
         if mode == "append" and prev is not None:
             dirs = [
-                (i, _rel(d))
-                for i, d in enumerate(self._read_manifest(spark, prev))
+                (i, _rel(d), sj)
+                for i, (d, sj) in enumerate(
+                    self._read_manifest_rows(spark, prev)
+                )
             ]
-        dirs.append((len(dirs), _rel(new_dir)))
+        dirs.append((len(dirs), _rel(new_dir), written_schema.json()))
         run_id, epoch = txn if txn is not None else (None, None)
         from ..session import local_df
 
         local_df(
             spark,
-            [(i, d, run_id, epoch) for i, d in dirs],
-            "version int, dir string, txn_run string, txn_epoch long",
+            [(i, d, run_id, epoch, sj) for i, d, sj in dirs],
+            "version int, dir string, txn_run string, txn_epoch long,"
+            " schema string",
         ).coalesce(1).write.mode("error").parquet(
             os.path.join(self._manifest_dir(), f"{version}.parquet")
         )
@@ -202,11 +232,29 @@ class VersionedParquetStore:
         if version is None:
             raise FileNotFoundError(f"no committed version under {self.path}")
         parts = []
-        for d in self._read_manifest(spark, version):
+        for d, schema_json in self._read_manifest_rows(spark, version):
             reader = spark.read
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
-            parts.append(reader.parquet(d))
+            try:
+                parts.append(reader.parquet(d))
+            except Exception as exc:
+                # a dir from an EMPTY commit has no part files to infer
+                # from: declare the schema its manifest recorded
+                if schema_json is None or (
+                    "UNABLE_TO_INFER_SCHEMA" not in str(exc)
+                    and "Unable to infer schema" not in str(exc)
+                ):
+                    raise
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                parts.append(
+                    reader.schema(
+                        StructType.fromJson(_json.loads(schema_json))
+                    ).parquet(d)
+                )
         out = parts[0]
         for nxt in parts[1:]:
             out = out.unionByName(nxt, allowMissingColumns=merge_schema)

@@ -601,23 +601,25 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH raw AS (
   SELECT 'accepted_values(lang)' AS "check",
          count(*) AS n_checked,
-         CAST(sum(CASE WHEN lang IS NULL
+         CAST(coalesce(sum(CASE WHEN lang IS NULL
                        OR lang NOT IN ('en','de','fr','es','zh')
-                  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
   FROM documents
   UNION ALL
   SELECT 'consistent(n_chars=len)', count(*),
-         CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), FALSE)
-                  THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN NOT coalesce(n_chars = length(text),
+                                                  FALSE)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM documents
   UNION ALL
   SELECT 'in_range(l_quantity,1,50)', count(*),
-         CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
-                       OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                       OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
   FROM lineitem
   UNION ALL
   SELECT 'not_null(text)', count(*),
-         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT)
   FROM documents
   UNION ALL
   SELECT 'referential(l_orderkey->o_orderkey)',
@@ -633,6 +635,10 @@ WITH raw AS (
 SELECT "check", n_checked, n_violations, n_violations = 0 AS passed
 FROM raw ORDER BY "check"
 """,
+    # the coalesce(sum(...), 0) wrappers are no-ops on non-empty tables
+    # and pin the EMPTY-table convention to the Spark suite's: zero
+    # violations checked -> n_violations 0, passed TRUE (bare SQL sum()
+    # over empty input is NULL and would cascade into passed=NULL)
     doc="declarative DQ assertions (A7 generalized): not-null, unique, "
     "accepted-values, range, row-consistency, referential integrity — "
     "one unioned report frame via operators/quality.run_suite",
@@ -2429,7 +2435,11 @@ WITH RECURSIVE ids AS (
   FROM walk JOIN arcs ON arcs.src = walk.node
   WHERE walk.hop < 12
 ), d AS (
-  SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk GROUP BY node
+  -- node IS NOT NULL: no-op on any graph with edges; on an EDGELESS
+  -- graph the seed scalar subquery is NULL and would fabricate a
+  -- phantom (NULL, hop 0) row the Spark BFS never emits
+  SELECT node, CAST(min(hop) AS INTEGER) AS hop FROM walk
+  WHERE node IS NOT NULL GROUP BY node
 )
 SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(min(node) AS BIGINT) AS min_node,
@@ -2458,7 +2468,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.least("a", "b")))
         .first()[0]
     )
-    dist = bfs_hops(edges, int(seed), max_hops=12)
+    if seed is None:
+        # EDGELESS graph (empty/filtered-out input): no seed exists, the
+        # oracle's recursive CTE emits nothing — empty histogram, not an
+        # int(None) crash (degenerate sweep, r11)
+        dist = spark.createDataFrame([], "node long, hop int")
+    else:
+        dist = bfs_hops(edges, int(seed), max_hops=12)
     return (
         dist.groupBy("hop")
         .agg(
@@ -2791,7 +2807,8 @@ WITH RECURSIVE ids AS (
   SELECT arcs.dst, walk.cost + arcs.w, walk.depth + 1
   FROM walk JOIN arcs ON arcs.src = walk.node
   WHERE walk.depth < 4
-), d AS (SELECT node, min(cost) AS cost FROM walk GROUP BY node)
+), d AS (SELECT node, min(cost) AS cost FROM walk
+         WHERE node IS NOT NULL GROUP BY node)  -- see graph_bfs_hops
 SELECT cost, CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(min(node) AS BIGINT) AS min_node,
        CAST(max(node) AS BIGINT) AS max_node,
@@ -2819,7 +2836,11 @@ def graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("m"))
         .first()[0]
     )
-    dist = bellman_ford_bounded(edges_w, int(seed), rounds=4)
+    if seed is None:
+        # edgeless graph: same guard as graph_bfs_hops
+        dist = spark.createDataFrame([], "node long, cost long")
+    else:
+        dist = bellman_ford_bounded(edges_w, int(seed), rounds=4)
     return (
         dist.groupBy("cost")
         .agg(
@@ -3468,8 +3489,10 @@ SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
        CAST(count(*) AS BIGINT) AS n_probes,
        CAST(count(CASE WHEN n_hit = {_BF_K} THEN 1 END) AS BIGINT)
          AS n_false_pos,
-       round(CAST(count(CASE WHEN n_hit = {_BF_K} THEN 1 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS observed_fpr
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE round(CAST(count(CASE WHEN n_hit = {_BF_K} THEN 1 END)
+                            AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) END AS observed_fpr
 FROM hits
 """,
     doc="Bloom filter from first principles with a measured FPR: k=3 "
@@ -3525,11 +3548,17 @@ def bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no recomputed lineage outside the returned plan)
     n_keys_df = keys.agg(F.count(F.lit(1)).alias("n_keys"))
     n_bits_df = member_bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    # NULL (not a crash) when there are zero probes — empty input makes
+    # the denominator 0 and ANSI division would throw; the oracle pins
+    # the same NULL convention explicitly (degenerate sweep, r11)
     probe_agg = all_probes.agg(
         F.count(F.lit(1)).alias("n_probes"),
         fp.alias("n_false_pos"),
-        F.round(
-            fp.cast("double") / F.count(F.lit(1)).cast("double"), 6
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(
+                fp.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ),
         ).alias("observed_fpr"),
     )
     return (

@@ -4429,11 +4429,14 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     back = (
-        spark.read.parquet(out)
+        # DECLARED read schema (partition column last, as laid out): the
+        # pruned read never depends on footer/directory inference, so an
+        # empty write (no part files) still reads back, and the
+        # partition column keeps its written BIGINT type instead of
+        # small-int directory inference
+        spark.read.schema("event_type string, value double, day long")
+        .parquet(out)
         .filter((F.col("day") >= 19725) & (F.col("day") <= 19727))
-        # partition-column discovery types small ints as INT — pin the
-        # written BIGINT so the schema matches the oracle
-        .withColumn("day", F.col("day").cast("long"))
     )
     return (
         back.groupBy("day", "event_type")

@@ -1229,7 +1229,10 @@ def mobility_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = cells.agg(
         F.sum("count").alias("t"), F.count("*").alias("c")
     ).first()
-    min_pts = -((-2 * int(st["t"])) // int(st["c"]))
+    # empty input: no cells, the density cut is moot (the operator maps
+    # zero cells to zero clusters) — any positive min_pts works and 1
+    # avoids the int(None) crash (degenerate sweep, r11)
+    min_pts = 1 if st["t"] is None else -((-2 * int(st["t"])) // int(st["c"]))
     out = hotspot_clusters(
         ev, cell_lat_deg=2.5, cell_lon_deg=2.5, min_pts=min_pts
     )

@@ -586,8 +586,13 @@ SELECT coalesce(o_orderstatus, 'ALL')    AS status,
        coalesce(o_orderpriority, 'ALL')  AS priority,
        count(*) AS n, round(sum(o_totalprice), 2) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+HAVING count(*) > 0
 ORDER BY status, priority
 """,
+    # HAVING count(*) > 0 is a no-op on any non-empty input (every
+    # rollup cell aggregates >= 1 row) and pins the EMPTY-input
+    # convention to Spark's: Spark emits 0 rows for rollup/cube over an
+    # empty table, standard SQL (DuckDB) emits the () grand-total row
     doc="rollup aggregation (SURVEY §2.5: free Spark extension)",
     tags=("agg",),
 )
@@ -757,8 +762,12 @@ SELECT coalesce(l_returnflag, 'ALL') AS flag,
        coalesce(l_linestatus, 'ALL') AS status,
        count(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 ORDER BY flag, status
 """,
+    # HAVING: no-op on non-empty input; aligns the empty-table case
+    # with Spark (0 rows) vs standard SQL's () grand-total row — see
+    # agg_rollup_status
     doc="cube aggregation (grouping sets; free Spark extension per SURVEY §2.5)",
     tags=("agg",),
 )

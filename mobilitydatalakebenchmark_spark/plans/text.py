@@ -1634,10 +1634,15 @@ def text_perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("_e2").alias("_t2"),
         F.first("n_total").alias("_nt"),
     )
+    # coalesce: no-op whenever the corpus is non-empty (per then has >=1
+    # row and the sums/max are non-NULL); on an EMPTY corpus it pins the
+    # oracle's fixed 3-row frame values (ok_share TRUE, n_total 0)
+    # instead of NULL-cascading through the share test (degenerate
+    # sweep, r11)
     stats = per.agg(
-        F.sum("_t1").alias("tie1"),
-        F.sum("_t2").alias("tie2"),
-        F.max("_nt").alias("n_total"),
+        F.coalesce(F.sum("_t1"), F.lit(0)).alias("tie1"),
+        F.coalesce(F.sum("_t2"), F.lit(0)).alias("tie2"),
+        F.coalesce(F.max("_nt"), F.lit(0)).alias("n_total"),
     )
     # always exactly 3 rows: a literal bucket frame left-joined with the
     # observed counts (an empty bucket is n_docs=0, not a missing row —
@@ -2249,7 +2254,14 @@ s{r} AS (
           FROM t{r}) AS corpus_tokens_after
 )"""
         )
-    union = " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, _BPE_ROUNDS + 1))
+    # pair IS NOT NULL mirrors the operator's sentinel-round drop: a
+    # round with no adjacent pairs anywhere (e.g. an EMPTY corpus) has a
+    # NULL winning pair on both engines and appears in NEITHER result
+    # (degenerate sweep, r11); on any corpus with pairs it is a no-op
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{r} WHERE pair IS NOT NULL"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
     parts.append(f"\n{union} ORDER BY round")
     return "".join(parts)
 

@@ -1590,9 +1590,10 @@ WITH codes AS (
 SELECT CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
        CAST((SELECT count(*) FROM mutual) AS BIGINT) AS n_mutual,
-       round(CAST((SELECT count(*) FROM mutual) AS DOUBLE)
-             / CAST((SELECT count(*) FROM edges) AS DOUBLE), 6)
-         AS reciprocity,
+       CASE WHEN (SELECT count(*) FROM edges) = 0 THEN NULL
+            ELSE round(CAST((SELECT count(*) FROM mutual) AS DOUBLE)
+                       / CAST((SELECT count(*) FROM edges) AS DOUBLE), 6)
+       END AS reciprocity,
        CAST((SELECT max(d) FROM indeg) AS BIGINT) AS max_in_degree
 """,
     doc="kNN-graph reciprocity and hubness diagnostics on sign-bit "
@@ -1670,10 +1671,16 @@ def knn_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "n_edges",
             "n_mutual",
-            F.round(
-                F.col("n_mutual").cast("double")
-                / F.col("n_edges").cast("double"),
-                6,
+            # NULL on an edgeless (empty-input) graph instead of an
+            # ANSI divide-by-zero crash; the oracle pins the same
+            # convention (degenerate sweep, r11)
+            F.when(
+                F.col("n_edges") > 0,
+                F.round(
+                    F.col("n_mutual").cast("double")
+                    / F.col("n_edges").cast("double"),
+                    6,
+                ),
             ).alias("reciprocity"),
             "max_in_degree",
         )

@@ -2122,9 +2122,10 @@ WITH marked AS (
 SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
          AS n_users,
        CAST((SELECT count(*) FROM complete) AS BIGINT) AS n_complete,
-       round(CAST((SELECT count(*) FROM complete) AS DOUBLE)
-             / CAST((SELECT count(DISTINCT user_id) FROM events)
-                    AS DOUBLE), 6) AS completion_rate
+       CASE WHEN (SELECT count(DISTINCT user_id) FROM events) = 0 THEN NULL
+            ELSE round(CAST((SELECT count(*) FROM complete) AS DOUBLE)
+                       / CAST((SELECT count(DISTINCT user_id) FROM events)
+                              AS DOUBLE), 6) END AS completion_rate
 """,
     doc="any-order funnel: users completing ALL of view/click/purchase "
     "within one 7-day window, via three per-type running maxes on one "
@@ -2172,10 +2173,15 @@ def multi_event_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.crossJoin(F.broadcast(complete)).select(
         "n_users",
         "n_complete",
-        F.round(
-            F.col("n_complete").cast("double")
-            / F.col("n_users").cast("double"),
-            6,
+        # NULL when there are zero users (empty input) instead of an
+        # ANSI divide-by-zero crash; oracle pins the same convention
+        F.when(
+            F.col("n_users") > 0,
+            F.round(
+                F.col("n_complete").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ),
         ).alias("completion_rate"),
     )
 
