@@ -267,13 +267,29 @@ WINDOW_DEFERRED = (
 # Gates whose plan/operator code changed AFTER their last driver
 # verdict — inserted into the window right after WINDOW_NEWEST, before
 # merely-old re-verifies. r11: w5_sessionize's gap compare moved from
-# floored seconds to microsecond-exact (ADVICE r10), and the three
-# {df}-parameterized SQL retrofits (VERDICT r10 item 3).
+# floored seconds to microsecond-exact (ADVICE r10); the three
+# {df}-parameterized SQL retrofits (VERDICT r10 item 3); and the
+# degenerate-sweep convention pins whose gate DEFINITION changed
+# (divide-by-zero NULL guards, empty-grand-total HAVING, NULL-cascade
+# coalesces, phantom-NULL-seed filters). Window capacity caps the list
+# at 11; the remaining definition-touched gates carry over to lead the
+# r12 rotation: bpe_train_rounds (sentinel-round oracle filter) and
+# graph_bellman_ford (same phantom-seed filter as graph_bfs_hops,
+# which IS rechecked below). Inert driver-side guards (early returns
+# on empty input, never taken on real data) do not redefine a gate and
+# keep their standing verdicts.
 WINDOW_CODE_TOUCHED = (
     "w5_sessionize",
     "scalar_subquery_above_avg",
     "correlated_exists_sql",
     "correlated_not_exists_sql",
+    "bloom_filter_fpr",
+    "knn_graph_reciprocity",
+    "agg_rollup_status",
+    "grouping_sets_cube",
+    "dq_check_suite",
+    "text_perplexity_buckets_sketch",
+    "graph_bfs_hops",
 )
 
 

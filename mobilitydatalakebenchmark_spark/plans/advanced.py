@@ -1066,6 +1066,14 @@ def streaming_versioned_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    if orders.isEmpty():
+        # empty source: no batch fires, the store has no committed
+        # version (degenerate sweep, r11)
+        return spark.createDataFrame(
+            [],
+            "o_orderstatus string, n_orders long, min_key long,"
+            " max_key long, total_cents long, n_versions long",
+        )
     for m in range(3):
         orders.filter(F.col("o_orderkey") % 3 == m).coalesce(1).write.mode(
             "append"
@@ -2253,6 +2261,11 @@ def streaming_countmin_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame
     ckpt = os.path.join(base, "ckpt")
 
     ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    if ev.isEmpty():
+        # empty source: the sketch table is never committed (degenerate)
+        return spark.createDataFrame(
+            [], "user_id long, true_n long, est_n long, overcount long"
+        )
     # three arrival slices, one file each -> exactly three micro-batches
     for m in range(3):
         ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
@@ -2366,6 +2379,13 @@ def streaming_cusum_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # micro-batches in stream order (the state fn sorts by seq WITHIN a
     # batch; cross-batch order is arrival order by contract)
     hi = ev.agg(F.max("seq")).first()[0]  # one scalar — bounded collect
+    if hi is None:
+        # empty source: no seq range to slice (degenerate sweep, r11)
+        return spark.createDataFrame(
+            [],
+            "entity string, n_events long, n_alarms long,"
+            " max_excursion_scaled long, s_scaled long",
+        )
     cut1, cut2 = hi // 3, 2 * hi // 3
     for lo_excl, hi_incl in ((-1, cut1), (cut1, cut2), (cut2, hi)):
         ev.filter(

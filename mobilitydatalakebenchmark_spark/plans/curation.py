@@ -141,6 +141,15 @@ def streaming_islands_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us("ts").alias("start_us"),
         (epoch_us("ts") + F.lit(_IC_EXTENT_US)).alias("end_us"),
     )
+    if iv.isEmpty():
+        # empty source: zero micro-batches would ever fire and the sink
+        # table is never created — the maintained result is empty
+        # (degenerate sweep, r11)
+        return spark.createDataFrame(
+            [],
+            "user_id long, island long, start_us long, end_us long,"
+            " n_rows long",
+        )
     # three arrival slices — each lands as ONE file so the file source
     # delivers exactly three micro-batches (gate-scale slices are small;
     # at fleet scale the stream arrives pre-batched by the source)
@@ -955,6 +964,14 @@ def streaming_pareto_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty_c"),
         "l_orderkey",
     )
+    if pts.isEmpty():
+        # empty source: no batch ever fires, the frontier table is never
+        # created — the maintained skyline is empty (degenerate sweep)
+        return spark.createDataFrame(
+            [],
+            "flag string, price double, quantity double, n_dups long,"
+            " keeper_order long",
+        )
     for m in range(3):
         pts.filter(F.col("l_orderkey") % 3 == m).coalesce(1).write.mode(
             "append"
@@ -1033,6 +1050,13 @@ def streaming_rollup_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    if ev.isEmpty():
+        # empty source: the rollup table is never created (degenerate)
+        return spark.createDataFrame(
+            [],
+            "bucket_ts timestamp, n long, total long, vmin long,"
+            " vmax long",
+        )
     for m in range(3):
         ev.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
             "append"
@@ -2888,6 +2912,11 @@ def streaming_ewma_maintainer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     hi = ev.agg(F.max("seq")).first()[0]  # one scalar — bounded collect
+    if hi is None:
+        # empty source: no seq range to slice into batches (degenerate)
+        return spark.createDataFrame(
+            [], "entity string, seq long, ewma_scaled long"
+        )
     cut1, cut2 = hi // 3, 2 * hi // 3
     for lo_excl, hi_incl in ((-1, cut1), (cut1, cut2), (cut2, hi)):
         ev.filter(
@@ -3110,6 +3139,11 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so state eviction (watermark + 12h bound) always trails any
     # still-possible cross-batch match
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if hi is None:
+        # empty source: no ts range to slice, no pair can exist
+        return spark.createDataFrame(
+            [], "user_id long, purchase_event long, click_event long"
+        )
     cut1 = lo + (hi - lo) / 3
     cut2 = lo + 2 * (hi - lo) / 3
     for side, src in ((purchases, src_l), (clicks, src_r)):
@@ -3257,6 +3291,11 @@ def streaming_native_window_counts(spark: SparkSession, sf_dir: str) -> DataFram
     src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_native_win")
     ev = t(spark, sf_dir, "events").select("ts", "event_type")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if hi is None:
+        # empty source: nothing to window (degenerate sweep, r11)
+        return spark.createDataFrame(
+            [], "window_start string, event_type string, n long"
+        )
     cut1 = lo + (hi - lo) / 3
     cut2 = lo + 2 * (hi - lo) / 3
     slices = [
@@ -3406,6 +3445,11 @@ def streaming_late_data_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_late")
     ev = t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     hi = ev.agg(F.max("ts")).first()[0]
+    if hi is None:
+        # empty source: no windows, nothing held back (degenerate sweep)
+        return spark.createDataFrame(
+            [], "window_start string, event_type string, n long"
+        )
 
     # The FileStreamSource batches by file MODIFICATION TIME; four fast
     # consecutive writes can collide at mtime granularity and reorder
@@ -3533,6 +3577,13 @@ def streaming_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_session")
     ev = t(spark, sf_dir, "events").select("user_id", "ts")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if hi is None:
+        # empty source: no sessions can open (degenerate sweep, r11)
+        return spark.createDataFrame(
+            [],
+            "user_id long, session_start string, session_last string,"
+            " n_events long",
+        )
     cut1 = lo + (hi - lo) / 3
     cut2 = lo + 2 * (hi - lo) / 3
     slices = [
@@ -3799,6 +3850,14 @@ def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir, out, ckpt = _gate_dirs(sf_dir, "stream_shards")
     d = t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    if d.isEmpty():
+        # empty corpus: no shard is ever flushed and no manifest is
+        # written (degenerate sweep, r11)
+        return spark.createDataFrame(
+            [],
+            "shard string, n_docs long, n_tokens long, min_doc_id long,"
+            " max_doc_id long, content_md5 string",
+        )
     h1 = F.md5(F.col("doc_id").cast("string")).substr(1, 1)
     cuts = [
         h1 < "5",
