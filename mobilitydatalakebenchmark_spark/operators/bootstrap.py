@@ -80,7 +80,13 @@ def replicate_means(
             F.sum("_w").alias("wn"),
         )
         .withColumn(
-            "mean", F.col("wsum").cast("double") / F.col("wn").cast("double")
+            # guarded: ANSI mode would otherwise CRASH (not NULL) on the
+            # all-weights-zero replicate a tiny input can produce
+            "mean",
+            F.when(
+                F.col("wn") > 0,
+                F.col("wsum").cast("double") / F.col("wn").cast("double"),
+            ),
         )
     )
 
@@ -104,7 +110,12 @@ def bootstrap_ci_mean(
     same way. Defaults: rank 4/29 of 32 reps ~ a 10%/90% interval.
     """
     means = replicate_means(df, key_col, cents_col, reps, salt)
-    rn = F.row_number().over(Window.orderBy("mean", "rep"))
+    # explicit NULLS FIRST: degenerate zero-weight replicates carry NULL
+    # means, and Spark ASC defaults NULLS FIRST while SQL oracles
+    # default NULLS LAST — the rank order must be pinned, not assumed
+    rn = F.row_number().over(
+        Window.orderBy(F.col("mean").asc_nulls_first(), "rep")
+    )
     ranked = means.withColumn("rn", rn)
     summary = ranked.agg(
         F.count(F.lit(1)).alias("n_reps"),

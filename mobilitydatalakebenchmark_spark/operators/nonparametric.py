@@ -71,10 +71,15 @@ def ks_two_sample(df: DataFrame, value_col: str, is_g1: Column) -> DataFrame:
             "n1",
             "n2",
             "d_scaled",
-            F.round(
-                F.col("d_scaled").cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double"),
-                6,
+            # D is undefined when either sample is empty: NULL, not an
+            # ANSI divide-by-zero crash (degenerate sweep, r11)
+            F.when(
+                F.col("n1") * F.col("n2") > 0,
+                F.round(
+                    F.col("d_scaled").cast("double")
+                    / (F.col("n1") * F.col("n2")).cast("double"),
+                    6,
+                ),
             ).alias("d"),
         )
     )
@@ -120,10 +125,14 @@ def mann_whitney_u(
             (2 * F.col("n1") * F.col("n2") - F.col("u1_scaled2")).alias(
                 "u2_scaled2"
             ),
-            F.round(
-                F.col("u1_scaled2").cast("double")
-                / (2 * F.col("n1") * F.col("n2")).cast("double"),
-                6,
+            # AUC undefined when either group is empty (see ks note)
+            F.when(
+                F.col("n1") * F.col("n2") > 0,
+                F.round(
+                    F.col("u1_scaled2").cast("double")
+                    / (2 * F.col("n1") * F.col("n2")).cast("double"),
+                    6,
+                ),
             ).alias("auc"),
         )
     )

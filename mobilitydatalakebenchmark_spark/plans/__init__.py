@@ -272,12 +272,18 @@ WINDOW_DEFERRED = (
 # degenerate-sweep convention pins whose gate DEFINITION changed
 # (divide-by-zero NULL guards, empty-grand-total HAVING, NULL-cascade
 # coalesces, phantom-NULL-seed filters). Window capacity caps the list
-# at 11; the remaining definition-touched gates carry over to lead the
-# r12 rotation: bpe_train_rounds (sentinel-round oracle filter) and
-# graph_bellman_ford (same phantom-seed filter as graph_bfs_hops,
-# which IS rechecked below). Inert driver-side guards (early returns
-# on empty input, never taken on real data) do not redefine a gate and
-# keep their standing verdicts.
+# at 11; the remaining definition-touched gates carry over to LEAD the
+# r12 rotation (every one re-verified locally at sf0.001/0.01/0.1 AND
+# on the 0-row and 1-row twins this round): bpe_train_rounds
+# (sentinel-round oracle filter), graph_bellman_ford (same phantom-seed
+# filter as graph_bfs_hops, which IS rechecked below), and the
+# singleton-sweep convention pins — hist_equiwidth_price,
+# drift_chi2_event_mix, drift_ks_value_shift, rank_auc_mann_whitney,
+# text_vocab_drift, bootstrap_ci_mean, knn_ivf,
+# knn_persisted_index_probe, knn_pq_recall_floor, knn_recall_floor,
+# streaming_versioned_commits, trajectory_simplify_bounds. Inert
+# driver-side guards (early returns on empty input, never taken on
+# real data) do not redefine a gate and keep their standing verdicts.
 WINDOW_CODE_TOUCHED = (
     "w5_sessionize",
     "scalar_subquery_above_avg",

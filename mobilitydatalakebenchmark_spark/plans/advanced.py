@@ -101,8 +101,12 @@ _HIST_BINS = 20
 WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
            FROM lineitem),
 binned AS (
-  SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / {_HIST_BINS}))
-               AS INT), {_HIST_BINS - 1}) AS bin,
+  -- hi = lo (a single distinct value) pins all mass into bin 0 on both
+  -- engines instead of a zero-width division (degenerate sweep, r11)
+  SELECT CASE WHEN hi = lo THEN 0
+              ELSE least(CAST(floor((l_extendedprice - lo)
+                                    / ((hi - lo) / {_HIST_BINS})) AS INT),
+                         {_HIST_BINS - 1}) END AS bin,
          lo, hi, l_extendedprice
   FROM lineitem, b
 )
@@ -123,9 +127,13 @@ def hist_equiwidth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / _HIST_BINS
     binned = li.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
-            F.lit(_HIST_BINS - 1),
+        # hi = lo -> bin 0 (single distinct value), matching the oracle
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / width),
+                F.lit(_HIST_BINS - 1),
+            )
         )
         .cast("int")
         .alias("bin"),
@@ -1031,7 +1039,11 @@ SELECT o_orderstatus,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS total_cents,
-       CAST(3 AS BIGINT) AS n_versions
+       -- one version per NON-EMPTY modulo slice: an empty slice writes
+       -- no file, fires no micro-batch and commits no version — 3 on
+       -- any real corpus, data-derived on degenerate ones (r11)
+       (SELECT CAST(count(DISTINCT o_orderkey % 3) AS BIGINT) FROM orders)
+         AS n_versions
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -1247,8 +1259,14 @@ SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
          AS total_cents,
-       TRUE AS layout_evolved,
-       TRUE AS partition_pruned
+       -- both layout claims require the hive-partitioned v1 slice to be
+       -- NON-EMPTY: a partitionBy write of zero rows lays out no
+       -- o_orderstatus= subdirs to detect or prune (degenerate twin);
+       -- any real corpus has odd keys and the claims read TRUE as before
+       (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1) > 0
+         AS layout_evolved,
+       (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1) > 0
+         AS partition_pruned
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
     doc="PARTITION EVOLUTION on the versioned store (the Iceberg property "

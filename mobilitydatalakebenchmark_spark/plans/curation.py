@@ -2054,9 +2054,15 @@ cells AS (
   FROM c CROSS JOIN tot
 ),
 contrib AS (
+  -- a zero-expected cell (one side of the cut empty) contributes 0 by
+  -- the standard chi-square empty-margin convention — pinned on both
+  -- engines instead of 0/0 (degenerate sweep, r11; no-op when both
+  -- halves have data)
   SELECT event_type, o1, o2, e1, e2,
-         (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / e1
-           + (CAST(o2 AS DOUBLE) - e2) * (CAST(o2 AS DOUBLE) - e2) / e2
+         (CASE WHEN e1 = 0 THEN 0.0 ELSE
+            (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / e1 END)
+           + (CASE WHEN e2 = 0 THEN 0.0 ELSE
+            (CAST(o2 AS DOUBLE) - e2) * (CAST(o2 AS DOUBLE) - e2) / e2 END)
              AS cell_chi2
   FROM cells
 )
@@ -2099,8 +2105,13 @@ def drift_chi2_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = F.col("o1").cast("double") - F.col("e1")
     d2 = F.col("o2").cast("double") - F.col("e2")
+    # zero-expected cells contribute 0 (see the oracle's note)
     contrib = cells.withColumn(
-        "cell_chi2", d1 * d1 / F.col("e1") + d2 * d2 / F.col("e2")
+        "cell_chi2",
+        F.when(F.col("e1") == 0, F.lit(0.0)).otherwise(d1 * d1 / F.col("e1"))
+        + F.when(F.col("e2") == 0, F.lit(0.0)).otherwise(
+            d2 * d2 / F.col("e2")
+        ),
     )
     total = contrib.agg(
         F.aggregate(
@@ -3917,12 +3928,16 @@ w AS (
               AS BIGINT) % 3 AS wt
   FROM o CROSS JOIN reps
 ), m AS (
+  -- zero-weight replicates (possible only on tiny inputs) carry NULL
+  -- means; the rank order pins NULLS FIRST to match Spark's ASC default
   SELECT rep,
-         CAST(CAST(sum(wt * cents) AS BIGINT) AS DOUBLE)
-           / CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) AS mean
+         CASE WHEN CAST(sum(wt) AS BIGINT) = 0 THEN NULL
+              ELSE CAST(CAST(sum(wt * cents) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(wt) AS BIGINT) AS DOUBLE) END AS mean
   FROM w GROUP BY rep
 ), r AS (
-  SELECT mean, row_number() OVER (ORDER BY mean, rep) AS rn FROM m
+  SELECT mean,
+         row_number() OVER (ORDER BY mean NULLS FIRST, rep) AS rn FROM m
 )
 SELECT CAST(count(*) AS BIGINT) AS n_reps,
        round((SELECT CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
@@ -3990,10 +4005,14 @@ WITH x AS (
 )
 SELECT n.n1, n.n2,
        CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_scaled,
-       round(CAST(CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS DOUBLE)
-             / CAST(n.n1 * n.n2 AS DOUBLE), 6) AS d
+       CASE WHEN n.n1 * n.n2 = 0 THEN NULL
+            ELSE round(CAST(CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT)
+                            AS DOUBLE)
+                       / CAST(n.n1 * n.n2 AS DOUBLE), 6) END AS d
 FROM cum CROSS JOIN n GROUP BY n.n1, n.n2
 """,
+    # D/AUC are undefined when either sample is empty — both engines pin
+    # NULL (degenerate sweep, r11); no-op whenever both sides have data
     doc="two-sample Kolmogorov-Smirnov drift test (operators/"
     "nonparametric.ks_two_sample): did the event-value distribution "
     "shift between the first and second half of the month? D = "
@@ -4039,10 +4058,12 @@ WITH x AS (
 SELECT n1, n2,
        r1s2 - n1 * (n1 + 1) AS u1_scaled2,
        2 * n1 * n2 - (r1s2 - n1 * (n1 + 1)) AS u2_scaled2,
-       round(CAST(r1s2 - n1 * (n1 + 1) AS DOUBLE)
-             / CAST(2 * n1 * n2 AS DOUBLE), 6) AS auc
+       CASE WHEN n1 * n2 = 0 THEN NULL
+            ELSE round(CAST(r1s2 - n1 * (n1 + 1) AS DOUBLE)
+                       / CAST(2 * n1 * n2 AS DOUBLE), 6) END AS auc
 FROM s CROSS JOIN n
 """,
+    # AUC undefined when either group is empty — see drift_ks_value_shift
     doc="Mann-Whitney U / AUC with midrank ties (operators/"
     "nonparametric.mann_whitney_u): does the purchase value "
     "distribution stochastically dominate clicks? Doubled midranks "

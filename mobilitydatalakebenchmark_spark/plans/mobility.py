@@ -989,7 +989,14 @@ WITH fixes AS (
   SELECT user_id, ts FROM events WHERE user_id < 30
 )
 SELECT user_id, count(*) AS n_points,
-       TRUE AS endpoints_ok, TRUE AS dropped_ok, TRUE AS reduction_ok
+       TRUE AS endpoints_ok, TRUE AS dropped_ok,
+       -- reduction is only claimable when some fix is DROPPABLE: DP
+       -- always keeps both endpoints, so a corpus of <= 2 fixes per
+       -- track cannot shrink (degenerate twin); on the synthetic
+       -- tracks the measured ~40% drop makes this TRUE as before
+       (SELECT count(*) FROM fixes)
+         > 2 * (SELECT count(DISTINCT user_id) FROM fixes)
+         AS reduction_ok
 FROM fixes GROUP BY user_id ORDER BY user_id
 """,
     doc="Douglas-Peucker simplification bounds "

@@ -2664,12 +2664,18 @@ WITH half AS (
   FROM tagged GROUP BY token
 )
 SELECT token, df1, df2,
-       round(CAST(df1 AS DOUBLE) / CAST(n.n1 AS DOUBLE), 6) AS rate_early,
-       round(CAST(df2 AS DOUBLE) / CAST(n.n2 AS DOUBLE), 6) AS rate_late,
+       CASE WHEN n.n1 = 0 THEN NULL
+            ELSE round(CAST(df1 AS DOUBLE) / CAST(n.n1 AS DOUBLE), 6)
+       END AS rate_early,
+       CASE WHEN n.n2 = 0 THEN NULL
+            ELSE round(CAST(df2 AS DOUBLE) / CAST(n.n2 AS DOUBLE), 6)
+       END AS rate_late,
        CAST(abs(df1 * n.n2 - df2 * n.n1) AS BIGINT) AS cross_diff
 FROM df CROSS JOIN n
 ORDER BY cross_diff DESC, token LIMIT 20
 """,
+    # an empty half (corpus of < 2 docs) has no document-frequency RATE:
+    # both engines pin NULL (degenerate sweep, r11); no-op otherwise
     doc="vocabulary drift across the doc_id midpoint: per-token "
     "document frequency in each half, movers ranked by the integer "
     "cross-difference |df1*n2 - df2*n1| (no float ordering), rates one "
@@ -2707,11 +2713,19 @@ def text_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token",
             "df1",
             "df2",
-            F.round(
-                F.col("df1").cast("double") / F.col("n1").cast("double"), 6
+            F.when(
+                F.col("n1") > 0,
+                F.round(
+                    F.col("df1").cast("double") / F.col("n1").cast("double"),
+                    6,
+                ),
             ).alias("rate_early"),
-            F.round(
-                F.col("df2").cast("double") / F.col("n2").cast("double"), 6
+            F.when(
+                F.col("n2") > 0,
+                F.round(
+                    F.col("df2").cast("double") / F.col("n2").cast("double"),
+                    6,
+                ),
             ).alias("rate_late"),
             F.abs(
                 F.col("df1") * F.col("n2") - F.col("df2") * F.col("n1")

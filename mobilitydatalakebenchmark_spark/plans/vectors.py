@@ -262,6 +262,9 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id AS probe_id, 'lsh_mt8x8' AS tier, CAST(5 AS BIGINT) AS n_returned,
        TRUE AS returned_k, TRUE AS recall_ok, TRUE AS mean_floor_ok
 FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+  AND (SELECT count(*) FROM embeddings) > 1  -- singleton corpus: no
+  -- non-self neighbor can exist, the index returns nothing and the
+  -- probe frame is EMPTY on both engines (degenerate sweep, r11)
 ORDER BY probe_id
 """,
     doc="recall floor for the OR-amplified multi-table LSH tier "
@@ -331,6 +334,7 @@ SELECT vec_id AS probe_id, 'ivfpq_r8x256' AS tier,
        CAST(5 AS BIGINT) AS n_returned,
        TRUE AS returned_k, TRUE AS recall_ok, TRUE AS total_floor_ok
 FROM embeddings WHERE vec_id < 10
+  AND (SELECT count(*) FROM embeddings) > 1  -- see knn_recall_floor
 ORDER BY probe_id
 """,
     doc="recall floor for the IVF+PQ residual tier with exact "
@@ -418,6 +422,9 @@ ORDER BY vec_a, vec_b
 SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_returned,
        TRUE AS returned_k, TRUE AS recall_ok
 FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+  AND (SELECT count(*) FROM embeddings) > 1  -- singleton corpus: no
+  -- non-self neighbor can exist, the index returns nothing and the
+  -- probe frame is EMPTY on both engines (degenerate sweep, r11)
 ORDER BY probe_id
 """,
     doc="ANN top-5 via an IVF index (deterministic seeds + 1 Lloyd step, "
@@ -997,6 +1004,9 @@ SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_returned,
        TRUE AS returned_k, TRUE AS recall_ok,
        (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed
 FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+  AND (SELECT count(*) FROM embeddings) > 1  -- singleton corpus: no
+  -- non-self neighbor can exist, the index returns nothing and the
+  -- probe frame is EMPTY on both engines (degenerate sweep, r11)
 ORDER BY probe_id
 """,
     doc="the persisted ANN index store gets its own driver verdict "
@@ -1249,6 +1259,9 @@ SELECT vec_id AS probe_id, CAST(5 AS BIGINT) AS n_returned,
        TRUE AS returned_k, TRUE AS recall_ok,
        (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_indexed
 FROM embeddings WHERE vec_id IN ({", ".join(map(str, PROBE_IDS))})
+  AND (SELECT count(*) FROM embeddings) > 1  -- singleton corpus: no
+  -- non-self neighbor can exist, the index returns nothing and the
+  -- probe frame is EMPTY on both engines (degenerate sweep, r11)
 ORDER BY probe_id
 """,
     doc="streaming ANN index ingest under a driver verdict (streaming/"

@@ -2219,10 +2219,14 @@ WITH per_part AS (
   FROM ranked
 )
 SELECT n, sd2,
-       round(1.0 - CAST(6 * sd2 AS DOUBLE)
-                   / CAST(n * (n * n - 1) AS DOUBLE), 6) AS spearman_rho
+       CASE WHEN n < 2 THEN NULL
+            ELSE round(1.0 - CAST(6 * sd2 AS DOUBLE)
+                        / CAST(n * (n * n - 1) AS DOUBLE), 6)
+       END AS spearman_rho
 FROM s
 """,
+    # rho is undefined for n < 2 (n(n^2-1) = 0): both engines pin NULL
+    # instead of one crashing on the division (degenerate sweep, r11)
     doc="Spearman rank correlation between part revenue and part "
     "volume: ρ = 1 − 6Σd²/(n(n²−1)) over unique-ordered integer ranks "
     "— BIGINT rank differences, one end division, zero float "
@@ -2258,11 +2262,16 @@ def spearman_revenue_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n",
         "sd2",
-        F.round(
-            F.lit(1.0)
-            - (F.lit(6) * F.col("sd2")).cast("double")
-            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double"),
-            6,
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                F.lit(1.0)
+                - (F.lit(6) * F.col("sd2")).cast("double")
+                / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast(
+                    "double"
+                ),
+                6,
+            ),
         ).alias("spearman_rho"),
     )
 

@@ -135,3 +135,42 @@ class TestEmptyGateConventions:
 
     def test_partitioned_write_prune_empty_roundtrip(self, spark, empty_sf):
         assert _gate("partitioned_write_prune")(spark, empty_sf).count() == 0
+
+
+@pytest.fixture(scope="module")
+def single_sf(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.degenerate_sweep import build_empty_dir
+
+    out = str(tmp_path_factory.mktemp("singleton") / "sf")
+    build_empty_dir("/root/testdata/sf0.001", out, rows=1)
+    return out
+
+
+class TestSingletonConventions:
+    """One gate per SINGLE-SAMPLE fix class (the 1-row twin sweep,
+    DEGENERATE_1ROW_r11.json): statistics undefined for n=1 pin NULL on
+    both engines; measured-floor probe frames vanish when no non-self
+    neighbor can exist; data-derived claims replace literals."""
+
+    def test_spearman_single_point_is_null(self, spark, single_sf):
+        row = _gate("spearman_revenue_quantity")(spark, single_sf).first()
+        assert row.n == 1 and row.spearman_rho is None
+
+    def test_hist_single_value_all_in_bin0(self, spark, single_sf):
+        rows = _gate("hist_equiwidth_price")(spark, single_sf).collect()
+        assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 1
+
+    def test_ks_one_sided_is_null(self, spark, single_sf):
+        row = _gate("drift_ks_value_shift")(spark, single_sf).first()
+        assert row.n1 * row.n2 == 0 and row.d is None
+
+    def test_knn_probe_frame_empty_without_neighbors(self, spark, single_sf):
+        assert _gate("knn_recall_floor")(spark, single_sf).count() == 0
+
+    def test_chi2_zero_expected_cell_contributes_zero(self, spark, single_sf):
+        rows = _gate("drift_chi2_event_mix")(spark, single_sf).collect()
+        assert len(rows) == 1
+        assert float(rows[0].cell_chi2) == 0.0

@@ -1,18 +1,23 @@
-"""Degenerate-input sweep: every gate against EMPTY tables.
+"""Degenerate-input sweep: every gate against EMPTY (or TINY) tables.
 
-Builds a zero-row copy of each test table (same parquet schema, via
+Builds a degenerate copy of each test table (same parquet schema, via
 pyarrow — no JVM needed) and runs the full gate registry plus its
 DuckDB oracles against it with tools/check_oracle.py. The contract: no
-gate may CRASH on empty input, and the Spark result must still match
-the oracle (usually both empty, sometimes a single all-NULL/zero
-aggregate row). This catches the NULL-vs-NaN / None-arithmetic class —
-e.g. a driver-side seed collect or a max(ts) feeding datetime math —
-before the driver or a 100 TB run with an empty partition does
-(VERDICT r10 item 7).
+gate may CRASH on degenerate input, and the Spark result must still
+match the oracle. Two shapes:
+
+* default (0 rows) — catches the NULL-vs-NaN / None-arithmetic class:
+  driver-side seed collects, max(ts) feeding datetime math, zero
+  denominators, sinks never created by zero-batch streams
+  (VERDICT r10 item 7; 32 gates hardened in r11, DEGENERATE_r11.json);
+* ``--rows N`` (first N rows per table) — catches the SINGLE-SAMPLE
+  class: sample stddev/variance of one row, percentiles and
+  regressions over a single point, windows with no lag row.
 
 Usage:
-    python tools/degenerate_sweep.py [--build-only] [out_dir]
-        builds the empty twin of /root/testdata/sf0.001 under out_dir
+    python tools/degenerate_sweep.py [--build-only] [--rows N]
+        [out_dir] [gate_filter ...]
+        builds the twin of /root/testdata/sf0.001 under out_dir
         (default /tmp/degenerate_sf), then execs check_oracle on it.
 """
 
@@ -30,29 +35,37 @@ TABLES = [
 ]
 
 
-def build_empty_dir(src_dir: str, out_dir: str) -> None:
+def build_empty_dir(src_dir: str, out_dir: str, rows: int = 0) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for t in TABLES:
         src = os.path.join(src_dir, f"{t}.parquet")
-        schema = pq.read_schema(src)
-        pq.write_table(
-            schema.empty_table(), os.path.join(out_dir, f"{t}.parquet")
-        )
+        if rows <= 0:
+            table = pq.read_schema(src).empty_table()
+        else:
+            table = pq.read_table(src).slice(0, rows)
+        pq.write_table(table, os.path.join(out_dir, f"{t}.parquet"))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--build-only"]
-    build_only = "--build-only" in sys.argv[1:]
-    out_dir = args[0] if args else "/tmp/degenerate_sf"
+    argv = list(sys.argv[1:])
+    build_only = "--build-only" in argv
+    if build_only:
+        argv.remove("--build-only")
+    rows = 0
+    if "--rows" in argv:
+        i = argv.index("--rows")
+        rows = int(argv[i + 1])
+        del argv[i : i + 2]
+    out_dir = argv[0] if argv else "/tmp/degenerate_sf"
     src = "/root/testdata/sf0.001"
-    build_empty_dir(src, out_dir)
-    print(f"empty twin of {src} built at {out_dir}")
+    build_empty_dir(src, out_dir, rows=rows)
+    print(f"{rows}-row twin of {src} built at {out_dir}")
     if build_only:
         return
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rc = subprocess.call(
         [sys.executable, os.path.join(here, "tools", "check_oracle.py"),
-         "--degenerate", out_dir, *args[1:]]
+         "--degenerate", out_dir, *argv[1:]]
     )
     sys.exit(rc)
 
