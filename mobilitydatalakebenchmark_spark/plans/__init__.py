@@ -47,9 +47,14 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # freshest verdict.
 # The r11 window: flagship + the final 38-gate backlog drain (the four
 # remaining never-driver-verified streaming WRITE paths first, then
-# format/layout, then the depth remainder), then oldest-verified
-# re-checks fill to 50 — capped at an estimated ~85 s sf0.01 wall
-# (< 90 s; only streaming_ann_index_ingest, 26.8 s, defers to r12).
+# format/layout, then the depth remainder), then the 11 code-touched
+# re-checks fill to 50 — estimated ~85 s sf0.01 wall from the r10
+# ORACLE secs. NOTE for r12: ORACLE_r11.json's secs were measured
+# while the exact sweeps ran CONCURRENTLY, inflating window_report's
+# estimate to ~95 s; interleaved idle-box re-measurement of the two
+# biggest movers (streaming_ivm_join_maintainer, streaming_session_
+# native) showed pre/post-change parity — expect the driver's warm
+# sequential window to land near r10's ratio (~0.8x of estimate).
 # r4 verdicts (CORRECTNESS_r04.json) still freshest:
 DRIVER_VERIFIED_R4 = (
     "path_trigrams_topk",
