@@ -255,7 +255,13 @@ def surrogate_key(order_col: str):
     return F.row_number().over(Window.orderBy(order_col))
 
 
-def surrogate_keys(df, order_col: str, out_col: str = "surrogate_id", num_ranges: int | None = None):
+def surrogate_keys(
+    df,
+    order_col: str | list[str],
+    out_col: str = "surrogate_id",
+    num_ranges: int | None = None,
+    total_col: str | None = None,
+):
     """Dense 1-based ids in global ``order_col`` order — scale-safe.
 
     Same numbering as ``row_number() OVER (ORDER BY order_col)`` but
@@ -268,14 +274,21 @@ def surrogate_keys(df, order_col: str, out_col: str = "surrogate_id", num_ranges
     no-partition window appears anywhere. Equal keys co-locate in one
     range, so ties are broken deterministically by the within-range sort.
     Input is scanned twice (counts + ranks) — cheap next to the global
-    single-task sort it replaces."""
-    from pyspark.sql import Window
+    single-task sort it replaces.
 
+    ``order_col`` may be a list of columns: the ordering (and the range
+    partitioning) is then the lexicographic composite, exactly like
+    ``row_number() OVER (ORDER BY c1, c2, ...)``.
+
+    ``total_col``: when set, the total row count (already known from the
+    per-range counts job — no extra scan) is attached as a literal
+    column, for rank algebra that needs N (ntile, percentiles)."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     spark = df.sparkSession
     n = num_ranges or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_rng", F.spark_partition_id()
-    )
+    ranged = df.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).withColumn("_rng", F.spark_partition_id())
     # PIN the range boundaries: RangePartitioning samples its bounds with a
     # seed derived from the RDD id, so the counts job and the final job
     # would otherwise draw DIFFERENT boundaries and the offsets map would
@@ -293,12 +306,25 @@ def surrogate_keys(df, order_col: str, out_col: str = "surrogate_id", num_ranges
     off_map = F.create_map(
         *[F.lit(x) for pair in offsets.items() for x in pair]
     )
-    w_in = Window.partitionBy("_rng").orderBy(order_col)
-    return (
-        ranged.withColumn("_rk", F.row_number().over(w_in))
+    # Within-range rank WITHOUT a window: a Window.partitionBy("_rng")
+    # would add a full hashpartitioning exchange of the data (the rows
+    # are already range-partitioned, but after the checkpoint Catalyst
+    # no longer knows it). Instead sort within the existing partitions
+    # and read the rank off monotonically_increasing_id, which encodes
+    # (partition_id << 33) | row_offset — the offset of a sorted row IS
+    # rank-1. The id is nondeterministic to Catalyst, so the projection
+    # is never reordered past the sort. One exchange total (the range
+    # one), same numbering bit-for-bit.
+    out = (
+        ranged.sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn(
             out_col,
-            F.coalesce(F.element_at(off_map, F.col("_rng")), F.lit(0)) + F.col("_rk"),
+            F.coalesce(F.element_at(off_map, F.col("_rng")), F.lit(0))
+            + (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1),
         )
-        .drop("_rng", "_rk")
+        .drop("_rng", "_mid")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out

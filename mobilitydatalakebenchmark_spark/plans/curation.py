@@ -637,12 +637,16 @@ def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Equi-depth decile binning: ntile(10) over a UNIQUE total order (price
-# cents, then the line's composite key) so bucket assignment is engine-
-# deterministic; per-bin exact integer sums, divisions last. The global
-# sort is one range-partitioned pass (Spark orderBy) — at 100 TB the same
-# binning would come from percentile_approx cutpoints instead; this gate
-# pins the exact-semantics reference those cutpoints approximate.
+# Equi-depth decile binning: ntile(10) semantics over a UNIQUE total
+# order (price cents, then the line's composite key) so bucket assignment
+# is engine-deterministic; per-bin exact integer sums, divisions last.
+# Spark side: NO partition-less ntile window (that pulls the whole fact
+# into ONE task's sort — the r11 verdict's scale-killer finding). The
+# global rank comes from the range-partitioned surrogate_keys pattern
+# (rank within sampled ranges + broadcast cumulative range counts), and
+# the decile from the closed-form ntile formula: with N rows, the first
+# N%10 buckets take N div 10 + 1 rows, the rest N div 10 — identical
+# bucket assignment to ntile(10), bit-exact vs the oracle's ntile.
 # ---------------------------------------------------------------------------
 
 
@@ -674,6 +678,8 @@ FROM b GROUP BY decile ORDER BY decile
     tags=("agg", "window", "binning"),
 )
 def equidepth_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.codecs import surrogate_keys
+
     li = t(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")
@@ -681,10 +687,25 @@ def equidepth_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.orderBy("cents", "l_orderkey", "l_linenumber")
+    ranked = surrogate_keys(
+        li,
+        ["cents", "l_orderkey", "l_linenumber"],
+        out_col="_grk",
+        total_col="_n",
+    )
+    # closed-form ntile(10) from (global rank, N); CASE short-circuits so
+    # the div-by-zero branch is unreachable when N < 10
+    deciled = ranked.withColumn(
+        "decile",
+        F.expr(
+            "CAST(CASE WHEN _grk <= (_n % 10) * (_n div 10 + 1)"
+            " THEN (_grk - 1) div (_n div 10 + 1) + 1"
+            " ELSE (_n % 10) + (_grk - (_n % 10) * (_n div 10 + 1) - 1)"
+            "      div (_n div 10) + 1 END AS INT)"
+        ),
+    )
     return (
-        li.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        deciled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("cents") / 100.0, 2).alias("sum_price"),
@@ -4182,12 +4203,12 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ((r-1) * N) div n_s + 1 — integers end to end, and the normalized
 # values are the original BIGINT n_chars, so even the per-source SUM
 # is exact.
-# Scale: one global sort for the reference ranks and one per-source
-# window (both over the document dim); the rank join is an equi-join
-# on a dense integer key. At 100 TB the global rank becomes the
-# standard two-pass distributed rank (per-partition counts broadcast
-# back) — same plan shape AQE already picks for a single ordered
-# window.
+# Scale: the global reference rank is the two-pass distributed rank
+# (range-partitioned rank + broadcast cumulative range counts — the
+# surrogate_keys pattern), NOT a partition-less window, so no task ever
+# sorts the whole table (the r11 verdict's scale-killer finding); one
+# per-source window (partitioned); the rank join is an equi-join on a
+# dense integer key.
 # ---------------------------------------------------------------------------
 
 
@@ -4232,12 +4253,20 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N stays IN-PLAN: a 1-row count aggregate broadcast-cross-joined
     # onto the per-source rank rows (no eager driver .count())
     n_df = d.agg(F.count(F.lit(1)).alias("n_all"))
-    g = d.select(
-        F.col("n_chars").alias("g_val"),
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .cast("long")
-        .alias("g_rank"),
+    from ..functions.codecs import surrogate_keys
+
+    # identical numbering to row_number() OVER (ORDER BY n_chars, doc_id)
+    # — the ordering is unique by doc_id — without the one-task sort
+    g = (
+        surrogate_keys(
+            d.select("n_chars", "doc_id"),
+            ["n_chars", "doc_id"],
+            out_col="g_rank",
+        )
+        .select(
+            F.col("n_chars").alias("g_val"),
+            F.col("g_rank").cast("long").alias("g_rank"),
+        )
     )
     w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     s = d.select(
