@@ -278,17 +278,20 @@ def surrogate_keys(
 
     ``order_col`` may be a list of columns: the ordering (and the range
     partitioning) is then the lexicographic composite, exactly like
-    ``row_number() OVER (ORDER BY c1, c2, ...)``.
+    ``row_number() OVER (ORDER BY c1, c2, ...)``. Entries may be Column
+    ordering expressions (``F.desc("x")``, ``F.col("v").asc_nulls_last()``)
+    for non-default directions / null placement.
 
     ``total_col``: when set, the total row count (already known from the
     per-range counts job — no extra scan) is attached as a literal
     column, for rank algebra that needs N (ntile, percentiles)."""
-    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_cols = [order_col] if isinstance(order_col, (str, Column)) else list(order_col)
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     spark = df.sparkSession
     n = num_ranges or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(
-        n, *[F.col(c) for c in order_cols]
-    ).withColumn("_rng", F.spark_partition_id())
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_rng", F.spark_partition_id()
+    )
     # PIN the range boundaries: RangePartitioning samples its bounds with a
     # seed derived from the RDD id, so the counts job and the final job
     # would otherwise draw DIFFERENT boundaries and the offsets map would
@@ -327,4 +330,99 @@ def surrogate_keys(
     )
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
+
+
+def prefix_sums(
+    df,
+    order_col,
+    sum_cols: list[str],
+    out_cols: list[str] | None = None,
+    num_ranges: int | None = None,
+    rank_col: str | None = None,
+    total_cols: dict[str, str] | None = None,
+):
+    """Inclusive running sums over a global ordering — scale-safe.
+
+    Same values as ``sum(c) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW)`` but with no single-partition sort:
+    range-repartition on the ordering (boundaries pinned by the same
+    eager localCheckpoint as :func:`surrogate_keys`), collect ONE ROW
+    PER RANGE of per-range column totals, then add each range's
+    cumulative offset to a within-range running sum. The within-range
+    window is partitioned by the range id, so every window partition is
+    one sampled range — bounded, never the whole input. Costs one range
+    exchange + one hash exchange on the range id + a per-range-count
+    driver fetch; replaces a plan where ONE task sorts the entire input.
+
+    The ordering MUST be a unique total order (ROWS frames over ties are
+    otherwise nondeterministic — same contract as the window it
+    replaces). ``order_col`` entries may be strings or Column ordering
+    expressions (``F.desc(...)``, ``...asc_nulls_last()``).
+
+    ``rank_col``: also emit the 1-based global rank (LongType) in the
+    same ordering, computed inside the same Window operator (free).
+    ``total_cols``: mapping ``sum_col -> output name`` attaching each
+    column's grand total as a LongType literal (already known from the
+    per-range totals job — no extra pass)."""
+    from pyspark.sql import Window
+
+    order_cols = [order_col] if isinstance(order_col, (str, Column)) else list(order_col)
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    out_cols = out_cols or [f"cum_{c}" for c in sum_cols]
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_rng", F.spark_partition_id()
+    )
+    # same boundary-pinning rationale as surrogate_keys: the totals job
+    # and the final job must see identical sampled range boundaries
+    ranged = ranged.localCheckpoint(eager=True)
+    # total_cols may name columns outside sum_cols (grand total wanted,
+    # running sum not): aggregate them in the same per-range job
+    all_cols = list(dict.fromkeys(list(sum_cols) + list(total_cols or {})))
+    per_rng = (
+        ranged.groupBy("_rng")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            *[F.sum(c).alias(f"_s{i}") for i, c in enumerate(all_cols)],
+        )
+        .collect()
+    )
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * (len(all_cols) + 1)  # [rank offset, per-col sums...]
+    totals_known: dict[str, int] = {}
+    for row in sorted(per_rng, key=lambda r: r._rng):
+        offsets[row._rng] = list(acc)
+        acc[0] += row._cnt
+        for i in range(len(all_cols)):
+            acc[i + 1] += row[f"_s{i}"] or 0
+    for i, c in enumerate(all_cols):
+        totals_known[c] = acc[i + 1]
+    w_in = Window.partitionBy("_rng").orderBy(*order_cols)
+    w_cum = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def _offset_expr(idx: int) -> Column:
+        if not offsets:  # empty input: no ranges, plain zero offset
+            return F.lit(0).cast("long")
+        off_map = F.create_map(
+            *[
+                x
+                for rng, offs in offsets.items()
+                for x in (F.lit(rng), F.lit(offs[idx]).cast("long"))
+            ]
+        )
+        return F.coalesce(
+            F.element_at(off_map, F.col("_rng")), F.lit(0).cast("long")
+        )
+
+    out = ranged
+    for i, (c, oc) in enumerate(zip(sum_cols, out_cols)):
+        out = out.withColumn(oc, _offset_expr(i + 1) + F.sum(c).over(w_cum))
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, _offset_expr(0) + F.row_number().over(w_in)
+        )
+    out = out.drop("_rng")
+    for c, name in (total_cols or {}).items():
+        out = out.withColumn(name, F.lit(totals_known[c]).cast("long"))
     return out

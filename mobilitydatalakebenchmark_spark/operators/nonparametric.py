@@ -19,17 +19,19 @@ whole computation stays BIGINT until one final division:
   AUC = 2*U1 / (2*n1*n2).
 
 Plan shape: one groupBy(value) collapse of the raw data (the only
-corpus-sized shuffle), then an UNPARTITIONED running-sum window over the
-DISTINCT values. That window is the scale knob: its input is bounded by
-value cardinality, not row count — for discretized/cents-grained data
-this is the classic "KS on binned data" formulation; quantize the value
-column first if its cardinality approaches the driver's comfort zone.
+corpus-sized shuffle), then a RANGE-PARTITIONED prefix sum over the
+distinct values (functions/codecs.prefix_sums: rank within sampled
+ranges + broadcast cumulative range offsets) — no unpartitioned window,
+so no task ever sorts the whole distinct-value table even when value
+cardinality approaches row count (continuous measures).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.codecs import prefix_sums
 
 
 def _group_counts(
@@ -49,19 +51,20 @@ def ks_two_sample(df: DataFrame, value_col: str, is_g1: Column) -> DataFrame:
     (BIGINT), and d = round(d_scaled/(n1*n2), 6).
     """
     counts = _group_counts(df, value_col, is_g1)
-    cum_w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = counts.select(
-        F.sum("c1").over(cum_w).alias("f1"),
-        F.sum("c2").over(cum_w).alias("f2"),
-    )
-    totals = counts.agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    # scale-safe running sums: range-partitioned prefix sums (codecs.
+    # prefix_sums) instead of an UNPARTITIONED window — no task ever
+    # sorts the whole distinct-value table (r12 optimization; identical
+    # values, the ordering "v" is unique by construction). n1/n2 ride
+    # along as exact grand-total literals from the same per-range job.
+    cum = prefix_sums(
+        counts,
+        "v",
+        ["c1", "c2"],
+        out_cols=["f1", "f2"],
+        total_cols={"c1": "n1", "c2": "n2"},
     )
     return (
-        cum.crossJoin(F.broadcast(totals))
-        .groupBy("n1", "n2")
+        cum.groupBy("n1", "n2")
         .agg(
             F.max(
                 F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
@@ -97,11 +100,15 @@ def mann_whitney_u(
     counts = _group_counts(df, value_col, is_g1).withColumn(
         "cnt", F.col("c1") + F.col("c2")
     )
-    prev_w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = counts.withColumn(
-        "start", F.coalesce(F.sum("cnt").over(prev_w), F.lit(0)) + 1
+    # scale-safe exclusive prefix: inclusive range-partitioned prefix sum
+    # minus the row's own count (codecs.prefix_sums — no unpartitioned
+    # window; r12 optimization, identical integers). totals stay the
+    # 1-row agg + broadcast cross join so the empty-input convention
+    # (one all-NULL row) is unchanged.
+    ranked = prefix_sums(
+        counts, "v", ["cnt"], out_cols=["_cum_cnt"]
+    ).withColumn(
+        "start", F.col("_cum_cnt") - F.col("cnt") + 1
     ).withColumn("rank2", 2 * F.col("start") + F.col("cnt") - 1)
     totals = counts.agg(
         F.sum("c1").alias("n1"), F.sum("c2").alias("n2")

@@ -3135,7 +3135,7 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score
     "rank arithmetic on a unique (metric, custkey) ordering — "
     "5 - ((rn-1)*5 div n), no float percentiles — and report the "
     "segment grid (count, revenue, min custkey per cell); one fact "
-    "shuffle + dim-sized rank windows",
+    "shuffle + three range-partitioned global ranks (no one-task sort)",
     tags=("mining", "window"),
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3161,28 +3161,23 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    # n_cust stays IN-PLAN as an unpartitioned window count over the
-    # same dim-sized single partition the rank windows already use (no
-    # eager driver .count() recomputing the per_cust lineage)
+    # the customer dim is SF-proportional: all three global ranks (and
+    # n_cust) come from the range-partitioned surrogate_keys pattern —
+    # identical numbering to row_number() OVER (ORDER BY ...), with no
+    # partition-less window sorting the whole dim on ONE task (r12
+    # de-weak); n_cust is the per-range counts job's total, no extra scan
+    from ..functions.codecs import surrogate_keys
+
     quintile = "(5 - ((rn - 1) * 5) div n_cust)"
+    scored = surrogate_keys(
+        per_cust, ["recency_days", "custkey"], out_col="rn", total_col="n_cust"
+    ).withColumn("r_score", F.expr(quintile)).drop("rn")
+    scored = surrogate_keys(
+        scored, [F.desc("frequency"), F.asc("custkey")], out_col="rn"
+    ).withColumn("f_score", F.expr(quintile)).drop("rn")
     scored = (
-        per_cust.withColumn(
-            "n_cust", F.count(F.lit(1)).over(Window.partitionBy())
-        )
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy("recency_days", "custkey"))
-        )
-        .withColumn("r_score", F.expr(quintile))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.desc("frequency"), "custkey")),
-        )
-        .withColumn("f_score", F.expr(quintile))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.desc("monetary_cents"), "custkey")
-            ),
+        surrogate_keys(
+            scored, [F.desc("monetary_cents"), F.asc("custkey")], out_col="rn"
         )
         .withColumn("m_score", F.expr(quintile))
         .drop("rn", "n_cust")
@@ -3249,10 +3244,11 @@ SELECT cls,
 FROM classed GROUP BY cls ORDER BY cls
 """,
     doc="ABC / Pareto classification of parts by revenue: exact "
-    "scaled-integer revenue (cents x (100 - discount bp)), dim-sized "
-    "ordered cumulative sum, class cuts as pure BIGINT cross-multiplied "
+    "scaled-integer revenue (cents x (100 - discount bp)), range-"
+    "partitioned ordered cumulative sum (no single-task sort), class "
+    "cuts as pure BIGINT cross-multiplied "
     "comparisons (cum*100 <= 80*total), share = one end-of-plan "
-    "division rounded 6dp; one fact shuffle + one dim window",
+    "division rounded 6dp; one fact shuffle + one prefix-sum pass",
     tags=("mining", "window"),
 )
 def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3263,16 +3259,19 @@ def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
         ).alias("rev_scaled")
     )
-    w_cum = Window.orderBy(F.desc("rev_scaled"), "partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy()
-    ranked = per_part.select(
-        "partkey",
-        "rev_scaled",
-        F.sum("rev_scaled").over(w_cum).alias("cum"),
-        F.sum("rev_scaled").over(w_all).alias("total"),
-    )
+    # the part dim is SF-proportional: ordered cumulative revenue + the
+    # grand total via the range-partitioned prefix_sums pattern instead
+    # of partition-less windows (r12 de-weak — identical integers, no
+    # one-task sort of the dim)
+    from ..functions.codecs import prefix_sums
+
+    ranked = prefix_sums(
+        per_part,
+        [F.desc("rev_scaled"), F.asc("partkey")],
+        ["rev_scaled"],
+        out_cols=["cum"],
+        total_cols={"rev_scaled": "total"},
+    ).select("partkey", "rev_scaled", "cum", "total")
     classed = ranked.withColumn(
         "cls",
         F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A")
@@ -4907,7 +4906,8 @@ FROM ranked
     "nullable key under BOTH explicit placements (asc_nulls_first / "
     "asc_nulls_last) and reports where the NULL block lands plus "
     "rank-weighted checksums — implicit null placement is the bug, "
-    "explicit placement the contract; dim-sized single-partition sorts",
+    "explicit placement the contract; both ranks via range-partitioned "
+    "global numbering (no single-partition sort)",
     tags=("quality", "window"),
 )
 def null_ordering_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4918,18 +4918,22 @@ def null_ordering_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("user_id") % 100)
         .alias("v"),
     ).distinct()
-    ranked = src.select(
-        "user_id",
-        "v",
-        F.row_number()
-        .over(Window.orderBy(F.col("v").asc_nulls_first(), F.col("user_id")))
-        .cast("long")
-        .alias("nf_rank"),
-        F.row_number()
-        .over(Window.orderBy(F.col("v").asc_nulls_last(), F.col("user_id")))
-        .cast("long")
-        .alias("nl_rank"),
-    )
+    # both explicit-null-placement ranks via the range-partitioned
+    # surrogate_keys pattern (repartitionByRange + sortWithinPartitions
+    # honor SortOrder null placement, so the numbering — including where
+    # the NULL block lands — is bit-identical to the partition-less
+    # row_number it replaces, without the one-task sort of the user dim)
+    from ..functions.codecs import surrogate_keys
+
+    ranked = surrogate_keys(
+        surrogate_keys(
+            src,
+            [F.col("v").asc_nulls_first(), F.col("user_id")],
+            out_col="nf_rank",
+        ),
+        [F.col("v").asc_nulls_last(), F.col("user_id")],
+        out_col="nl_rank",
+    ).select("user_id", "v", "nf_rank", "nl_rank")
     is_null = F.col("v").isNull()
     return ranked.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -1754,9 +1754,10 @@ ORDER BY key_space
     doc="key-skew observability report: exact Gini coefficient of the "
     "per-key row-count distribution for two join/agg key spaces, via "
     "the sorted-rank identity (2*S1 - (n+1)*S0)/(n*S0) — all-bigint "
-    "moments over a rank window on the (small) per-key count table, "
-    "ONE final division; the number that predicts shuffle hot-spotting "
-    "before functions/skew.py salting is needed",
+    "moments over a range-partitioned global rank of the per-key count "
+    "table (no single-task sort), ONE final division; the number that "
+    "predicts shuffle hot-spotting before functions/skew.py salting is "
+    "needed",
     tags=("agg", "skew", "observability"),
 )
 def skew_gini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1764,10 +1765,12 @@ def skew_gini_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = df.groupBy(F.col(key).alias("k")).agg(
             F.count(F.lit(1)).alias("c")
         )
-        w = Window.orderBy("c", "k")
-        ranked = counts.withColumn(
-            "i", F.row_number().over(w).cast("long")
-        )
+        # per-key count table is SF-proportional: global rank via the
+        # range-partitioned surrogate_keys pattern, not a partition-less
+        # window (r12 de-weak — identical numbering, no one-task sort)
+        from ..functions.codecs import surrogate_keys
+
+        ranked = surrogate_keys(counts, ["c", "k"], out_col="i")
         m = ranked.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("c").alias("s0"),
@@ -2251,8 +2254,8 @@ ORDER BY rank
     "ordered token prefix covering 90 percent of corpus occurrences — "
     "tokenizer-vocabulary pruning; inclusion while 10*cum_before < "
     "9*total keeps everything in exact bigints (no 0.9 float "
-    "anywhere); one explode+group-by, the rank window runs over the "
-    "vocabulary, not the corpus",
+    "anywhere); one explode+group-by, then range-partitioned prefix "
+    "sums over the vocabulary (no single-task sort even of the vocab)",
     tags=("text", "tokenizer", "sampling"),
 )
 def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2262,17 +2265,20 @@ def vocab_nucleus_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w_ord = Window.orderBy(F.desc("n"), F.asc("token"))
-    r = (
-        c.withColumn(
-            "cum",
-            F.sum("n").over(
-                w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .withColumn("total", F.sum("n").over(Window.partitionBy()))
-        .withColumn("rank", F.row_number().over(w_ord))
-    )
+    # vocabulary grows with the corpus: cumulative coverage + rank +
+    # grand total via the range-partitioned prefix_sums pattern instead
+    # of partition-less windows (r12 de-weak — identical integers, no
+    # one-task sort of the vocabulary)
+    from ..functions.codecs import prefix_sums
+
+    r = prefix_sums(
+        c,
+        [F.desc("n"), F.asc("token")],
+        ["n"],
+        out_cols=["cum"],
+        rank_col="_rk",
+        total_cols={"n": "total"},
+    ).withColumn("rank", F.col("_rk").cast("int"))
     return (
         r.filter(10 * (F.col("cum") - F.col("n")) < 9 * F.col("total"))
         .select("rank", "token", "n", "cum", "total")
@@ -2682,16 +2688,23 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     score_int = (
         F.col("n_ab") * F.col("big_n") * F.lit(1_000_000)
     ) / (F.col("n_a") * F.col("n_b"))
-    ranked = scored.withColumn("lift", lift).withColumn(
+    # top-k FIRST (TakeOrderedAndProject — no global sort, no
+    # partition-less window over the SF-proportional pair table; r12
+    # de-weak), then rank the bounded k rows: identical to filtering
+    # rank <= k on a global rank over the same unique ordering
+    top = (
+        scored.withColumn("lift", lift)
+        .orderBy(F.desc(score_int), F.asc("w1"), F.asc("w2"))
+        .limit(_COLL_TOPK)
+    )
+    ranked = top.withColumn(
         "rank",
-        F.row_number().over(
-            Window.orderBy(
-                F.desc(score_int), F.asc("w1"), F.asc("w2")
-            )
+        F.row_number().over(  # post-limit: <= _COLL_TOPK rows, bounded
+            Window.orderBy(F.desc(score_int), F.asc("w1"), F.asc("w2"))
         ),
     )
     return (
-        ranked.filter(F.col("rank") <= _COLL_TOPK)
+        ranked
         .select("rank", "w1", "w2", "n_ab", "n_a", "n_b", "lift")
         .orderBy("rank")
     )

@@ -1664,7 +1664,7 @@ FROM r
     "to the first purchase at-or-after it; exact discrete quantiles by "
     "rank selection (((n-1)*p) div 100 + 1 over a unique ordering) — "
     "integer microsecond algebra, no interpolation; one user collapse "
-    "+ one dim-sized sort",
+    "+ one range-partitioned global rank (no single-task sort)",
     tags=("window", "time", "funnel"),
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,13 +1685,15 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("(p_us - s_us) div 1000000").alias("delta_s"),
     )
-    r = d.select(
-        "delta_s",
-        F.row_number()
-        .over(Window.orderBy("delta_s", "user_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    # rank + total via the range-partitioned surrogate_keys pattern: the
+    # per-user table is SF-proportional, so the old partition-less
+    # row_number/count windows sorted it on ONE task (r12 de-weak);
+    # numbering and N are bit-identical
+    from ..functions.codecs import surrogate_keys
+
+    r = surrogate_keys(
+        d, ["delta_s", "user_id"], out_col="rn", total_col="n"
+    ).select("delta_s", "rn", "n")
     pick = lambda p_: F.max(  # noqa: E731
         F.when(
             F.col("rn") == F.expr(f"(n - 1) * {p_} div 100 + 1"),
@@ -2230,7 +2232,8 @@ FROM s
     doc="Spearman rank correlation between part revenue and part "
     "volume: ρ = 1 − 6Σd²/(n(n²−1)) over unique-ordered integer ranks "
     "— BIGINT rank differences, one end division, zero float "
-    "aggregation; one fact collapse + two dim rank windows",
+    "aggregation; one fact collapse + two range-partitioned global "
+    "ranks (surrogate_keys pattern — no single-task sort)",
     tags=("stats", "mining", "window"),
 )
 def spearman_revenue_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2242,16 +2245,17 @@ def spearman_revenue_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev"),
         F.sum(F.col("l_quantity").cast("long")).alias("qty"),
     )
-    ranked = per_part.select(
-        F.row_number()
-        .over(Window.orderBy("rev", "pk"))
-        .cast("long")
-        .alias("r_rev"),
-        F.row_number()
-        .over(Window.orderBy("qty", "pk"))
-        .cast("long")
-        .alias("r_qty"),
-    )
+    # both ranks via the range-partitioned surrogate_keys pattern (no
+    # partition-less window: per-part is SF-proportional, and ONE task
+    # sorting it is the r11/r12 scale-killer class); numbering identical
+    # to row_number() OVER (ORDER BY ...) — unique composite orderings
+    from ..functions.codecs import surrogate_keys
+
+    ranked = surrogate_keys(
+        surrogate_keys(per_part, ["rev", "pk"], out_col="r_rev"),
+        ["qty", "pk"],
+        out_col="r_qty",
+    ).select("r_rev", "r_qty")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(

@@ -166,3 +166,71 @@ def test_surrogate_keys_matches_global_row_number(spark):
         .collect()
     )
     assert [r.k for r in out2] == ks
+
+
+def test_surrogate_keys_column_orderings(spark):
+    """Column ordering expressions (desc, explicit null placement) must
+    reproduce the matching partition-less row_number() numbering."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mobilitydatalakebenchmark_spark.functions.codecs import surrogate_keys
+
+    rows = [
+        (i, None if i % 7 == 0 else (i * 13) % 40, (i * 37) % 50)
+        for i in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "id long, v long, c long").repartition(9)
+    cases = [
+        [F.desc("c"), F.asc("id")],
+        [F.col("v").asc_nulls_first(), F.col("id")],
+        [F.col("v").asc_nulls_last(), F.col("id")],
+        [F.col("v").desc_nulls_last(), F.col("id")],
+    ]
+    for order in cases:
+        ref = df.select(
+            "id",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("r"),
+        ).orderBy("id").collect()
+        got = surrogate_keys(df, order, out_col="r").orderBy("id").collect()
+        assert [(r.id, r.r) for r in ref] == [(r.id, r.r) for r in got], order
+
+
+def test_prefix_sums_matches_running_sum_window(spark):
+    """prefix_sums must equal sum() OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING..CURRENT ROW) plus the matching rank and grand totals, for
+    asc and desc orderings, any input partitioning, empty and 1-row
+    inputs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mobilitydatalakebenchmark_spark.functions.codecs import prefix_sums
+
+    rows = [(i, (i * 37) % 50, (i * 13) % 40) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, c long, x long").repartition(11)
+    for order in (["c", "id"], [F.desc("c"), F.asc("id")]):
+        ocols = [F.col(o) if isinstance(o, str) else o for o in order]
+        w = Window.orderBy(*ocols)
+        ref = df.select(
+            "id",
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        ).orderBy("id").collect()
+        got = prefix_sums(
+            df, order, ["c"], out_cols=["cum"], rank_col="rk",
+            total_cols={"c": "tc", "x": "tx"},
+        ).orderBy("id").collect()
+        assert [(r.id, r.cum, r.rk) for r in ref] == [
+            (r.id, r.cum, r.rk) for r in got
+        ]
+        assert all(r.tc == sum(r2[1] for r2 in rows) for r in got)
+        assert all(r.tx == sum(r2[2] for r2 in rows) for r in got)
+    # degenerate shapes
+    assert prefix_sums(df.filter("id < 0"), ["c", "id"], ["c"]).count() == 0
+    one = prefix_sums(
+        df.filter("id = 1"), ["c", "id"], ["c"], rank_col="rk",
+        total_cols={"c": "tc"},
+    ).collect()
+    assert one[0].cum_c == one[0].tc and one[0].rk == 1

@@ -63,13 +63,21 @@ def test_flat_store_partition_pruning(spark, tmp_path, documents_df):
     assert explain.has_pushed_filter(flat, "timestamp")
 
 
-def test_gate_queries_stay_jvm_side(spark, registry):
+@pytest.fixture(scope="module")
+def gate_dfs(spark, registry):
+    """One DataFrame per gate, built once: QueryExecution caches the
+    analyzed/optimized/physical plans, so the registry-wide plan tests
+    below share a single planning pass instead of re-planning all 313
+    gates per test."""
+    return {name: q.spark(spark, SF) for name, q in registry.items()}
+
+
+def test_gate_queries_stay_jvm_side(registry, gate_dfs):
     """No gate query may fall back to a row-at-a-time Python UDF
     (BatchEvalPython); Arrow-batched plans (ArrowEvalPython/MapInPandas)
     are allowed only for declared kernel operators (none in the gate)."""
     for name, q in registry.items():
-        df = q.spark(spark, SF)
-        plan = explain.physical_plan(df)
+        plan = explain.physical_plan(gate_dfs[name])
         assert "BatchEvalPython" not in plan, f"{name} uses a Python UDF"
         if "kernel" not in q.tags:  # declared Arrow-batched kernels excepted
             assert "InPandas" not in plan, f"{name} unexpectedly uses pandas"
@@ -78,3 +86,55 @@ def test_gate_queries_stay_jvm_side(spark, registry):
 def test_codegen_covers_flagship(spark, registry):
     df = registry["flagship_pricing_summary"].spark(spark, SF)
     assert explain.codegen_stage_count(df) >= 1
+
+
+# Gates allowed to keep a partition-less Window: each one's window input
+# is bounded by CONSTRUCTION (a fixed panel, a calendar span, a post-
+# limit top-k, a replicate count), never by data volume. Everything
+# data-proportional was re-planned in r12 onto the range-partitioned
+# surrogate_keys / prefix_sums patterns (functions/codecs.py).
+_BOUNDED_GLOBAL_WINDOW_GATES = {
+    "attribution_time_decay",  # per-channel panel (enum of channels)
+    "bootstrap_ci_mean",  # fixed bootstrap replicate count
+    "budget_apportion_sources",  # per-source panel
+    "cumulative_reach_daily",  # calendar days in the data span
+    "delta_bitwidth_histogram",  # <= 64 bit-width keys
+    "dow_hour_heatmap",  # 168 dow x hour keys
+    "group_kfold_assign",  # 5 folds
+    "retention_kaplan_meier",  # distinct floored-day durations (span)
+    "retrieval_mrr_eval",  # 30-query panel
+    "seasonal_decompose_additive",  # time buckets in the data span
+    "text_collocation_lift",  # post-limit top-20
+    "text_zipf_slope",  # post-limit top-100
+}
+
+
+def test_no_partitionless_window_over_unbounded_input(registry, gate_dfs):
+    """The 100 TB scale-killer class (r11 verdict): a Window with no
+    partitionSpec moves its ENTIRE input into one task's sort. Every
+    gate whose window input grows with data volume was re-planned onto
+    the range-partitioned rank / prefix-sum patterns in r12; this pins
+    the class shut — a new partition-less window may only appear on the
+    documented bounded-input whitelist above."""
+    offenders = {}
+
+    def nodes(p):
+        yield p
+        for i in range(p.children().size()):
+            yield from nodes(p.children().apply(i))
+
+    for name in registry:
+        plan = gate_dfs[name]._jdf.queryExecution().optimizedPlan()
+        n = sum(
+            1
+            for nd in nodes(plan)
+            if nd.getClass().getSimpleName() == "Window"
+            and nd.partitionSpec().isEmpty()
+        )
+        if n and name not in _BOUNDED_GLOBAL_WINDOW_GATES:
+            offenders[name] = n
+    assert not offenders, (
+        "partition-less Window over a data-proportional input (one-task "
+        f"sort at scale): {offenders} — re-plan on codecs.surrogate_keys/"
+        "prefix_sums or document the bound in the whitelist"
+    )
