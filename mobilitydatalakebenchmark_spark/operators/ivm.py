@@ -84,10 +84,12 @@ class MaterializedJoin:
             # an EMPTY base/view write leaves no part files to infer a
             # schema from (zero write tasks): fall back to the schemas
             # persisted at build time — the store stays readable instead
-            # of crashing on degenerate input (degenerate sweep, r11)
-            if "UNABLE_TO_INFER_SCHEMA" not in str(exc) and (
-                "Unable to infer schema" not in str(exc)
-            ):
+            # of crashing on degenerate input (degenerate sweep, r11).
+            # Typed error-class check (r11 ADVICE): an unrelated
+            # AnalysisException must re-raise, never retry.
+            from ..errors import is_schema_inference_error
+
+            if not is_schema_inference_error(exc):
                 raise
             import json as _json
 
@@ -106,15 +108,9 @@ class MaterializedJoin:
         try:
             return spark.read.parquet(f"{self.path}/{side}_tombstones.parquet")
         except Exception as exc:  # narrow: no deletes yet
-            if not any(
-                s in str(exc)
-                for s in (
-                    "PATH_NOT_FOUND",
-                    "Path does not exist",
-                    "UNABLE_TO_INFER_SCHEMA",
-                    "Unable to infer schema",
-                )
-            ):
+            from ..errors import is_missing_store_error
+
+            if not is_missing_store_error(exc):
                 raise
             return None
 
@@ -149,10 +145,32 @@ class MaterializedJoin:
     def build(self, left: DataFrame, right: DataFrame) -> None:
         """Materialize L ⋈ R and snapshot both bases."""
         spark = left.sparkSession
-        # self-describing store: base/view schemas persisted FIRST so
-        # every later read can declare them when inference is impossible
-        # (empty writes leave no part files) — see _read
         view_schema = self._bucket(left.join(right, self.on)).schema
+        left.write.mode("overwrite").parquet(f"{self.path}/left.parquet")
+        right.write.mode("overwrite").parquet(f"{self.path}/right.parquet")
+        # read the snapshots back with the schemas just written (no
+        # inference — an empty base has no part files; no _read fallback
+        # — schemas.parquet does not exist yet, see below)
+        view = (
+            spark.read.schema(left.schema)
+            .parquet(f"{self.path}/left.parquet")
+            .join(
+                spark.read.schema(right.schema).parquet(
+                    f"{self.path}/right.parquet"
+                ),
+                self.on,
+            )
+        )
+        (
+            self._bucket(view)
+            .write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(f"{self.path}/view.parquet")
+        )
+        # self-describing store: base/view schemas persisted LAST, as the
+        # build's commit point — a crash mid-build can never leave fresh
+        # schemas paired with stale data dirs for a later _read fallback
+        # to trust (r11 ADVICE); _read needs them only for empty dirs
         spark.createDataFrame(
             [
                 (
@@ -164,15 +182,6 @@ class MaterializedJoin:
             "left_schema string, right_schema string, view_schema string",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{self.path}/schemas.parquet"
-        )
-        left.write.mode("overwrite").parquet(f"{self.path}/left.parquet")
-        right.write.mode("overwrite").parquet(f"{self.path}/right.parquet")
-        view = self._read(spark, "left").join(self._read(spark, "right"), self.on)
-        (
-            self._bucket(view)
-            .write.mode("overwrite")
-            .partitionBy(_BUCKET_COL)
-            .parquet(f"{self.path}/view.parquet")
         )
 
     def append(

@@ -33,12 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-_MISSING = (
-    "PATH_NOT_FOUND",
-    "Path does not exist",
-    "UNABLE_TO_INFER_SCHEMA",
-    "Unable to infer schema",
-)
+from ..errors import is_missing_store_error
 
 
 def _content_md5(id_col: str):
@@ -181,7 +176,7 @@ def append_shards(
             F.col("source").alias(source_col)
         ).agg(F.sum("n_tokens").alias("_prev_tokens"))
     except Exception as exc:  # narrow: only "empty store" shapes
-        if not any(s in str(exc) for s in _MISSING):
+        if not is_missing_store_error(exc):
             raise
         manifest, prev = None, None
     placed = pack_sequences(
@@ -265,7 +260,7 @@ def repair_manifest(
     try:
         data = spark.read.parquet(f"{path}/data.parquet")
     except Exception as exc:  # nothing written yet -> nothing to repair
-        if not any(s in str(exc) for s in _MISSING):
+        if not is_missing_store_error(exc):
             raise
         return
     if ids is not None:
@@ -289,7 +284,7 @@ def repair_manifest(
             F.broadcast(touched), "shard", "left_anti"
         ).unionByName(recomputed)
     except Exception as exc:
-        if not any(s in str(exc) for s in _MISSING):
+        if not is_missing_store_error(exc):
             raise
         new_manifest = recomputed
     _write_manifest(spark, new_manifest, path)

@@ -80,8 +80,12 @@ class Velocity2ParquetStore:
                 try:
                     existing = spark.read.parquet(self._p(name)).select(key)
                     df_new = df_new.join(existing, key, "left_anti")
-                except Exception:
-                    pass
+                except Exception as exc:  # first batch only — a corrupt
+                    # store must fail loudly, not be silently re-seeded
+                    from ..errors import is_missing_store_error
+
+                    if not is_missing_store_error(exc):
+                        raise
                 df_new.write.mode(mode).parquet(self._p(name))
         else:
             bus.write.mode(mode).parquet(self._p("bus"))

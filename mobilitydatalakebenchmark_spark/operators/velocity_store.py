@@ -104,8 +104,13 @@ class VelocityParquetStore:
             try:
                 existing = spark.read.parquet(self._p("l1")).select("l1_id")
                 l1 = l1.join(existing, "l1_id", "left_anti")
-            except Exception:  # first batch: nothing stored yet
-                pass
+            except Exception as exc:  # first batch: nothing stored yet —
+                # but ONLY that shape; a genuinely corrupt store (schema
+                # drift, permissions) must fail loudly, not be overwritten
+                from ..errors import is_missing_store_error
+
+                if not is_missing_store_error(exc):
+                    raise
         main.write.mode(mode).parquet(self._p("main"))
         l1.write.mode(mode).parquet(self._p("l1"))
         l2.write.mode(mode).partitionBy(TS_BUCKET_COL).parquet(self._p("l2"))

@@ -240,11 +240,11 @@ class VersionedParquetStore:
                 parts.append(reader.parquet(d))
             except Exception as exc:
                 # a dir from an EMPTY commit has no part files to infer
-                # from: declare the schema its manifest recorded
-                if schema_json is None or (
-                    "UNABLE_TO_INFER_SCHEMA" not in str(exc)
-                    and "Unable to infer schema" not in str(exc)
-                ):
+                # from: declare the schema its manifest recorded (typed
+                # error-class check — r11 ADVICE; see ..errors)
+                from ..errors import is_schema_inference_error
+
+                if schema_json is None or not is_schema_inference_error(exc):
                     raise
                 import json as _json
 

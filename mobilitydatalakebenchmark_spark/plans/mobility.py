@@ -993,7 +993,15 @@ SELECT user_id, count(*) AS n_points,
        -- reduction is only claimable when some fix is DROPPABLE: DP
        -- always keeps both endpoints, so a corpus of <= 2 fixes per
        -- track cannot shrink (degenerate twin); on the synthetic
-       -- tracks the measured ~40% drop makes this TRUE as before
+       -- tracks the measured ~40% drop makes this TRUE as before.
+       -- NOTE (r11 ADVICE): this is a DATA-DEPENDENT PROXY, not an
+       -- equivalence — 'droppable fixes exist' (here) vs 'a fix was
+       -- actually dropped' (Spark's _tot_kept < _tot). A corpus whose
+       -- every deviation exceeds tolerance would make this TRUE and
+       -- Spark FALSE. It matches on the gate corpora (synthetic +
+       -- degenerate twins, where drops always occur when droppable);
+       -- tightening it to the exact kept/total counts would change the
+       -- gate's declared output (frozen under the oracle-hash contract)
        (SELECT count(*) FROM fixes)
          > 2 * (SELECT count(DISTINCT user_id) FROM fixes)
          AS reduction_ok

@@ -76,15 +76,9 @@ def stream_to_flat_store(
         try:
             existing = spark.read.parquet(table_path).select("timestamp")
         except Exception as exc:  # narrow: only "empty store" shapes
-            if not any(
-                s in str(exc)
-                for s in (
-                    "PATH_NOT_FOUND",
-                    "Path does not exist",
-                    "UNABLE_TO_INFER_SCHEMA",
-                    "Unable to infer schema",
-                )
-            ):
+            from ..errors import is_missing_store_error
+
+            if not is_missing_store_error(exc):
                 raise
             existing = None
         if existing is not None:
@@ -205,16 +199,9 @@ def stream_to_ann_index(
                 F.max("last_epoch").alias("e")
             ).first()
         except Exception as exc:  # narrow: only "no state yet" shapes
-            msg = str(exc)
-            if any(
-                s in msg
-                for s in (
-                    "PATH_NOT_FOUND",
-                    "Path does not exist",
-                    "UNABLE_TO_INFER_SCHEMA",
-                    "Unable to infer schema",
-                )
-            ):
+            from ..errors import is_missing_store_error
+
+            if is_missing_store_error(exc):
                 return -1
             raise
         return -1 if row is None or row["e"] is None else int(row["e"])

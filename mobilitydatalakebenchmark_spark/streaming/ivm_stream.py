@@ -25,12 +25,7 @@ from ..session import local_df
 
 from ..operators.ivm import MaterializedJoin
 
-_MISSING = (
-    "PATH_NOT_FOUND",
-    "Path does not exist",
-    "UNABLE_TO_INFER_SCHEMA",
-    "Unable to infer schema",
-)
+from ..errors import is_missing_store_error
 
 
 def stream_to_materialized_join(
@@ -57,7 +52,7 @@ def stream_to_materialized_join(
                 .first()
             )
         except Exception as exc:  # narrow: only "no state yet" shapes
-            if not any(s in str(exc) for s in _MISSING):
+            if not is_missing_store_error(exc):
                 raise
             return -1
         return -1 if row is None or row["e"] is None else int(row["e"])

@@ -36,12 +36,7 @@ from ..session import local_df
 
 from ..operators.shards import append_shards, repair_manifest
 
-_MISSING = (
-    "PATH_NOT_FOUND",
-    "Path does not exist",
-    "UNABLE_TO_INFER_SCHEMA",
-    "Unable to infer schema",
-)
+from ..errors import is_missing_store_error
 
 
 def stream_to_shards(
@@ -72,7 +67,7 @@ def stream_to_shards(
                 .first()
             )
         except Exception as exc:  # narrow: only "no state yet" shapes
-            if not any(s in str(exc) for s in _MISSING):
+            if not is_missing_store_error(exc):
                 raise
             return -1
         return -1 if row is None or row["e"] is None else int(row["e"])
@@ -81,7 +76,7 @@ def stream_to_shards(
         try:
             return spark.read.parquet(f"{path}/data.parquet").select(id_col)
         except Exception as exc:  # narrow: empty store
-            if not any(s in str(exc) for s in _MISSING):
+            if not is_missing_store_error(exc):
                 raise
             return None
 

@@ -236,3 +236,53 @@ class TestDocumentStores:
         assert len(out) == documents_df.count()
         parsed = json.loads(out[0].json)
         assert parsed["type"] == "FeatureCollection"
+
+
+class TestStoreErrorNarrowing:
+    """r11 verdict nit 3 / ADVICE: the first-batch 'nothing stored yet'
+    fallbacks must be NARROW — a genuinely malformed existing store
+    raises instead of being silently treated as empty and re-seeded."""
+
+    def test_velocity_append_raises_on_corrupt_dim(
+        self, spark, tmp_path_factory, documents_df
+    ):
+        import pytest as _pytest
+
+        store = VelocityParquetStore(
+            str(tmp_path_factory.mktemp("velcorrupt") / "t")
+        )
+        first = documents_df.orderBy("timestamp").limit(10)
+        store.write(first)
+        # corrupt the l1 dim: replace its parquet files with garbage bytes
+        import glob
+        import os
+
+        for f in glob.glob(os.path.join(store._p("l1"), "*.parquet")):
+            with open(f, "wb") as fh:
+                fh.write(b"not a parquet file")
+        with _pytest.raises(Exception):
+            store.write(documents_df, mode="append")
+
+    def test_error_classifier_rejects_unrelated_analysis_errors(self, spark):
+        from pyspark.errors import AnalysisException
+
+        from mobilitydatalakebenchmark_spark.errors import (
+            is_missing_store_error,
+            is_schema_inference_error,
+        )
+
+        # real missing-path error carries the PATH_NOT_FOUND class
+        try:
+            spark.read.parquet("/nonexistent/spark_graft_nowhere").collect()
+            raise AssertionError("read should have failed")
+        except AnalysisException as exc:
+            assert is_missing_store_error(exc)
+            assert not is_schema_inference_error(exc)
+        # an unrelated analysis error that merely MENTIONS the magic
+        # text must NOT classify as benign (typed class wins)
+        try:
+            spark.sql("SELECT UNABLE_TO_INFER_SCHEMA FROM nonexistent_tbl")
+            raise AssertionError("sql should have failed")
+        except AnalysisException as exc:
+            assert not is_missing_store_error(exc)
+            assert not is_schema_inference_error(exc)
