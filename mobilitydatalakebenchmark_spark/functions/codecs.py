@@ -255,12 +255,56 @@ def surrogate_key(order_col: str):
     return F.row_number().over(Window.orderBy(order_col))
 
 
+# The within-range rank is read off monotonically_increasing_id, whose
+# row-offset field is 33 bits wide: a range holding >= 2^33 rows would
+# silently overflow into the partition-id bits and corrupt every rank
+# after it. The per-range counts are collected anyway, so the guard is
+# free — raise instead of corrupting (r12 verdict item 2).
+_MAX_RANGE_ROWS = 1 << 33
+
+
+def _guard_range_counts(counts_by_range: dict) -> None:
+    """Refuse per-range row counts the 33-bit row-offset cannot number."""
+    over = {r: c for r, c in counts_by_range.items() if c >= _MAX_RANGE_ROWS}
+    if over:
+        raise ValueError(
+            f"surrogate_keys/prefix_sums range(s) hold >= 2^33 rows {over}; "
+            "monotonically_increasing_id's row offset would overflow — "
+            "pass a larger num_ranges"
+        )
+
+
+def _range_checkpoint(ranged, reliable: bool = False):
+    """PIN the sampled range boundaries: RangePartitioning draws its bounds
+    with a seed derived from the RDD id, so the counts job and the final
+    job would otherwise sample DIFFERENT boundaries and the offsets map
+    would be wrong (caught at sf0.1 — 20k rows resample differently, 200
+    don't). The checkpoint is LAZY: the counts collect that immediately
+    follows is the first action, so it materializes the blocks — one job
+    does double duty where an eager checkpoint would pay a separate
+    materialization pass (measured ~2x on the re-planned r12 gates at
+    sf0.1). A persist() instead would pin the cache for the session
+    lifetime since this helper has no post-consumption unpersist hook.
+
+    CAVEAT (r12 verdict item 3): localCheckpoint pins blocks to
+    executor-local storage and truncates lineage — an executor loss (or
+    dynamic-allocation scale-in) mid-query fails the job instead of
+    recomputing. Pass ``reliable=True`` (requires
+    ``spark.sparkContext.setCheckpointDir``) to write the cut to the
+    checkpoint dir and survive executor loss, at the cost of a
+    filesystem round trip."""
+    if reliable:
+        return ranged.checkpoint(eager=False)
+    return ranged.localCheckpoint(eager=False)
+
+
 def surrogate_keys(
     df,
     order_col: str | list[str],
     out_col: str = "surrogate_id",
     num_ranges: int | None = None,
     total_col: str | None = None,
+    reliable: bool = False,
 ):
     """Dense 1-based ids in global ``order_col`` order — scale-safe.
 
@@ -284,7 +328,13 @@ def surrogate_keys(
 
     ``total_col``: when set, the total row count (already known from the
     per-range counts job — no extra scan) is attached as a literal
-    column, for rank algebra that needs N (ntile, percentiles)."""
+    column, for rank algebra that needs N (ntile, percentiles).
+
+    ``reliable``: checkpoint the ranged input to the session checkpoint
+    dir instead of executor-local storage (see :func:`_range_checkpoint`
+    for the executor-loss trade-off). Any range holding >= 2^33 rows
+    raises instead of silently corrupting ranks (the
+    monotonically_increasing_id row-offset width)."""
     order_cols = [order_col] if isinstance(order_col, (str, Column)) else list(order_col)
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     spark = df.sparkSession
@@ -292,16 +342,9 @@ def surrogate_keys(
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "_rng", F.spark_partition_id()
     )
-    # PIN the range boundaries: RangePartitioning samples its bounds with a
-    # seed derived from the RDD id, so the counts job and the final job
-    # would otherwise draw DIFFERENT boundaries and the offsets map would
-    # be wrong (caught at sf0.1 — 20k rows resample differently, 200
-    # don't). Eager localCheckpoint materializes the partitioning once for
-    # both consumers AND releases its blocks when the DataFrame is GC'd —
-    # a persist() here would pin the cache for the session lifetime since
-    # this helper has no post-consumption unpersist hook.
-    ranged = ranged.localCheckpoint(eager=True)
+    ranged = _range_checkpoint(ranged, reliable)
     counts = ranged.groupBy("_rng").agg(F.count("*").alias("_n")).collect()
+    _guard_range_counts({row._rng: row._n for row in counts})
     offsets, acc = {}, 0
     for row in sorted(counts, key=lambda r: r._rng):
         offsets[row._rng] = acc
@@ -333,6 +376,128 @@ def surrogate_keys(
     return out
 
 
+def grouped_surrogate_keys(
+    df,
+    group_cols: str | list[str],
+    order_col: str | list[str],
+    out_col: str = "surrogate_id",
+    count_col: str | None = None,
+    num_ranges: int | None = None,
+    reliable: bool = False,
+):
+    """Dense 1-based per-group ids in ``order_col`` order — scale-safe.
+
+    Same numbering as ``row_number() OVER (PARTITION BY group ORDER BY
+    order_col)`` but with no data-proportional window partition: a
+    ``Window.partitionBy(group)`` sorts each group's ENTIRE slice on one
+    task, which for a low-cardinality group (e.g. a handful of sources)
+    is the r12 scale-killer class divided by a constant (r12 verdict
+    item 1). Here the input is range-partitioned on (group, order) —
+    each group spans contiguous ranges, each range is |input|/n rows —
+    and the per-group rank is recovered from the within-range position
+    plus a per-(range, group) adjustment:
+
+        rank = pos_in_range + 1
+               + rows_of_group_in_earlier_ranges        (same group)
+               - rows_of_earlier_groups_in_this_range   (group start)
+
+    Both corrections come from ONE tiny counts job — one row per
+    (range, group), bounded by n_ranges + n_groups because groups are
+    contiguous slabs under the lexicographic range partitioning — whose
+    intra-range group order is taken from Spark's own ``orderBy`` over
+    the counts rows (never a Python re-implementation of Spark's sort
+    semantics). The adjustments re-enter the plan as a broadcast join of
+    a driver-local table, so no window appears anywhere.
+
+    ``group_cols`` must be plain column NAMES (they are join keys for
+    the adjustment table; NULL group values are matched null-safely).
+    ``order_col`` as in :func:`surrogate_keys` (strings or Column
+    ordering expressions). ``count_col``: attach each group's total row
+    count (known from the same counts job), the scale-safe stand-in for
+    ``count(*) OVER (PARTITION BY group)``."""
+    from ..session import local_df
+
+    group_names = (
+        [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    )
+    order_cols = (
+        [order_col] if isinstance(order_col, (str, Column)) else list(order_col)
+    )
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    sort_cols = [F.col(c) for c in group_names] + order_cols
+    ranged = df.repartitionByRange(n, *sort_cols).withColumn(
+        "_rng", F.spark_partition_id()
+    )
+    ranged = _range_checkpoint(ranged, reliable)
+    # one row per (range, group); Spark's orderBy fixes the walk order so
+    # the Python loop never re-implements Spark's sort semantics (null
+    # placement, string collation)
+    per = (
+        ranged.groupBy("_rng", *group_names)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy("_rng", *group_names)
+        .collect()
+    )
+    rng_counts: dict = {}
+    for row in per:
+        rng_counts[row._rng] = rng_counts.get(row._rng, 0) + row._n
+    _guard_range_counts(rng_counts)
+    seen: dict = {}  # group key -> rows in earlier ranges
+    adj_rows = []  # (rng, *group key, adjustment)
+    cur_rng = None
+    for row in per:
+        if row._rng != cur_rng:
+            cur_rng, start_off = row._rng, 0
+        key = tuple(row[g] for g in group_names)
+        adj_rows.append(
+            (row._rng, *key, seen.get(key, 0) - start_off)
+        )
+        seen[key] = seen.get(key, 0) + row._n
+        start_off += row._n
+    group_schema = ", ".join(
+        f"`{g}` {dict(df.dtypes)[g]}" for g in group_names
+    )
+    schema = f"_rng int, {group_schema}, _adj long"
+    if count_col is not None:
+        # the group total rides the same local table (seen holds the
+        # full count once the walk is complete) — no second join
+        adj_rows = [
+            (*r, seen[tuple(r[1 : 1 + len(group_names)])]) for r in adj_rows
+        ]
+        schema += f", {count_col} long"
+    adj = local_df(spark, adj_rows, schema)
+    sorted_mid = (
+        ranged.sortWithinPartitions(*sort_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    # null-safe equi-join on (_rng, group...): rename the adjustment
+    # side so the output keeps the input's columns untouched
+    adj_r = adj.select(
+        *[F.col(c).alias(f"_adj_{c}") for c in adj.columns]
+    )
+    cond = F.col("_rng").eqNullSafe(F.col("_adj__rng"))
+    for g in group_names:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_adj_{g}"))
+    out = (
+        sorted_mid.join(F.broadcast(adj_r), cond, "left")
+        .withColumn(
+            out_col,
+            F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+            + 1
+            + F.coalesce(F.col("_adj__adj"), F.lit(0)),
+        )
+    )
+    if count_col is not None:
+        out = out.withColumn(
+            count_col, F.col(f"_adj_{count_col}").cast("long")
+        )
+    return out.drop(
+        "_rng", "_mid", *[f"_adj_{c}" for c in adj.columns]
+    )
+
+
 def prefix_sums(
     df,
     order_col,
@@ -341,6 +506,7 @@ def prefix_sums(
     num_ranges: int | None = None,
     rank_col: str | None = None,
     total_cols: dict[str, str] | None = None,
+    reliable: bool = False,
 ):
     """Inclusive running sums over a global ordering — scale-safe.
 
@@ -360,6 +526,12 @@ def prefix_sums(
     replaces). ``order_col`` entries may be strings or Column ordering
     expressions (``F.desc(...)``, ``...asc_nulls_last()``).
 
+    PRECONDITION: ``sum_cols`` values must be non-NULL. NULL handling
+    diverges from the replaced window (an all-NULL range's offset is
+    coerced to 0, and a NULL prefix within a range stays NULL where the
+    global window would carry the prior ranges' sum). Every current call
+    site sums non-null aggregates; pass pre-coalesced columns otherwise.
+
     ``rank_col``: also emit the 1-based global rank (LongType) in the
     same ordering, computed inside the same Window operator (free).
     ``total_cols``: mapping ``sum_col -> output name`` attaching each
@@ -370,14 +542,20 @@ def prefix_sums(
     order_cols = [order_col] if isinstance(order_col, (str, Column)) else list(order_col)
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     out_cols = out_cols or [f"cum_{c}" for c in sum_cols]
+    if len(out_cols) != len(sum_cols):
+        raise ValueError(
+            f"out_cols ({len(out_cols)}) must match sum_cols "
+            f"({len(sum_cols)}) one-to-one"
+        )
     spark = df.sparkSession
     n = num_ranges or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "_rng", F.spark_partition_id()
     )
     # same boundary-pinning rationale as surrogate_keys: the totals job
-    # and the final job must see identical sampled range boundaries
-    ranged = ranged.localCheckpoint(eager=True)
+    # and the final job must see identical sampled range boundaries (the
+    # lazy checkpoint is materialized by the totals collect below)
+    ranged = _range_checkpoint(ranged, reliable)
     # total_cols may name columns outside sum_cols (grand total wanted,
     # running sum not): aggregate them in the same per-range job
     all_cols = list(dict.fromkeys(list(sum_cols) + list(total_cols or {})))

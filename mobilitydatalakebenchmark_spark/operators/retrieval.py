@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import local_df
+
 
 def build_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", sep: str = " "
@@ -143,7 +145,9 @@ def literal_queries(spark: SparkSession, queries: dict[str, str]) -> DataFrame:
         for qid, text in sorted(queries.items())
         for term in dict.fromkeys(text.split())
     ]
-    return spark.createDataFrame(rows, "query_id string, term string")
+    # local_df: the legacy list local-relation executes ~10-30x slower
+    # per action (r13); query tables re-execute once per consuming action
+    return local_df(spark, rows, "query_id string, term string")
 
 
 def positional_postings(
@@ -170,8 +174,8 @@ def literal_phrases(spark: SparkSession, phrases: dict[str, str]) -> DataFrame:
     for qid, text in sorted(phrases.items()):
         toks = text.split()
         rows += [(qid, i, term, len(toks)) for i, term in enumerate(toks)]
-    return spark.createDataFrame(
-        rows, "query_id string, offset int, term string, plen int"
+    return local_df(
+        spark, rows, "query_id string, offset int, term string, plen int"
     )
 
 

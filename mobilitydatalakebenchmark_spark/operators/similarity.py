@@ -353,9 +353,33 @@ def ivf_index(
         return corpus.join(assigned, id_col), cent_pdf
     centroids = np.vstack(seeds_pdf[vec_col].to_numpy()).astype("float64")
 
-    def assign_df(cents: "np.ndarray") -> DataFrame:
+    def assign_df(cents: "np.ndarray", with_payload: bool = False) -> DataFrame:
+        """Nearest-centroid assignment. ``with_payload=False`` emits only
+        (id, centroid_id) — the shape the Lloyd mean join wants.
+        ``with_payload=True`` carries EVERY corpus column through the
+        kernel and appends centroid_id, exactly the columns (and order)
+        ``corpus.join(assigned, id_col)`` would produce — but with NO
+        join: at scale the join shuffles the full vector payload by id
+        just to re-attach an int the kernel already knew (guide §2.4 /
+        §8: the payload should move zero extra times). Values are
+        bit-identical — the embedding rides Arrow float64 round-trips
+        and the assignment is the same argmax."""
+        from pyspark.sql import types as T
+
         bc = spark.sparkContext.broadcast(cents)
-        schema = f"{id_col} long, centroid_id int"
+        if with_payload:
+            fields = [corpus.schema[id_col]] + [
+                f for f in corpus.schema.fields if f.name != id_col
+            ]
+            out_names = [f.name for f in fields] + ["centroid_id"]
+            schema = T.StructType(
+                fields + [T.StructField("centroid_id", T.IntegerType())]
+            )
+            in_df = corpus
+        else:
+            out_names = [id_col, "centroid_id"]
+            schema = f"{id_col} long, centroid_id int"
+            in_df = corpus.select(id_col, vec_col)
 
         def kernel(batches):
             c = bc.value
@@ -367,13 +391,17 @@ def ivf_index(
                 sims = (mat @ c.T) / (
                     np.outer(np.linalg.norm(mat, axis=1), c_norm) + 1e-12
                 )
-                yield pd.DataFrame(
-                    {id_col: pdf[id_col], "centroid_id": sims.argmax(axis=1).astype("int32")}
+                pdf = pdf.assign(
+                    centroid_id=sims.argmax(axis=1).astype("int32")
                 )
+                yield pdf[out_names]
 
-        return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+        return in_df.mapInPandas(kernel, schema)
 
     for _ in range(lloyd_iters):
+        # the mean join stays id-keyed (NOT the payload kernel): avg's
+        # float summation order must match the committed oracle outputs
+        # bit-for-bit, and this join is the plan that produced them
         assigned = assign_df(centroids)
         means = (
             corpus.join(assigned, id_col)
@@ -391,11 +419,10 @@ def ivf_index(
         for _, row in means.iterrows():
             centroids[int(row["centroid_id"])] = np.array(row["mean_vec"])
 
-    assigned = assign_df(centroids)
     cent_pdf = pd.DataFrame(
         {"centroid_id": range(len(centroids)), "centroid_vec": list(map(list, centroids))}
     )
-    return corpus.join(assigned, id_col), cent_pdf
+    return assign_df(centroids, with_payload=True), cent_pdf
 
 
 def assign_nearest_centroid_numpy(
@@ -1324,7 +1351,10 @@ def covariance_matrix_expr(
     aggregate and never shuffles — the winning plan for NARROW vectors,
     where whole-stage codegen beats Arrow batch conversion (measured
     crossover vs the Gram kernel at d≈128-256; see covariance_matrix)."""
-    pairs = df.sparkSession.createDataFrame(
+    from ..session import local_df
+
+    pairs = local_df(
+        df.sparkSession,
         [(i, j) for i in range(1, dims + 1) for j in range(i, dims + 1)],
         "i int, j int",
     )

@@ -758,8 +758,10 @@ def range_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import range_join
 
     ev = t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
-        _RJB_TIERS, "tier string, lo double, hi double"
+    from ..session import local_df
+
+    tiers = local_df(
+        spark, _RJB_TIERS, "tier string, lo double, hi double"
     )
     return (
         range_join(ev, tiers, "value", bucket_width=_RJB_WIDTH)
@@ -2008,8 +2010,10 @@ def retrieval_hybrid_text_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "doc_id", "rank")
 
     e = t(spark, sf_dir, "embeddings", heavy=True)
-    pq = spark.createDataFrame(
-        sorted(_HYBRID_PROBE.items()), "query_id string, probe_id long"
+    from ..session import local_df
+
+    pq = local_df(
+        spark, sorted(_HYBRID_PROBE.items()), "query_id string, probe_id long"
     )
     probes = pq.join(
         e.select(
@@ -4281,14 +4285,20 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g_rank").cast("long").alias("g_rank"),
         )
     )
-    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    s = d.select(
-        "doc_id",
+    # per-source rank + per-source count WITHOUT Window.partitionBy
+    # (source): source cardinality is small, so that window is the r12
+    # scale-killer divided by a constant — each partition sorts ~n/|src|
+    # rows on one task (r12 verdict item 1). grouped_surrogate_keys
+    # range-partitions on (source, n_chars, doc_id) instead; identical
+    # numbering, no data-proportional window partition anywhere.
+    from ..functions.codecs import grouped_surrogate_keys
+
+    s = grouped_surrogate_keys(
+        d.select("doc_id", "source", "n_chars"),
         "source",
-        F.row_number().over(w_src).cast("long").alias("s_rank"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("source"))
-        .alias("n_s"),
+        ["n_chars", "doc_id"],
+        out_col="s_rank",
+        count_col="n_s",
     ).crossJoin(F.broadcast(n_df)).withColumn(
         "tgt_rank", F.expr("((s_rank - 1) * n_all) div n_s + 1")
     )

@@ -1647,8 +1647,10 @@ def text_perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     # always exactly 3 rows: a literal bucket frame left-joined with the
     # observed counts (an empty bucket is n_docs=0, not a missing row —
     # the oracle emits a fixed 3-row VALUES table)
-    buckets = spark.createDataFrame(
-        [("head",), ("middle",), ("tail",)], "bucket string"
+    from ..session import local_df
+
+    buckets = local_df(
+        spark, [("head",), ("middle",), ("tail",)], "bucket string"
     )
     full = (
         buckets.join(per.select("bucket", "n_docs"), "bucket", "left")

@@ -663,7 +663,10 @@ def knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_K)
         .collect()
     )
-    seeds = spark.createDataFrame(
+    from ..session import local_df
+
+    seeds = local_df(
+        spark,
         [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds_rows)],
         "centroid_id int, cvec array<float>",
     )
@@ -1159,7 +1162,10 @@ def knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_K)
         .collect()
     )
-    seeds = spark.createDataFrame(
+    from ..session import local_df
+
+    seeds = local_df(
+        spark,
         [(i, [float(x) for x in r.embedding]) for i, r in enumerate(seeds_rows)],
         "centroid_id int, cvec array<float>",
     ).withColumn("_sn", norm(F.col("cvec")))

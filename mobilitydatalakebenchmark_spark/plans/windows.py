@@ -98,8 +98,11 @@ ORDER BY u.user_id, probe
 )
 def w3_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    probes = spark.createDataFrame(
-        [(p,) for p in ASOF_PROBES], "probe_s string"
+    from ..session import local_df
+
+    # local_df: legacy list local-relation is ~10-30x slower per action
+    probes = local_df(
+        spark, [(p,) for p in ASOF_PROBES], "probe_s string"
     ).select(F.col("probe_s").cast("timestamp").alias("probe_ts"))
     users = ev.select("user_id").distinct()
     probe_rows = users.crossJoin(F.broadcast(probes)).select(
@@ -184,7 +187,10 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import range_join
 
     ev = t(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    from ..session import local_df
+
+    tiers = local_df(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)],
         "tier string, lo double, hi double",
     )

@@ -234,3 +234,83 @@ def test_prefix_sums_matches_running_sum_window(spark):
         total_cols={"c": "tc"},
     ).collect()
     assert one[0].cum_c == one[0].tc and one[0].rk == 1
+
+
+def test_grouped_surrogate_keys_matches_grouped_row_number(spark):
+    """grouped_surrogate_keys must equal row_number() OVER (PARTITION BY
+    group ORDER BY ...) plus count(*) OVER (PARTITION BY group), for
+    single- and multi-column orderings, NULL group values, tiny
+    num_ranges (groups spanning ranges) and large num_ranges (many
+    groups per range), and 0/1-row inputs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mobilitydatalakebenchmark_spark.functions.codecs import (
+        grouped_surrogate_keys,
+    )
+
+    rows = [
+        (
+            i,
+            None if i % 17 == 0 else f"src{(i * 7) % 5}",
+            (i * 37) % 50,
+        )
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, v long").repartition(9)
+    w = Window.partitionBy("src").orderBy("v", "id")
+    ref = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("n_g"),
+    ).orderBy("id").collect()
+    for nr in (2, 64):
+        got = (
+            grouped_surrogate_keys(
+                df, "src", ["v", "id"], out_col="r", count_col="n_g",
+                num_ranges=nr,
+            )
+            .orderBy("id")
+            .collect()
+        )
+        assert [(r.id, r.r, r.n_g) for r in ref] == [
+            (r.id, r.r, r.n_g) for r in got
+        ], nr
+    # ordering expressions (desc) and multi-column groups
+    w2 = Window.partitionBy("src").orderBy(F.desc("v"), F.asc("id"))
+    ref2 = df.select(
+        "id", F.row_number().over(w2).cast("long").alias("r")
+    ).orderBy("id").collect()
+    got2 = (
+        grouped_surrogate_keys(
+            df, ["src"], [F.desc("v"), F.asc("id")], out_col="r", num_ranges=5
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.r) for r in ref2] == [(r.id, r.r) for r in got2]
+    # degenerate shapes
+    assert (
+        grouped_surrogate_keys(df.filter("id < 0"), "src", ["v", "id"]).count()
+        == 0
+    )
+    one = grouped_surrogate_keys(
+        df.filter("id = 1"), "src", ["v", "id"], out_col="r", count_col="n_g"
+    ).collect()
+    assert one[0].r == 1 and one[0].n_g == 1
+
+
+def test_range_count_guard_raises_past_33_bits(spark):
+    """Any range holding >= 2^33 rows must raise instead of silently
+    overflowing monotonically_increasing_id's row-offset field (the
+    counts are already collected, so the guard is free)."""
+    import pytest
+
+    from mobilitydatalakebenchmark_spark.functions.codecs import (
+        _MAX_RANGE_ROWS,
+        _guard_range_counts,
+    )
+
+    _guard_range_counts({0: 10, 1: _MAX_RANGE_ROWS - 1})  # fine
+    with pytest.raises(ValueError, match="2\\^33"):
+        _guard_range_counts({0: 10, 1: _MAX_RANGE_ROWS})

@@ -138,3 +138,53 @@ def test_no_partitionless_window_over_unbounded_input(registry, gate_dfs):
         f"sort at scale): {offenders} — re-plan on codecs.surrogate_keys/"
         "prefix_sums or document the bound in the whitelist"
     )
+
+
+# Gates allowed to keep a Window partitioned ONLY by the documents
+# corpus's low-cardinality `source` column (the r12-verdict item-1
+# class: a handful of partitions each sorting ~n/|sources| rows on one
+# task — the partition-less scale-killer divided by a constant).
+# quantile_normalization was re-planned onto
+# codecs.grouped_surrogate_keys in r13; the remaining entries are
+# documented debt — their windows are running-sum/packing shaped, so the
+# known next step is a grouped prefix_sums variant.
+_SOURCE_WINDOW_GATES = {
+    "pack_sequences_contiguous",  # per-source greedy packing cumsum
+    "pack_shard_manifest",  # per-source shard numbering
+    "sample_weighted_ares",  # per-source weighted reservoir rank
+}
+
+
+def test_no_source_partitioned_window_without_whitelist(registry, gate_dfs):
+    """A Window partitioned solely by `source` sorts ~n/|sources| rows
+    per task — data-proportional whenever the gate feeds it raw
+    documents (r12 verdict item 1). quantile_normalization was
+    re-planned onto grouped_surrogate_keys (r13); any NEW gate wanting
+    a per-source window must use the grouped range-rank pattern or
+    document itself here."""
+    offenders = {}
+
+    def nodes(p):
+        yield p
+        for i in range(p.children().size()):
+            yield from nodes(p.children().apply(i))
+
+    for name in registry:
+        plan = gate_dfs[name]._jdf.queryExecution().optimizedPlan()
+        n = 0
+        for nd in nodes(plan):
+            if nd.getClass().getSimpleName() != "Window":
+                continue
+            ps = nd.partitionSpec()
+            cols = {
+                ps.apply(i).toString().split("#")[0] for i in range(ps.size())
+            }
+            if cols == {"source"}:
+                n += 1
+        if n and name not in _SOURCE_WINDOW_GATES:
+            offenders[name] = n
+    assert not offenders, (
+        "Window partitioned only by low-cardinality `source` (one-task "
+        f"sort of ~n/|sources| rows at scale): {offenders} — use "
+        "codecs.grouped_surrogate_keys or document the bound here"
+    )

@@ -1,8 +1,11 @@
-"""Capture .explain("formatted") output for named gates into plans/r12/.
+"""Capture .explain("formatted") output for named gates into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> <gate> [<gate> ...]
-Writes plans/r12/<gate>_<suffix>.txt for each gate (sf0.01 inputs — plan
-shape only, never executed).
+Writes plans/$PLANS_ROUND/<gate>_<suffix>.txt (default r13) for each gate
+(sf0.01 inputs — plan shape only, never FULLY executed: building a
+range-rank/grouped-rank gate runs its driver-side counts jobs and the
+checkpoint materialization at DataFrame-construction time, and store
+gates run their build writes, so capture is not side-effect free).
 """
 
 from __future__ import annotations
@@ -21,7 +24,9 @@ def main() -> None:
     gates = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r12")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("PLANS_ROUND", "r13")
+    )
     os.makedirs(out_dir, exist_ok=True)
     registry = load_registry()
     spark = get_spark("capture_plans", cpus=8)
