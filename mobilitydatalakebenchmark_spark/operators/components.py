@@ -79,6 +79,15 @@ def connected_components(
                 F.coalesce("p_comp", "component").alias("component"),
             )
         )
+        # lazy checkpoint BEFORE the convergence probe: the probe is an
+        # action, so without a cut new_labels' whole round plan executes
+        # once for the probe and AGAIN when the next round (or the final
+        # consumer) re-embeds it — ~2x work per round (r13 measurement;
+        # the r12 every-other-round eager cut only bounded plan SIZE).
+        # The probe materializes the blocks; any partitions its limit
+        # short-circuits past are completed by the checkpoint's own
+        # finisher job, so the next round reads blocks, never the plan.
+        new_labels = new_labels.localCheckpoint(eager=False)
         # convergence check: any label still shrinking?
         changed = (
             new_labels.alias("n")
@@ -90,13 +99,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-        # truncate lineage every other round: each round references labels
-        # THREE times (hop join, pointer-jump self-join, convergence diff),
-        # so the plan roughly triples per un-checkpointed iteration and
-        # deep-diameter graphs hit analyzer/codegen blowup long before any
-        # data-size limit
-        if (it + 1) % 2 == 0:
-            labels = labels.localCheckpoint(eager=True)
     return labels
 
 

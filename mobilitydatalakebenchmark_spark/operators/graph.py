@@ -91,7 +91,9 @@ def pagerank_integer(
         # optimizer (see module docstring); every-4 keeps at most 4 joins
         # of un-truncated plan while costing one materialization job
         if (it + 1) % 4 == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            # LAZY: the LogicalRDD boundary still caps what the optimizer
+            # sees at 4 rounds; execution fuses into the consumer job
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -208,7 +210,12 @@ def k_core(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    arcs = symmetrize(undirected).localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the peel: the convergence count that
+    # follows each round materializes the blocks, so one job per round
+    # does checkpoint + count where an eager checkpoint plus two
+    # convergence counts cost three (r13; the per-round arc count is
+    # remembered instead of re-counting the previous round's arcs)
+    arcs = symmetrize(undirected).localCheckpoint(eager=False)
     if max_rounds is not None and max_rounds <= 0:
         # zero truncated rounds = the raw degrees of the canonical graph
         return (
@@ -216,6 +223,7 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("core_degree"))
             .withColumnRenamed("src", "node")
         )
+    n_arcs = arcs.count()  # materializes the checkpoint
     rounds = 0
     while True:
         deg = arcs.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -224,14 +232,14 @@ def k_core(
             arcs.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
-        done = max_rounds is not None and rounds >= max_rounds
-        if not done:
-            # converged when no arc fell this round (cheap: count compare)
-            done = nxt.count() == arcs.count()
-        arcs = nxt
+        n_next = nxt.count()  # materializes + feeds the convergence check
+        done = (
+            max_rounds is not None and rounds >= max_rounds
+        ) or n_next == n_arcs  # converged when no arc fell this round
+        arcs, n_arcs = nxt, n_next
         if done:
             break
     return (
@@ -296,7 +304,11 @@ def label_propagation(
             counted.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            # LAZY: still cuts the per-round plan at a LogicalRDD
+            # boundary (the optimizer never sees more than one round),
+            # but defers execution so all rounds run in ONE consumer job
+            # instead of one eager materialization job per round (r13)
+            .localCheckpoint(eager=False)
         )
     return labels
 
@@ -412,7 +424,9 @@ def bellman_ford_bounded(
             .unionByName(dist)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
+            # LAZY: plan still cut per round, rounds fuse into the one
+            # consumer job instead of one eager job per round (r13)
+            .localCheckpoint(eager=False)
         )
         dist = relaxed
     return dist

@@ -146,6 +146,17 @@ class MaterializedJoin:
         """Materialize L ⋈ R and snapshot both bases."""
         spark = left.sparkSession
         view_schema = self._bucket(left.join(right, self.on)).schema
+        # REBUILD over an existing store: invalidate the old commit point
+        # FIRST — without this, a crash after the data overwrites but
+        # before the schema overwrite would pair fresh data dirs with the
+        # PREVIOUS build's schemas.parquet, and the empty-dir _read
+        # fallback would silently trust the stale schemas (r12 ADVICE).
+        # Deleting it makes a mid-rebuild crash fail loudly instead.
+        jvm = spark.sparkContext._jvm
+        old = jvm.org.apache.hadoop.fs.Path(f"{self.path}/schemas.parquet")
+        old.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        ).delete(old, True)
         left.write.mode("overwrite").parquet(f"{self.path}/left.parquet")
         right.write.mode("overwrite").parquet(f"{self.path}/right.parquet")
         # read the snapshots back with the schemas just written (no
@@ -171,7 +182,10 @@ class MaterializedJoin:
         # build's commit point — a crash mid-build can never leave fresh
         # schemas paired with stale data dirs for a later _read fallback
         # to trust (r11 ADVICE); _read needs them only for empty dirs
-        spark.createDataFrame(
+        from ..session import local_df
+
+        local_df(
+            spark,
             [
                 (
                     left.schema.json(),

@@ -5259,14 +5259,17 @@ FROM per_day ORDER BY day
     tags=("window", "time", "mining"),
 )
 def cumulative_reach_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.codecs import prefix_sums
+
     ev = t(spark, sf_dir, "events")
     first_day = ev.groupBy("user_id").agg(
         F.min(F.expr("unix_micros(ts) div 86400000000")).alias("day")
     )
     per_day = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
-    w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return per_day.select(
-        "day", "n_new", F.sum("n_new").over(w).alias("users_to_date")
-    ).orderBy("day")
+    # r12 whitelisted this gate's partition-less running sum as calendar-
+    # bounded; r13 re-plans it onto prefix_sums anyway (r12 verdict item
+    # 7) — a multi-decade corpus grows the day table, and the range-
+    # partitioned form costs the same here
+    return prefix_sums(
+        per_day, "day", ["n_new"], out_cols=["users_to_date"]
+    ).select("day", "n_new", "users_to_date").orderBy("day")

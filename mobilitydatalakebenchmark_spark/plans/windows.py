@@ -1403,17 +1403,18 @@ def retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("observed"), 1).otherwise(0)).alias("d"),
         F.count(F.lit(1)).alias("n_at"),
     )
-    w_prev = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.partitionBy()
-    r = g.select(
+    # at-risk counts via prefix_sums instead of a partition-less window
+    # (r12 verdict item 7): n_risk = total - exclusive prefix, where the
+    # exclusive prefix is the inclusive running sum minus the row's own
+    # n_at — same integers, no single-task sort of the step table
+    from ..functions.codecs import prefix_sums
+
+    r = prefix_sums(
+        g, "dur", ["n_at"], out_cols=["_cum"], total_cols={"n_at": "_tot"}
+    ).select(
         "dur",
         "d",
-        (
-            F.sum("n_at").over(w_all)
-            - F.coalesce(F.sum("n_at").over(w_prev), F.lit(0))
-        ).alias("n_risk"),
+        (F.col("_tot") - (F.col("_cum") - F.col("n_at"))).alias("n_risk"),
     )
     f = r.withColumn(
         "factor",

@@ -97,15 +97,16 @@ _BOUNDED_GLOBAL_WINDOW_GATES = {
     "attribution_time_decay",  # per-channel panel (enum of channels)
     "bootstrap_ci_mean",  # fixed bootstrap replicate count
     "budget_apportion_sources",  # per-source panel
-    "cumulative_reach_daily",  # calendar days in the data span
     "delta_bitwidth_histogram",  # <= 64 bit-width keys
     "dow_hour_heatmap",  # 168 dow x hour keys
     "group_kfold_assign",  # 5 folds
-    "retention_kaplan_meier",  # distinct floored-day durations (span)
     "retrieval_mrr_eval",  # 30-query panel
-    "seasonal_decompose_additive",  # time buckets in the data span
     "text_collocation_lift",  # post-limit top-20
     "text_zipf_slope",  # post-limit top-100
+    # r13: the three calendar-span entries (cumulative_reach_daily,
+    # retention_kaplan_meier, seasonal_decompose_additive) were
+    # re-planned onto prefix_sums and left the whitelist (r12 verdict
+    # item 7)
 }
 
 
