@@ -9,6 +9,8 @@ a grown corpus, and the trained-codebook path.
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"

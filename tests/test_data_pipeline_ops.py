@@ -6,6 +6,8 @@ from __future__ import annotations
 import random
 
 import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
 from pyspark.sql import functions as F
 
 from mobilitydatalakebenchmark_spark.operators import (

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import importlib.util
 
 
@@ -36,6 +38,8 @@ def test_queries_and_oracles_consistent(spark):
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+@pytest.mark.slow  # r13: plans all 313 gates (~4 min); fast tier relies on
+# test_queries_and_oracles_consistent + the slow-tier plan suite
 def test_all_queries_plan_without_execution(spark):
     """Every registered query must at least resolve its plan (catches
     schema drift / bad column refs without paying full execution)."""

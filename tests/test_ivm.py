@@ -4,6 +4,8 @@ from-scratch recompute after every interleaving of appends."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
 from pyspark.sql import functions as F
 
 from mobilitydatalakebenchmark_spark.operators.ivm import MaterializedJoin

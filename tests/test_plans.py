@@ -5,6 +5,8 @@ broadcast, point reads prune partitions."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
 from pyspark.sql import functions as F
 
 from mobilitydatalakebenchmark_spark.plans import explain, load_registry

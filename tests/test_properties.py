@@ -4,6 +4,10 @@ example would take minutes)."""
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
+
 import math
 
 from hypothesis import given, settings, strategies as st

@@ -4,6 +4,10 @@ is positive after writes, reset clears everything."""
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
+
 import random
 
 from mobilitydatalakebenchmark_spark.operators.adapter import ReferenceStoreAdapter

@@ -4,6 +4,10 @@ late data that reopens an old bucket."""
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
+
 import datetime as dt
 
 from pyspark.sql import functions as F

@@ -4,6 +4,8 @@ manifest integrity, and the verify round-trip."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"

@@ -6,6 +6,10 @@ ids converge exactly."""
 
 from __future__ import annotations
 
+import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
+
 import random
 
 from hypothesis import given, settings, strategies as st

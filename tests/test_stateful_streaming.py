@@ -4,6 +4,8 @@ vehicle across micro-batches, matching the batch window-rank answer."""
 from __future__ import annotations
 
 import pytest
+pytestmark = pytest.mark.slow  # r13: heavy suite, excluded from the default fast tier (run with -m "" or -m slow)
+
 from pyspark.sql import functions as F
 
 from mobilitydatalakebenchmark_spark.sources.geojson import write_snapshot_dir
