@@ -136,10 +136,20 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
     )
-    # per-pivot out-neighbor array (id-sorted) -> all id-ordered pairs
+    # per-pivot out-neighbor array (id-sorted) -> all id-ordered pairs.
+    # The explicit repartition pins the EXPLODE's parallelism: the agg
+    # output is tiny in bytes (one row per pivot carrying an array), so
+    # AQE coalesces it to ~1 partition and the wedge Generate — the
+    # stage that blows each pivot into C(|ns|, 2) rows, the gate's
+    # entire wall — ran on one core (guide §2.5: partition for the work
+    # a stage EMITS, not the bytes it reads; measured 38 s -> ~3 s at
+    # sf0.1). Hash on the pivot id: bounded extra exchange of the
+    # adjacency rows at any scale.
+    n_explode = oriented.sparkSession.sparkContext.defaultParallelism
     wedges = (
         oriented.groupBy("u")
         .agg(F.sort_array(F.collect_list("v")).alias("ns"))
+        .repartition(n_explode, "u")
         .select(
             F.explode(
                 F.flatten(
